@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.CryptoCodec
+import graft.functions.protect
+import graft.pipeline.{ColumnPolicy, PerBlock, PerValue, ProtectionPipeline}
+
+/** Encrypt → (query) → decrypt sandwiches: the engine's protection operators
+  * (SURVEY.md §2.3) proven through the relational oracle — the round trip must
+  * be exact for the plaintext oracle to hash-match.
+  */
+object ProtectedQueries {
+  import RelationalQueries.Q
+
+  private def rd(s: SparkSession, dir: String, n: String) =
+    GraftTables.read(s, dir, n)
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+  private val centsSql = (x: String) => s"CAST(round($x*100) AS BIGINT)"
+
+  val registry: Vector[(String, Q, Option[String])] = Vector(
+
+    // Full pipeline round trip: per-value XOR on a string column + per-value
+    // deterministic AES on a double column; metadata-driven decrypt.
+    ("q21_protected_roundtrip", (s: SparkSession, dir: String) => {
+      val c = rd(s, dir, "customer")
+      val enc = ProtectionPipeline.encrypt(c, Seq(
+        ColumnPolicy("c_name", keyId = "key-name", PerValue, CryptoCodec.Xor),
+        ColumnPolicy("c_acctbal", keyId = "key-bal", PerValue, CryptoCodec.AesDet)))
+      val dec = ProtectionPipeline.decrypt(enc)
+      ProtectionPipeline.assertSchemaRestored(c.schema, dec.schema)
+      dec.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("c_acctbal"))).as("bal_cents"),
+          min(col("c_name")).as("min_name"),
+          max(col("c_name")).as("max_name"))
+        .orderBy("c_mktsegment")
+    }, Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n,
+        CAST(SUM(${centsSql("c_acctbal")}) AS BIGINT) AS bal_cents,
+        MIN(c_name) AS min_name, MAX(c_name) AS max_name
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Deterministic per-value encryption preserves equality → join runs ON
+    // CIPHERTEXT; oracle joins plaintext. (SURVEY.md §7.4 determinism note.)
+    ("q22_ciphertext_equijoin", (s: SparkSession, dir: String) => {
+      val o = rd(s, dir, "orders").withColumn("ck",
+        protect.encrypt_value(col("o_custkey"), "join-key", CryptoCodec.Xor, "shared"))
+      val c = rd(s, dir, "customer").withColumn("ck",
+        protect.encrypt_value(col("c_custkey"), "join-key", CryptoCodec.Xor, "shared"))
+      o.join(c, "ck")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("c_mktsegment")
+    }, Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Raw per-block encryption (reference EncryptBlock parity, frameless)
+    // round-tripped on an opaque payload column, then parsed.
+    ("q23_block_roundtrip", (s: SparkSession, dir: String) => {
+      rd(s, dir, "events")
+        .withColumn("blob",
+          protect.encrypt_block(col("props").cast("binary"), "blk-key",
+            CryptoCodec.AesDet, "props"))
+        .withColumn("props2",
+          protect.decrypt_block(col("blob"), "blk-key", CryptoCodec.AesDet, "props")
+            .cast("string"))
+        .withColumn("k", regexp_extract(col("props2"), "(\\d+)", 1).cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type,
+        CAST(SUM(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // DecimalType protection (reference FLBA/decimal path, SURVEY.md §1.2):
+    // per-value AES on DECIMAL(12,2), decrypted, exact decimal aggregation.
+    ("q24_protected_decimal", (s: SparkSession, dir: String) => {
+      val o = rd(s, dir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+      val enc = ProtectionPipeline.encrypt(o,
+        Seq(ColumnPolicy("o_totalprice", "key-dec", PerValue, CryptoCodec.AesDet)))
+      val dec = ProtectionPipeline.decrypt(enc)
+      dec.groupBy("o_orderstatus")
+        .agg((sum(col("o_totalprice")) * 100).cast("long").as("total_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_cents,
+        COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Per-block fallback on BOOLEAN (BooleanTypeUsesPerBlockEncryption) +
+    // per-value on timestamp-derived long — exercised via filter after decrypt.
+    ("q25_protected_mixed_types", (s: SparkSession, dir: String) => {
+      val li = rd(s, dir, "lineitem")
+        .withColumn("is_return", col("l_returnflag") === "R")
+        .withColumn("ship_micros", col("l_shipdate"))
+      val enc = ProtectionPipeline.encrypt(li, Seq(
+        ColumnPolicy("is_return", "key-b", PerValue, CryptoCodec.Xor), // → falls back per_block
+        ColumnPolicy("ship_micros", "key-t", PerValue, CryptoCodec.Xor),
+        ColumnPolicy("l_linenumber", "key-i", PerValue, CryptoCodec.AesDet)))
+      val dec = ProtectionPipeline.decrypt(enc)
+      dec.filter(col("is_return") && year(col("ship_micros")) >= 1997)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"))
+        .orderBy("l_linestatus")
+    }, Some("""
+      SELECT l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_ln
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND EXTRACT(YEAR FROM l_shipdate) >= 1997
+      GROUP BY l_linestatus ORDER BY l_linestatus"""))
+  )
+}

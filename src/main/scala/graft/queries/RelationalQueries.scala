@@ -1,0 +1,380 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational query surface (SURVEY.md §2.5): every category the driver's
+  * DuckDB oracle exercises, expressed declaratively so Catalyst plans them
+  * (predicate pushdown, broadcast joins, AQE) — no hand-scheduling.
+  *
+  * Determinism discipline for oracle hash-matching:
+  *  - money/double aggregates run in exact integer spaces (cents / basis
+  *    points) — `SUM(round(x*100)::BIGINT)` is order-independent and
+  *    bit-identical across engines, unlike floating-point summation;
+  *  - every ORDER BY carries a unique tie-break key;
+  *  - timestamps leave outputs as formatted strings or extracted ints.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def rd(s: SparkSession, dir: String, n: String): DataFrame =
+    GraftTables.read(s, dir, n)
+
+  /** money → exact integer cents */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  /** discount fraction → exact integer basis points (0.07 → 7) */
+  private def pctInt(c: Column): Column = round(c * 100).cast("long")
+  private val centsSql = (x: String) => s"CAST(round($x*100) AS BIGINT)"
+
+  /** name → (spark impl, oracle sql). Insertion order preserved. */
+  val registry: Vector[(String, Q, Option[String])] = Vector(
+
+    // ---------------------------------------------------------------- scans
+    ("q01_pricing_summary", (s: SparkSession, dir: String) => {
+      rd(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - pctInt(col("l_discount"))))
+            .as("revenue_u"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_cents,
+        CAST(SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_u,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    ("q02_filter_project", (s: SparkSession, dir: String) => {
+      rd(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---------------------------------------------------------------- joins
+    ("q03_join_agg", (s: SparkSession, dir: String) => {
+      rd(s, dir, "orders").join(rd(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("c_mktsegment")
+    }, Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    ("q04_broadcast_join", (s: SparkSession, dir: String) => {
+      rd(s, dir, "lineitem")
+        .join(broadcast(rd(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("p_brand")
+    }, Some("""
+      SELECT p_brand,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""")),
+
+    ("q05_multi_join", (s: SparkSession, dir: String) => {
+      val li = rd(s, dir, "lineitem")
+      val o = rd(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val c = rd(s, dir, "customer")
+      val n = broadcast(rd(s, dir, "nation"))
+      val r = broadcast(rd(s, dir, "region"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - pctInt(col("l_discount"))))
+          .as("revenue_u"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }, Some(s"""
+      SELECT r_name, n_name,
+        CAST(SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_u,
+        COUNT(*) AS n_items
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    ("q06_semi_join", (s: SparkSession, dir: String) => {
+      rd(s, dir, "customer")
+        .join(rd(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_customers
+      FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    ("q07_anti_join", (s: SparkSession, dir: String) => {
+      val urgent = rd(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      rd(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_customers
+      FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // -------------------------------------------------------------- windows
+    ("q08_window_rank", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      rd(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_cents", lag(cents(col("o_totalprice")), 1).over(w))
+        .withColumn("run_cents",
+          sum(cents(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+          col("prev_cents"), col("run_cents"))
+        .orderBy("o_custkey", "rn")
+    }, Some(s"""
+      SELECT o_custkey, o_orderkey, rn, prev_cents, run_cents FROM (
+        SELECT o_custkey, o_orderkey,
+          ROW_NUMBER() OVER w AS rn,
+          LAG(${centsSql("o_totalprice")}, 1) OVER w AS prev_cents,
+          SUM(${centsSql("o_totalprice")}) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ) WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // --------------------------------------------------- grouping analytics
+    ("q09_rollup", (s: SparkSession, dir: String) => {
+      rd(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")),
+
+    ("q10_cube", (s: SparkSession, dir: String) => {
+      rd(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          grouping(col("o_orderstatus")).cast("long").as("g_s"),
+          grouping(col("o_orderpriority")).cast("long").as("g_p"))
+        .orderBy(col("g_s"), col("g_p"), col("o_orderstatus"), col("o_orderpriority"))
+    }, Some(s"""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents,
+        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
+        CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""")),
+
+    // -------------------------------------------------------- sort / top-k
+    ("q11_topk", (s: SparkSession, dir: String) => {
+      rd(s, dir, "orders").join(rd(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sum(cents(col("o_totalprice"))).as("spend_cents"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("spend_cents").desc, col("c_custkey"))
+        .limit(20)
+    }, Some(s"""
+      SELECT c_custkey, c_name,
+        CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS spend_cents,
+        COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY spend_cents DESC, c_custkey LIMIT 20""")),
+
+    // -------------------------------------------------------------- set ops
+    ("q12_setops", (s: SparkSession, dir: String) => {
+      val o = rd(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 200000).select("o_custkey").distinct()
+      val ur = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey").distinct()
+      val mk = (d: DataFrame, tag: String) =>
+        d.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), col("n"))
+      mk(hi.union(ur).distinct(), "union")
+        .unionAll(mk(hi.intersect(ur), "intersect"))
+        .unionAll(mk(hi.except(ur), "except"))
+        .orderBy("op")
+    }, Some("""
+      WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000),
+           ur AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT * FROM hi UNION SELECT * FROM ur)
+      UNION ALL
+      SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT * FROM hi INTERSECT SELECT * FROM ur)
+      UNION ALL
+      SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT * FROM hi EXCEPT SELECT * FROM ur)
+      ORDER BY op""")),
+
+    // ------------------------------------------------------- distinct aggs
+    ("q13_distinct_agg", (s: SparkSession, dir: String) => {
+      rd(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supps,
+        COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------ scalar functions
+    ("q14_string_funcs", (s: SparkSession, dir: String) => {
+      rd(s, dir, "part")
+        .filter(col("p_name").like("%a%"))
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey, upper(p_name) AS up_name,
+        CAST(length(p_name) AS BIGINT) AS name_len,
+        substring(p_type, 1, 5) AS type5,
+        concat_ws('|', p_brand, p_type) AS brand_type,
+        regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+      FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""")),
+
+    ("q15_date_funcs", (s: SparkSession, dir: String) => {
+      rd(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("y", "m")
+    }, Some(s"""
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+        CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+        COUNT(*) AS n_orders,
+        CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents,
+        COUNT(DISTINCT o_custkey) AS n_customers
+      FROM orders GROUP BY 1, 2 ORDER BY y, m""")),
+
+    ("q16_case_agg", (s: SparkSession, dir: String) => {
+      rd(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L))
+            .as("n_urgent"),
+          sum(when(col("o_totalprice") > 150000, cents(col("o_totalprice")))
+            .otherwise(0L)).as("big_cents"),
+          max(when(col("o_orderpriority").startsWith("5"), col("o_custkey")))
+            .as("max_low_cust"))
+        .orderBy("o_orderstatus")
+    }, Some(s"""
+      SELECT o_orderstatus,
+        CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        CAST(SUM(CASE WHEN o_totalprice > 150000 THEN ${centsSql("o_totalprice")} ELSE 0 END) AS BIGINT) AS big_cents,
+        MAX(CASE WHEN o_orderpriority LIKE '5%' THEN o_custkey END) AS max_low_cust
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // --------------------------------------------------- correlated compare
+    ("q17_above_avg_orders", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("o_custkey")
+      rd(s, dir, "orders")
+        .withColumn("c", cents(col("o_totalprice")))
+        .withColumn("s", sum(col("c")).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        // exact integer form of c > avg: c * cnt > sum
+        .filter(col("c") * col("cnt") > col("s"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_above"))
+        .orderBy("o_custkey")
+    }, Some(s"""
+      SELECT o_custkey, COUNT(*) AS n_above FROM (
+        SELECT o_custkey, ${centsSql("o_totalprice")} AS c,
+          SUM(${centsSql("o_totalprice")}) OVER (PARTITION BY o_custkey) AS s,
+          COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+        FROM orders
+      ) WHERE c * cnt > s GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // ------------------------------------------------------- events / time
+    ("q18_events_hourly", (s: SparkSession, dir: String) => {
+      rd(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("value_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("hour", "event_type")
+    }, Some(s"""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(${centsSql("value")}) AS BIGINT) AS value_cents,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    ("q19_events_json", (s: SparkSession, dir: String) => {
+      rd(s, dir, "events")
+        .withColumn("k", regexp_extract(col("props"), "(\\d+)", 1).cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type,
+        CAST(SUM(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        MAX(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS max_k,
+        COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---------------------------------------------------------- range join
+    ("q20_range_join", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val buckets = Seq((1, 10, "b01_10"), (11, 20, "b11_20"), (21, 35, "b21_35"),
+        (36, 50, "b36_50")).toDF("lo", "hi", "bucket")
+      rd(s, dir, "lineitem")
+        .join(broadcast(buckets),
+          col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))
+        .orderBy("bucket")
+    }, Some(s"""
+      SELECT bucket, COUNT(*) AS n,
+        CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS price_cents
+      FROM lineitem JOIN (VALUES (1, 10, 'b01_10'), (11, 20, 'b11_20'),
+        (21, 35, 'b21_35'), (36, 50, 'b36_50')) AS b(lo, hi, bucket)
+        ON l_quantity >= lo AND l_quantity <= hi
+      GROUP BY bucket ORDER BY bucket"""))
+  )
+}

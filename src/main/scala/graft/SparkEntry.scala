@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** Full registry: (name, impl, oracle). Insertion order preserved. */
   def registry: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    RelationalQueries.registry ++ ProtectedQueries.registry
+    RelationalQueries.registry ++ ProtectedQueries.registry ++
+      PipelineOpsQueries.registry
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design (100 TB discipline):
+  *  - exact dedup = hash-groupBy (one shuffle, map-side combine);
+  *  - MinHash signatures = one explode + one groupBy with k partial-min
+  *    aggregates (map-side combined), NOT k passes;
+  *  - LSH banding turns O(n²) pair generation into equality joins on
+  *    (band, bandHash) — shuffle-partitioned by bucket, skew-safe because
+  *    bucket population is bounded by signature collisions;
+  *  - candidate verification joins only the candidate pairs back to the
+  *    shingle sets (candidates ≪ n²).
+  */
+object Dedup {
+
+  /** Exact dedup: survivor = min id per identical key column. */
+  def exactSurvivors(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    df.groupBy(keyCol.as("dedup_key"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  /** (id, shingle) pairs — distinct per doc. */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol), explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("shingle"))
+      .distinct()
+
+  /** Exact pairwise Jaccard over an inverted shingle index (no O(n²) scan:
+    * only docs sharing ≥1 shingle ever meet). Returns (d1, d2, inter, n1, n2,
+    * jaccard) for pairs with jaccard ≥ threshold.
+    */
+  def jaccardPairs(shingles: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = shingles.select(col(idCol).as("d1"), col("shingle"))
+    val b = shingles.select(col(idCol).as("d2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    val j = inter
+      .join(sizes.select(col(idCol).as("d1"), col("sz").as("n1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("sz").as("n2")), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"))
+    j.filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: k independent hash functions via seeded xxhash64.
+    * One groupBy; each min is a partial aggregate (map-side combined).
+    */
+  def minhashSignatures(shingles: DataFrame, idCol: String, k: Int = 64): DataFrame = {
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: k sigs → `bands` buckets of r = k/bands rows; two docs
+    * collide if any band hashes equal. Returns candidate pairs (d1 < d2).
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String, k: Int = 64, bands: Int = 16): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands ($bands) must divide k ($k)")
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bh"))
+    }
+    val buckets = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("e"))
+      .select(col(idCol), col("e.band"), col("e.bh"))
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate →
+    * verify with exact Jaccard. Output identical to brute-force
+    * [[jaccardPairs]] whenever LSH recall holds at the threshold
+    * (P(miss | j≥0.9) < 1e-7 at k=64, bands=16).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 64, bands: Int = 16): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol)
+    val cands = lshCandidates(minhashSignatures(sh, idCol, k), idCol, k, bands)
+    // verify candidates only: join the candidate pairs to the shingle sets
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val e1 = sh.select(col(idCol).as("d1"), col("shingle"))
+    val e2 = sh.select(col(idCol).as("d2"), col("shingle"))
+    val inter = cands.join(e1, "d1").join(e2, Seq("d2", "shingle"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("sz").as("n1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("sz").as("n2")), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash via bit votes: sig bit b = 1 iff Σ_tokens (bit b of hash ? +1 : -1) > 0.
+    * Two groupBys; the single-shuffle custom-aggregate variant is
+    * `graft.functions.simhash_agg` (TypedImperativeAggregate).
+    */
+  def simhashViaBits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val masks = typedlit((0 until 64).map(b => 1L << b))
+    val bitVotes = tok.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(63)), b =>
+        when(col("h").bitwiseAND(element_at(masks, (b + 1).cast("int"))) =!= 0,
+          lit(1)).otherwise(lit(-1)))).as(Seq("bit", "vote")))
+    bitVotes.groupBy(col(idCol), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("v") > 0,
+        element_at(typedlit((0 until 64).map(b => 1L << b)),
+          (col("bit") + 1).cast("int"))).otherwise(0L)).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist (≤ 3), using the
+    * 4×16-bit chunk pigeonhole: pairs within distance 3 share at least one
+    * exact chunk → candidate generation is 4 equality joins, not O(n²).
+    */
+  def simhashPairs(sigs: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk pigeonhole only covers hamming <= 3")
+    val chunks = sigs.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))
+            .as("cv"))): _*)).as("e"))
+      .select(col(idCol), col("simhash"), col("e.chunk"), col("e.cv"))
+    val cands = chunks.as("x").join(chunks.as("y"), Seq("chunk", "cv"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("d1"), col(s"x.simhash").as("s1"),
+        col(s"y.$idCol").as("d2"), col(s"y.simhash").as("s2"))
+      .distinct()
+    cands.withColumn("hamming",
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("d1", "d2", "hamming")
+  }
+}

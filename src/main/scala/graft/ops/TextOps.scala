@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, language-ID heuristic, quality scoring,
+  * fingerprinting. All pure column expressions (codegen'd, no UDFs) — at
+  * 100 TB these run map-side with zero shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (documents corpus is pre-normalized lowercase). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Word n-gram shingles. Guarded for short docs (sequence would descend). */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array())
+
+  /** Tiny per-language stopword lists for the n-gram/stopword langid
+    * heuristic. Deliberately small + fixed: the operator's contract is a
+    * deterministic score, not linguistic accuracy.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est"),
+    "es" -> Seq("el", "los", "las", "y", "una", "es", "en", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "von"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "人"))
+
+  /** Count of tokens found in `words` (duplicates counted — unlike
+    * array_intersect, which dedups).
+    */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  /** Argmax language with fixed preference order on ties (en>fr>es>de>zh) —
+    * expressed as a when-chain so the DuckDB oracle can mirror it exactly.
+    */
+  def langPrediction(scores: Map[String, Column]): Column = {
+    val order = stopwords.map(_._1)
+    def winner(i: Int): Column = {
+      val me = scores(order(i))
+      val rest = order.drop(i + 1).map(scores)
+      rest.foldLeft(lit(true))((acc, o) => acc && me >= o)
+    }
+    order.init.zipWithIndex.foldRight(lit(order.last)) { case ((lang, i), els) =>
+      when(winner(i), lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Quality score in [0,1]: stopword density + length saturation + lexical
+    * diversity. All terms are single IEEE ops over exact integers so the
+    * oracle reproduces it bit-for-bit.
+    */
+  def qualityScore(nTokens: Column, nDistinct: Column, stopHits: Column): Column = {
+    val stopRatio = stopHits.cast("double") / nTokens.cast("double")
+    val lenScore = least(lit(1.0), nTokens.cast("double") / lit(100.0))
+    val diversity = nDistinct.cast("double") / nTokens.cast("double")
+    stopRatio * lit(0.3) + lenScore * lit(0.4) + diversity * lit(0.3)
+  }
+
+  /** Canonical-text fingerprint: md5 of the whitespace-collapsed, trimmed,
+    * lowercased text. Collisions ≈ exact near-normal duplicates.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+}

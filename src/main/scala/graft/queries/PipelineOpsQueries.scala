@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.CryptoCodec
+import graft.functions.protect
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.AsofJoin
+import graft.pipeline.{ColumnPolicy, PerValue, ProtectionPipeline}
+
+/** Training-data pipeline operators (dedup / text analysis / similarity /
+  * multimodal / as-of) as oracle-checked queries over the documents,
+  * embeddings and events tables.
+  */
+object PipelineOpsQueries {
+  import RelationalQueries.Q
+
+  private def rd(s: SparkSession, dir: String, n: String) =
+    GraftTables.read(s, dir, n)
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+  private val centsSql = (x: String) => s"CAST(round($x*100) AS BIGINT)"
+
+  /** Shared brute-force Jaccard oracle (DuckDB list comprehension shingles).
+    * Used for both d02 (brute force) and d03 (MinHash-LSH): at k=64/16 bands
+    * the planted near-dups (j ≥ 0.9) are recalled with P(miss) < 1e-7, so
+    * the verified-LSH output equals the exact pairs.
+    */
+  private val jaccardSql = """
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT d1, d2, i AS inter, na.n AS n1, nb.n AS n2,
+        CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+      FROM inter JOIN sz na ON na.doc_id = d1 JOIN sz nb ON nb.doc_id = d2
+      WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+      ORDER BY d1, d2"""
+
+  val registry: Vector[(String, Q, Option[String])] = Vector(
+
+    // ------------------------------------------------------------- dedup
+    ("d01_exact_dedup", (s: SparkSession, dir: String) => {
+      Dedup.exactSurvivors(rd(s, dir, "documents"), "doc_id",
+          TextOps.fingerprint(col("text")))
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+      FROM documents
+      GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+      ORDER BY doc_id""")),
+
+    ("d02_jaccard_pairs", (s: SparkSession, dir: String) => {
+      Dedup.jaccardPairs(
+          Dedup.shingleSet(rd(s, dir, "documents"), "doc_id", "text"),
+          "doc_id", 0.8)
+        .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+          col("jaccard"))
+        .orderBy("d1", "d2")
+    }, Some(jaccardSql)),
+
+    ("d03_minhash_lsh", (s: SparkSession, dir: String) => {
+      Dedup.minhashLshPairs(rd(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+          col("jaccard"))
+        .orderBy("d1", "d2")
+    }, Some(jaccardSql)),
+
+    ("d04_simhash_pairs", (s: SparkSession, dir: String) => {
+      val sigs = Dedup.simhashViaBits(rd(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhashPairs(sigs, "doc_id", maxDist = 3)
+        .orderBy("d1", "d2")
+    }, None), // xxhash64 not reproducible in DuckDB → rows-only check
+
+    // ----------------------------------------------------- text analysis
+    ("t01_token_stats", (s: SparkSession, dir: String) => {
+      rd(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          aggregate(transform(col("toks"), t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).as("sum_len"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS BIGINT) AS n_distinct,
+        CAST(list_aggregate(list_transform(string_split_regex(text, '\s+'),
+          x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+        n_chars
+      FROM documents ORDER BY doc_id""")),
+
+    ("t02_langid", (s: SparkSession, dir: String) => {
+      val toks = TextOps.tokens(col("text"))
+      val scores = TextOps.stopwords.map { case (lang, words) =>
+        lang -> TextOps.stopwordHits(toks, words)
+      }.toMap
+      rd(s, dir, "documents")
+        .select(col("doc_id") +: col("lang").as("labeled") +:
+          TextOps.stopwords.map { case (lang, words) =>
+            TextOps.stopwordHits(toks, words).as(s"sc_$lang") }: _*)
+        .withColumn("predicted", TextOps.langPrediction(
+          TextOps.stopwords.map { case (lang, _) => lang -> col(s"sc_$lang") }.toMap))
+        .orderBy("doc_id")
+    }, Some {
+      val scoreExprs = TextOps.stopwords.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ($list))) AS BIGINT) AS sc_$lang"
+      }.mkString(",\n        ")
+      s"""
+      SELECT doc_id, lang AS labeled, $scoreExprs,
+        CASE
+          WHEN sc_en >= sc_fr AND sc_en >= sc_es AND sc_en >= sc_de AND sc_en >= sc_zh THEN 'en'
+          WHEN sc_fr >= sc_es AND sc_fr >= sc_de AND sc_fr >= sc_zh THEN 'fr'
+          WHEN sc_es >= sc_de AND sc_es >= sc_zh THEN 'es'
+          WHEN sc_de >= sc_zh THEN 'de'
+          ELSE 'zh'
+        END AS predicted
+      FROM documents ORDER BY doc_id"""
+    }),
+
+    ("t03_quality_score", (s: SparkSession, dir: String) => {
+      val toks = TextOps.tokens(col("text"))
+      rd(s, dir, "documents")
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+        .withColumn("stop_hits",
+          TextOps.stopwordHits(toks, TextOps.stopwords.head._2))
+        .withColumn("score", round(TextOps.qualityScore(
+          col("n_tokens"), col("n_distinct"), col("stop_hits")), 6))
+        .select("doc_id", "n_tokens", "n_distinct", "stop_hits", "score")
+        .orderBy("doc_id")
+    }, Some {
+      val list = TextOps.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH t AS (SELECT doc_id,
+        CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_distinct,
+        CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ($list))) AS BIGINT) AS stop_hits
+        FROM documents)
+      SELECT doc_id, n_tokens, n_distinct, stop_hits,
+        round(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3
+          + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+          + CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3, 6) AS score
+      FROM t ORDER BY doc_id"""
+    }),
+
+    ("t04_fingerprint", (s: SparkSession, dir: String) => {
+      rd(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"),
+          col("source"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        source
+      FROM documents ORDER BY doc_id""")),
+
+    // -------------------------------------------------------- similarity
+    ("s01_knn_exact", (s: SparkSession, dir: String) => {
+      Similarity.knnExactQuantized(rd(s, dir, "embeddings"), "vec_id",
+          "embedding", col("vec_id") % 50 === 0, k = 10)
+        .orderBy("qid", "rnk")
+    }, Some("""
+      WITH e AS (SELECT vec_id,
+          list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS q
+        FROM embeddings),
+      en AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS nrm FROM e),
+      qs AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM en WHERE vec_id % 50 = 0),
+      pairs AS (SELECT qid, e2.vec_id, CAST(list_dot_product(qq, e2.q) AS BIGINT) AS dot,
+          qn, e2.nrm
+        FROM qs JOIN en e2 ON e2.vec_id <> qid),
+      scored AS (SELECT qid, vec_id,
+          round(CAST(dot AS DOUBLE)/(sqrt(CAST(qn AS DOUBLE))*sqrt(CAST(nrm AS DOUBLE))), 6) AS cos_r
+        FROM pairs),
+      ranked AS (SELECT qid, vec_id AS nbr, cos_r,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rnk
+        FROM scored)
+      SELECT qid, nbr, rnk, cos_r FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""")),
+
+    ("s02_ann_hyperplane", (s: SparkSession, dir: String) => {
+      Similarity.annHyperplane(rd(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 50 === 0, k = 5)
+        .orderBy("qid", "rnk")
+    }, None), // LSH buckets depend on xxhash64 → rows-only check
+
+    ("s03_cosine_neardup", (s: SparkSession, dir: String) => {
+      Similarity.cosineNearDupPairs(rd(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.4)
+        .orderBy("d1", "d2")
+    }, Some("""
+      WITH e AS (SELECT vec_id,
+          list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS q
+        FROM embeddings),
+      en AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS nrm FROM e),
+      pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+          round(CAST(CAST(list_dot_product(a.q, b.q) AS BIGINT) AS DOUBLE)
+            / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))), 6) AS cos_r
+        FROM en a JOIN en b ON a.vec_id < b.vec_id)
+      SELECT d1, d2, cos_r FROM pairs WHERE cos_r >= 0.4 ORDER BY d1, d2""")),
+
+    // -------------------------------------------------------- multimodal
+    ("m01_media_features", (s: SparkSession, dir: String) => {
+      val withPayload = rd(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+      Multimodal.extractFeatures(withPayload, "doc_id", "payload")
+        .toDF()
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_bytes,
+        64 + CAST(length(text) AS BIGINT) % 576 AS width,
+        64 + (CAST(length(text) AS BIGINT) * 7) % 416 AS height,
+        CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS f0,
+        CAST(ascii(substr(text, 2, 1)) AS BIGINT) AS f1,
+        CAST(ascii(substr(text, 3, 1)) AS BIGINT) AS f2,
+        CAST(ascii(substr(text, 4, 1)) AS BIGINT) AS f3
+      FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------------ as-of join
+    ("q26_asof_join", (s: SparkSession, dir: String) => {
+      val events = rd(s, dir, "events")
+      // dedup right side to unique (custkey, date) — same contract DuckDB
+      // ASOF JOIN needs for determinism
+      val orders = rd(s, dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max(cents(col("o_totalprice"))).as("ocents"))
+      AsofJoin.backward(events, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightCols = Seq("ocents"))
+        .filter(col("asof_ocents").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("asof_ocents")).as("sum_cents"))
+        .orderBy("event_type")
+    }, Some(s"""
+      WITH o AS (SELECT o_custkey, o_orderdate,
+          MAX(${centsSql("o_totalprice")}) AS ocents
+        FROM orders GROUP BY 1, 2)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(ocents) AS BIGINT) AS sum_cents
+      FROM events ASOF JOIN o
+        ON events.user_id = o.o_custkey AND events.ts >= o.o_orderdate
+      GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------- bulk protection (bench)
+    ("q27_bulk_protect_xor", (s: SparkSession, dir: String) => {
+      val li = rd(s, dir, "lineitem")
+      val enc = ProtectionPipeline.encrypt(li, Seq(
+        ColumnPolicy("l_extendedprice", "bulk-x", PerValue, CryptoCodec.Xor),
+        ColumnPolicy("l_returnflag", "bulk-x", PerValue, CryptoCodec.Xor)))
+      val dec = ProtectionPipeline.decrypt(enc)
+      dec.agg(count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"),
+        min(col("l_returnflag")).as("min_flag"),
+        max(col("l_returnflag")).as("max_flag"))
+    }, Some(s"""
+      SELECT COUNT(*) AS n,
+        CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS price_cents,
+        MIN(l_returnflag) AS min_flag, MAX(l_returnflag) AS max_flag
+      FROM lineitem""")),
+
+    ("q28_bulk_protect_aes", (s: SparkSession, dir: String) => {
+      val li = rd(s, dir, "lineitem")
+      val enc = ProtectionPipeline.encrypt(li, Seq(
+        ColumnPolicy("l_extendedprice", "bulk-a", PerValue, CryptoCodec.AesDet),
+        ColumnPolicy("l_returnflag", "bulk-a", PerValue, CryptoCodec.AesDet)))
+      val dec = ProtectionPipeline.decrypt(enc)
+      dec.agg(count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"),
+        min(col("l_returnflag")).as("min_flag"),
+        max(col("l_returnflag")).as("max_flag"))
+    }, Some(s"""
+      SELECT COUNT(*) AS n,
+        CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS price_cents,
+        MIN(l_returnflag) AS min_flag, MAX(l_returnflag) AS max_flag
+      FROM lineitem"""))
+  )
+}

@@ -117,6 +117,16 @@ object Dedup {
           (col("bit") + 1).cast("int"))).otherwise(0L)).as("simhash"))
   }
 
+  /** SimHash via the custom single-shuffle aggregate
+    * (`graft.functions.SimHashAgg`) — the 100 TB path: one partial-aggregated
+    * shuffle with a 256-byte buffer instead of 64 bit-vote rows per token.
+    */
+  def simhashAggregate(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy(col(idCol))
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist (≤ 3), using the
     * 4×16-bit chunk pigeonhole: pairs within distance 3 share at least one
     * exact chunk → candidate generation is 4 equality joins, not O(n²).

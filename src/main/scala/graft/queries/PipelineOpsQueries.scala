@@ -72,7 +72,8 @@ object PipelineOpsQueries {
     }, Some(jaccardSql)),
 
     ("d04_simhash_pairs", (s: SparkSession, dir: String) => {
-      val sigs = Dedup.simhashViaBits(rd(s, dir, "documents"), "doc_id", "text")
+      // custom TypedImperativeAggregate: single-shuffle signature computation
+      val sigs = Dedup.simhashAggregate(rd(s, dir, "documents"), "doc_id", "text")
       Dedup.simhashPairs(sigs, "doc_id", maxDist = 3)
         .orderBy("d1", "d2")
     }, None), // xxhash64 not reproducible in DuckDB → rows-only check
@@ -265,6 +266,36 @@ object PipelineOpsQueries {
         CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS price_cents,
         MIN(l_returnflag) AS min_flag, MAX(l_returnflag) AS max_flag
       FROM lineitem""")),
+
+    // ------------------------------------------------------ sessionization
+    ("q29_sessionize", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      rd(s, dir, "events")
+        .withColumn("tsu", unix_micros(col("ts")))
+        .withColumn("gap", col("tsu") - lag(col("tsu"), 1).over(w))
+        .withColumn("new_s",
+          when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id")
+        .agg(max(col("session_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH t AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tsu,
+          epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      s AS (
+        SELECT user_id, event_id,
+          SUM(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM t)
+      SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+        COUNT(*) AS n_events
+      FROM s GROUP BY user_id ORDER BY user_id""")),
 
     ("q28_bulk_protect_aes", (s: SparkSession, dir: String) => {
       val li = rd(s, dir, "lineitem")

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.CryptoCodec
+import graft.functions.protect
+
+/** Structured Streaming surface: the protection expressions compose
+  * unchanged over streams (`readStream` → encrypt → watermark → windowed
+  * agg → sink). The reference is synchronous request/response only
+  * (SURVEY.md §1.6); this is the Spark-native growth path.
+  */
+object StreamOps {
+
+  /** events table schema as stored (ts = TIMESTAMP(NANOS) read as long). */
+  val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (legacy-long mode)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source event stream with ts normalized to TimestampType micros. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(rawEventSchema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Protect the payload in-flight, then hourly windowed aggregation with a
+    * watermark — proves protection expressions are streaming-safe (per-row,
+    * no state of their own).
+    */
+  def hourlyProtectedAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("props_enc",
+        protect.encrypt_value(col("props"), "stream-key", CryptoCodec.AesDet, "props"))
+      .withColumn("props_back",
+        protect.decrypt_value(col("props_enc"), "stream-key", StringType,
+          CryptoCodec.AesDet, "props"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"),
+        sum(length(col("props_back")).cast("long")).as("payload_chars"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("value_cents"), col("payload_chars"))
+
+  /** Batch reference computation for the streaming agg (same expressions,
+    * same results — used by the equivalence spec).
+    */
+  def hourlyBatchReference(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"),
+        sum(length(col("props")).cast("long")).as("payload_chars"))
+}

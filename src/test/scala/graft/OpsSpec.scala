@@ -1,0 +1,124 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.RollingHash64
+import graft.operators.AsofJoin
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Unit tests for the training-pipeline operators on hand-built fixtures. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: short docs are safe, n-grams correct") {
+    val df = Seq("a b c d", "a b", "").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("a b c", "b c d"), Nil, Nil))
+  }
+
+  test("exact dedup survivors") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val out = Dedup.exactSurvivors(df, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccard pairs: identical docs give 1.0, disjoint give none") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 w5"),
+      (3L, "z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(df, "doc_id", "text")
+    val pairs = Dedup.jaccardPairs(sh, "doc_id", 0.5).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("d1") == 1L && p.getAs[Long]("d2") == 2L)
+    assert(p.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhash-LSH finds the same pairs as brute force on near-dups") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val near = base.replace("kappa", "lambda") // high overlap
+    val far = "one two three four five six seven eight nine ten " * 3
+    val df = Seq((1L, base), (2L, near), (3L, far), (4L, base)).toDF("doc_id", "text")
+    val brute = Dedup.jaccardPairs(Dedup.shingleSet(df, "doc_id", "text"), "doc_id", 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(df, "doc_id", "text", threshold = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.contains((1L, 4L))) // identical
+    assert(lsh == brute)
+  }
+
+  test("simhash: custom aggregate equals composable bit-vote formulation") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaAgg = Dedup.simhashAggregate(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaBits = Dedup.simhashViaBits(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaAgg == viaBits)
+  }
+
+  test("simhash pairs: identical docs at hamming 0") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "totally different words entirely here now ok yes")).toDF("doc_id", "text")
+    val sigs = Dedup.simhashAggregate(df, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sigs, "doc_id", 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 0L))
+  }
+
+  test("asof backward join picks latest right row at-or-before left time") {
+    val left = Seq(
+      (10L, ts("2024-01-01 10:00:00"), "e1"),
+      (10L, ts("2024-01-01 12:00:00"), "e2"),
+      (20L, ts("2024-01-01 09:00:00"), "e3")).toDF("k", "t", "tag")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 100L),
+      (10L, ts("2024-01-01 11:00:00"), 200L),
+      (20L, ts("2024-01-01 09:30:00"), 300L)).toDF("rk", "rt", "payload")
+    val out = AsofJoin.backward(left, right, "k", "rk", "t", "rt", Seq("payload"))
+      .orderBy("tag").collect()
+    assert(out.map(r => (r.getAs[String]("tag"), Option(r.getAs[Any]("asof_payload")))).toSeq ==
+      Seq(("e1", Some(100L)), ("e2", Some(200L)), ("e3", None)))
+  }
+
+  test("asof equal timestamps match (>= semantics)") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "e")).toDF("k", "t", "tag")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 42L)).toDF("rk", "rt", "p")
+    val out = AsofJoin.backward(left, right, "k", "rk", "t", "rt", Seq("p")).collect()
+    assert(out.head.getAs[Long]("asof_p") == 42L)
+  }
+
+  test("knn exact: nearest neighbor of a vector is its duplicate") {
+    val mk = (id: Long, v: Seq[Float]) => (id, v)
+    val dim = 64
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(i => math.sin(seed * 31 + i).toFloat)
+    val df = Seq(
+      mk(0L, vec(1)), mk(1L, vec(1)), mk(2L, vec(7)), mk(3L, vec(9)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnExactQuantized(df, "vec_id", "embedding",
+      col("vec_id") === 0, k = 2).orderBy("rnk").collect()
+    assert(out.head.getAs[Long]("nbr") == 1L) // duplicate vector ranks first
+    assert(out.head.getAs[Double]("cos_r") == 1.0)
+  }
+
+  test("rolling hash: deterministic, sensitive, codegen-consistent") {
+    val df = Seq("abc", "abd", "abc").toDF("s")
+      .withColumn("h", RollingHash64.rolling_hash64(col("s")))
+    val hs = df.collect().map(_.getLong(1))
+    assert(hs(0) == hs(2) && hs(0) != hs(1))
+    assert(hs(0) == graft.functions.HashKernels.rolling64("abc".getBytes))
+  }
+
+  test("multimodal stub: features deterministic and length-derived") {
+    val df = Seq((1L, "hello world")).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val out = Multimodal.extractFeatures(df, "doc_id", "payload").collect().head
+    assert(out.n_bytes == 11 && out.f0 == 'h'.toLong && out.width == 64 + 11)
+  }
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+}

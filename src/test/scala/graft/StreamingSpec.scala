@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.GraftTables
+import graft.streaming.StreamOps
+
+/** Structured Streaming equivalence: the protected hourly aggregation over a
+  * file-source stream must produce exactly the batch result on the same data
+  * (complete output mode drains the finite source).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming protected hourly agg equals batch reference") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$tmp/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = StreamOps.readEventStream(spark, tmp)
+    assert(stream.isStreaming, "file source must be a streaming DataFrame")
+    val q = StreamOps.hourlyProtectedAgg(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out")
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("hourly_out")
+      .orderBy("hour", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val want = StreamOps.hourlyBatchReference(
+        GraftTables.read(spark, "/root/testdata/sf0.001", "events"))
+      .orderBy("hour", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+}

@@ -22,9 +22,16 @@ object Dedup {
     df.groupBy(keyCol.as("dedup_key"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
-  /** (id, shingle) pairs — distinct per doc. */
+  /** (id, shingle) pairs — distinct per doc.
+    *
+    * Tokens are materialized in their own projection BEFORE the shingle
+    * lambda: a lambda that captures the raw `split(...)` expression re-runs
+    * the regex split on every element access (no CSE inside higher-order
+    * functions) — the difference between O(tokens) and O(tokens²) splits.
+    */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol), explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("shingle"))
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(TextOps.shingles(col("_toks"), n)).as("shingle"))
       .distinct()
 
   /** Exact pairwise Jaccard over an inverted shingle index (no O(n²) scan:
@@ -33,9 +40,13 @@ object Dedup {
     */
   def jaccardPairs(shingles: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = shingles.select(col(idCol).as("d1"), col("shingle"))
-    val b = shingles.select(col(idCol).as("d2"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("d1") < col("d2"))
+    // join/shuffle on the 64-bit shingle hash instead of the string: same
+    // intersection counts up to a ~n²/2⁶⁵ collision probability (~1e-9 for
+    // 10⁵ distinct shingles), at a fraction of the shuffle bytes.
+    val hashed = shingles.select(col(idCol), xxhash64(col("shingle")).as("sh"))
+    val a = hashed.select(col(idCol).as("d1"), col("sh"))
+    val b = hashed.select(col(idCol).as("d2"), col("sh"))
+    val inter = a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     val j = inter
       .join(sizes.select(col(idCol).as("d1"), col("sz").as("n1")), "d1")
@@ -46,12 +57,19 @@ object Dedup {
     j.filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signatures: k independent hash functions via seeded xxhash64.
-    * One groupBy; each min is a partial aggregate (map-side combined).
+  /** MinHash signatures: ONE xxhash64 over the shingle string, then k cheap
+    * 64-bit finalizer mixes (xor-fold + odd multiply) — hashing the string k
+    * times costs k× the string bytes; mixing the long costs 3 ALU ops. One
+    * groupBy; each min is a partial aggregate (map-side combined).
     */
   def minhashSignatures(shingles: DataFrame, idCol: String, k: Int = 64): DataFrame = {
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
-    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // hash the string ONCE in a projection; aggregate inputs are not
+    // common-subexpression-eliminated across aggregate functions, so the 64
+    // min() inputs must read the precomputed long.
+    val hashed = shingles.select(col(idCol), xxhash64(col("shingle")).as("h"))
+    val aggs = (0 until k).map(i => min(graft.functions.VectorFunctions.mix64(
+      col("h"), 0x9e3779b97f4a7c15L * (i + 1))).as(s"mh$i"))
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: k sigs → `bands` buckets of r = k/bands rows; two docs
@@ -83,10 +101,12 @@ object Dedup {
     val sh = shingleSet(df, idCol, textCol)
     val cands = lshCandidates(minhashSignatures(sh, idCol, k), idCol, k, bands)
     // verify candidates only: join the candidate pairs to the shingle sets
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val e1 = sh.select(col(idCol).as("d1"), col("shingle"))
-    val e2 = sh.select(col(idCol).as("d2"), col("shingle"))
-    val inter = cands.join(e1, "d1").join(e2, Seq("d2", "shingle"))
+    // (hashed shingle keys — see jaccardPairs)
+    val hashed = sh.select(col(idCol), xxhash64(col("shingle")).as("sh"))
+    val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val e1 = hashed.select(col(idCol).as("d1"), col("sh"))
+    val e2 = hashed.select(col(idCol).as("d2"), col("sh"))
+    val inter = cands.join(e1, "d1").join(e2, Seq("d2", "sh"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col(idCol).as("d1"), col("sz").as("n1")), "d1")

@@ -17,13 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantize float embedding → exact fixed-point BIGINT vector. */
+  /** Quantize float embedding → exact fixed-point BIGINT vector (native
+    * kernel; semantics identical to `round(x*scale)::long` per element).
+    */
   def quantize(emb: Column, scale: Int = 10000): Column =
-    transform(emb, x => round(x.cast("double") * scale).cast("long"))
+    graft.functions.VectorFunctions.quantize_vec(emb, scale)
 
-  /** Exact integer dot product (left fold, order-stable). */
+  /** Exact integer dot product — native codegen'd kernel (tight long loop,
+    * no per-element lambda frames; see [[graft.functions.DotProductQ]]).
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dot_q(a, b)
 
   /** Exact cosine from quantized vectors — every FP op is on exact ints. */
   def cosineQ(dot: Column, n1: Column, n2: Column): Column =

@@ -80,6 +80,7 @@ object PipelineOpsQueries {
 
     // ----------------------------------------------------- text analysis
     ("t01_token_stats", (s: SparkSession, dir: String) => {
+      // tokens materialized once per row (see Dedup.shingleSet note)
       rd(s, dir, "documents")
         .withColumn("toks", TextOps.tokens(col("text")))
         .select(col("doc_id"),
@@ -99,14 +100,11 @@ object PipelineOpsQueries {
       FROM documents ORDER BY doc_id""")),
 
     ("t02_langid", (s: SparkSession, dir: String) => {
-      val toks = TextOps.tokens(col("text"))
-      val scores = TextOps.stopwords.map { case (lang, words) =>
-        lang -> TextOps.stopwordHits(toks, words)
-      }.toMap
       rd(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens(col("text")))
         .select(col("doc_id") +: col("lang").as("labeled") +:
           TextOps.stopwords.map { case (lang, words) =>
-            TextOps.stopwordHits(toks, words).as(s"sc_$lang") }: _*)
+            TextOps.stopwordHits(col("toks"), words).as(s"sc_$lang") }: _*)
         .withColumn("predicted", TextOps.langPrediction(
           TextOps.stopwords.map { case (lang, _) => lang -> col(s"sc_$lang") }.toMap))
         .orderBy("doc_id")
@@ -128,12 +126,12 @@ object PipelineOpsQueries {
     }),
 
     ("t03_quality_score", (s: SparkSession, dir: String) => {
-      val toks = TextOps.tokens(col("text"))
       rd(s, dir, "documents")
-        .withColumn("n_tokens", size(toks).cast("long"))
-        .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
         .withColumn("stop_hits",
-          TextOps.stopwordHits(toks, TextOps.stopwords.head._2))
+          TextOps.stopwordHits(col("toks"), TextOps.stopwords.head._2))
         .withColumn("score", round(TextOps.qualityScore(
           col("n_tokens"), col("n_distinct"), col("stop_hits")), 6))
         .select("doc_id", "n_tokens", "n_distinct", "stop_hits", "score")

@@ -1,11 +1,23 @@
 package graft
 
-import graft.queries.GraftSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
+import graft.core.CryptoCodec
+import graft.functions.protect
+import graft.queries.{GraftSession, GraftTables}
+
+/** Benchmark main. Two sections in one JSON line:
+  *  - "queries": wall seconds per SparkEntry query (the engine surface);
+  *  - "crypto": the reference's measurement protocol
+  *    (src/scripts/performance_test.cpp: scenario grid over datatype ×
+  *    codec × mode, warmup discarded, avg/min/max per-iteration wall ms)
+  *    re-expressed over a real column batch (lineitem at SPARK_GRAFT_SF_DIR).
   */
 object Bench {
+  private val Warmup = 1
+  private val Iters = 5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,10 +33,47 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val crypto = cryptoGrid(spark, sfDir)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"crypto":$crypto,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Reference protocol: per (datatype, codec, mode) scenario, encrypt one
+    * column batch per iteration; discard warmup; report avg/min/max wall ms
+    * and rows/s. Input columns come from lineitem, cached so iterations
+    * measure encryption, not IO.
+    */
+  private def cryptoGrid(spark: SparkSession, sfDir: String): String = {
+    val li = GraftTables.read(spark, sfDir, "lineitem")
+      .select(
+        concat_ws("|", col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+          .as("v_string"),
+        col("l_quantity").cast("float").as("v_float"),
+        col("l_linenumber").as("v_int32"),
+        col("l_orderkey").as("v_int64"))
+      .cache()
+    val rows = li.count() // materialize cache
+    val scenarios = for {
+      dt <- Seq("v_string", "v_float", "v_int32", "v_int64")
+      codec <- Seq(CryptoCodec.Xor, CryptoCodec.AesDet)
+      perValue <- Seq(true, false)
+    } yield {
+      val name = s"${dt.stripPrefix("v_")}_${codec}_" +
+        (if (perValue) "per_value" else "per_block")
+      val times = (0 until Warmup + Iters).map { _ =>
+        val t0 = System.nanoTime()
+        li.select(protect.encrypt_value(col(dt), "bench-key", codec, dt, perValue)
+            .as("ct"))
+          .agg(sum(length(col("ct")))).collect()
+        (System.nanoTime() - t0) / 1e6
+      }.drop(Warmup)
+      val avg = times.sum / times.size
+      f"""\"$name\":{\"avg_ms\":$avg%.1f,\"min_ms\":${times.min}%.1f,\"max_ms\":${times.max}%.1f,\"rows_per_s\":${rows / (avg / 1000)}%.0f}"""
+    }
+    li.unpersist()
+    scenarios.mkString(s"""{"rows":$rows,""", ",", "}")
   }
 }

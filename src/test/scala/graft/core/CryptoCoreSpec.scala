@@ -22,8 +22,8 @@ class CryptoCoreSpec extends AnyFunSuite {
 
   private val ctx = ProtectionContext("key-1", "col")
   private val xor = XorCodec(ctx)
-  private val aesDet = AesGcmCodec(ctx, deterministic = true)
-  private val aesRnd = AesGcmCodec(ctx, deterministic = false)
+  private val aesDet = AesCodec(ctx, deterministic = true)
+  private val aesRnd = AesCodec(ctx, deterministic = false)
 
   private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
 
@@ -56,7 +56,7 @@ class CryptoCoreSpec extends AnyFunSuite {
     assert(!xor.encrypt(pt).sameElements(other.encrypt(pt)))
   }
 
-  test("AES-GCM deterministic mode: stable ciphertext, exact round trip") {
+  test("AES deterministic (SIV) mode: stable ciphertext, exact round trip") {
     forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) {
       data: Array[Byte] =>
         val ct1 = aesDet.encrypt(data)
@@ -66,7 +66,7 @@ class CryptoCoreSpec extends AnyFunSuite {
     }
   }
 
-  test("AES-GCM randomized mode: fresh IVs, still round trips") {
+  test("AES randomized mode: fresh IVs, still round trips") {
     val pt = "payload".getBytes
     val ct1 = aesRnd.encrypt(pt)
     val ct2 = aesRnd.encrypt(pt)
@@ -75,12 +75,12 @@ class CryptoCoreSpec extends AnyFunSuite {
     assert(aesRnd.decrypt(ct2).sameElements(pt))
   }
 
-  test("AES-GCM rejects tampered ciphertext and wrong key") {
+  test("AES rejects tampered ciphertext and wrong key") {
     val ct = aesDet.encrypt("secret".getBytes)
     val tampered = ct.clone(); tampered(ct.length - 1) = (tampered(ct.length - 1) ^ 1).toByte
     intercept[GraftInvalidInputException](aesDet.decrypt(tampered))
     intercept[GraftInvalidInputException](aesDet.decrypt(Array[Byte](1, 2, 3)))
-    val wrongKey = AesGcmCodec(ProtectionContext("other", "col"), deterministic = true)
+    val wrongKey = AesCodec(ProtectionContext("other", "col"), deterministic = true)
     intercept[GraftInvalidInputException](wrongKey.decrypt(ct))
   }
 

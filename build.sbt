@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Suites share one local SparkSession (and AccessControlSpec swaps in a
+// session with extensions) — run them sequentially.
+Test / parallelExecution := false

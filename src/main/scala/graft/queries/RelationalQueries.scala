@@ -358,6 +358,87 @@ object RelationalQueries {
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ---------------------------------------------------------- range join
+    // --------------------------------------------------------- percentiles
+    ("q30_percentiles", (s: SparkSession, dir: String) => {
+      rd(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"),
+          min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS p25,
+        quantile_cont(l_quantity, 0.5) AS p50,
+        quantile_cont(l_quantity, 0.75) AS p75,
+        MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // --------------------------------------------------------------- pivot
+    ("q31_pivot", (s: SparkSession, dir: String) => {
+      rd(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(cents(col("l_extendedprice"))))
+        .orderBy("l_linestatus")
+    }, Some(s"""
+      SELECT l_linestatus,
+        CAST(SUM(CASE WHEN l_returnflag = 'A' THEN ${centsSql("l_extendedprice")} END) AS BIGINT) AS A,
+        CAST(SUM(CASE WHEN l_returnflag = 'N' THEN ${centsSql("l_extendedprice")} END) AS BIGINT) AS N,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN ${centsSql("l_extendedprice")} END) AS BIGINT) AS R
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // -------------------------------------------------- collect/string agg
+    ("q32_string_agg", (s: SparkSession, dir: String) => {
+      rd(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus,
+        string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        COUNT(DISTINCT o_orderpriority) AS n_priorities
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ----------------------------------------------------- scalar subquery
+    ("q33_scalar_subquery", (s: SparkSession, dir: String) => {
+      val o = rd(s, dir, "orders").withColumn("c", cents(col("o_totalprice")))
+      val g = o.agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+      // orders above the GLOBAL average, in exact integer form: c * n > s
+      o.crossJoin(broadcast(g))
+        .filter(col("c") * col("n") > col("s"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_above"),
+          sum(col("c")).as("sum_above_cents"))
+        .orderBy("o_orderstatus")
+    }, Some(s"""
+      SELECT o_orderstatus, COUNT(*) AS n_above,
+        CAST(SUM(c) AS BIGINT) AS sum_above_cents
+      FROM (SELECT o_orderstatus, ${centsSql("o_totalprice")} AS c FROM orders),
+        (SELECT SUM(${centsSql("o_totalprice")}) AS s, COUNT(*) AS n FROM orders)
+      WHERE c * n > s
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // --------------------------------- base64 / json envelope (S2/S3 parity)
+    ("q34_base64_json", (s: SparkSession, dir: String) => {
+      rd(s, dir, "part")
+        .filter(col("p_partkey") % 100 === 0)
+        .select(col("p_partkey"),
+          base64(col("p_name").cast("binary")).as("b64"),
+          unbase64(base64(col("p_name").cast("binary"))).cast("string").as("back"),
+          to_json(struct(col("p_partkey"), col("p_brand"))).as("envelope"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey,
+        to_base64(CAST(p_name AS BLOB)) AS b64,
+        CAST(from_base64(to_base64(CAST(p_name AS BLOB))) AS VARCHAR) AS back,
+        '{"p_partkey":' || p_partkey || ',"p_brand":"' || p_brand || '"}' AS envelope
+      FROM part WHERE p_partkey % 100 = 0 ORDER BY p_partkey""")),
+
     ("q20_range_join", (s: SparkSession, dir: String) => {
       import s.implicits._
       val buckets = Seq((1, 10, "b01_10"), (11, 20, "b11_20"), (21, 35, "b21_35"),

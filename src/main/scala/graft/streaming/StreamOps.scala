@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -46,6 +46,40 @@ object StreamOps {
         sum(length(col("props_back")).cast("long")).as("payload_chars"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("value_cents"), col("payload_chars"))
+
+  case class SessionEvent(user_id: Long, tsMicros: Long)
+  case class SessionState(lastTs: Long, sessions: Long, events: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful sessionization via `flatMapGroupsWithState` — the custom-state
+    * streaming surface (gap-based sessions, same semantics as the batch
+    * q29_sessionize windows). Events inside one trigger are sorted per key;
+    * state carries (last event time, session count, event count) across
+    * triggers.
+    */
+  def sessionizeStream(events: org.apache.spark.sql.DataFrame,
+      gapMinutes: Int = 30): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events.select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(_.tsMicros)
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val newSession = st.lastTs == Long.MinValue ||
+              e.tsMicros - st.lastTs > gapMicros
+            st = SessionState(e.tsMicros,
+              st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          Iterator(UserSessions(user, st.sessions, st.events))
+      }
+  }
 
   /** Batch reference computation for the streaming agg (same expressions,
     * same results — used by the equivalence spec).

@@ -38,4 +38,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got == want)
   }
+
+  test("stateful sessionization (flatMapGroupsWithState) equals batch q29") {
+    val tmp = Files.createTempDirectory("graft-sessions").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$tmp/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = StreamOps.sessionizeStream(StreamOps.readEventStream(spark, tmp))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sessions_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // update mode may emit a row per trigger per key; last one wins
+    val got = spark.table("sessions_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.last("n_sessions").as("n_sessions"),
+        org.apache.spark.sql.functions.last("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val want = SparkEntry.queries("q29_sessionize")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
 }

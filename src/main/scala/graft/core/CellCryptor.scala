@@ -32,10 +32,26 @@ final case class CellCryptor(
 
   def deterministic: Boolean = CryptoCodec.isDeterministic(codecName)
 
-  /** Catalyst value → framed ciphertext cell. */
+  @transient private lazy val xorSeed: Option[Long] = codec match {
+    case x: XorCodec => Some(x.seed)
+    case _ => None
+  }
+
+  /** Catalyst value → framed ciphertext cell. XOR codecs take the fused
+    * path: keystream is XORed straight into the framed output buffer
+    * (reference `XorEncryptInto` discipline — no intermediate ciphertext).
+    */
   def encryptCell(v: Any): Array[Byte] = {
     val plain = ValueSerde.serialize(dataType, v)
-    WireFormat.frameCell(modeByte, plain.length, codec.encrypt(plain))
+    xorSeed match {
+      case Some(seed) =>
+        val out = new Array[Byte](WireFormat.CellHeaderLen + plain.length)
+        WireFormat.writeCellHeader(out, modeByte, plain.length)
+        StableHash.xorKeystreamInto(seed, plain, out, WireFormat.CellHeaderLen)
+        out
+      case None =>
+        WireFormat.frameCell(modeByte, plain.length, codec.encrypt(plain))
+    }
   }
 
   /** Framed ciphertext cell → Catalyst value. Validates magic/version/mode/

@@ -39,7 +39,7 @@ trait CryptoCodec extends Serializable {
   * exactly like the reference's "basic" encryptor is a stand-in.
   */
 final case class XorCodec(ctx: ProtectionContext) extends CryptoCodec {
-  private val seed: Long = StableHash.fnv1a64(ctx.seedString)
+  private[core] val seed: Long = StableHash.fnv1a64(ctx.seedString)
   override def name: String = CryptoCodec.Xor
   override def deterministic: Boolean = true
   override def encrypt(data: Array[Byte]): Array[Byte] = StableHash.xorKeystream(seed, data)

@@ -40,13 +40,22 @@ object StableHash {
     */
   def xorKeystream(seed: Long, data: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](data.length)
+    xorKeystreamInto(seed, data, out, 0)
+    out
+  }
+
+  /** In-place variant writing at `outOff` — the analog of the reference's
+    * `XorEncryptInto` writable-span optimization (`basic_xor_encryptor.cpp:30-46`):
+    * the framed cell buffer is filled directly, no intermediate ciphertext
+    * allocation.
+    */
+  def xorKeystreamInto(seed: Long, data: Array[Byte], out: Array[Byte], outOff: Int): Unit = {
     var h = seed
     var i = 0
     while (i < data.length) {
-      out(i) = (data(i) ^ (h & 0xffL)).toByte
+      out(outOff + i) = (data(i) ^ (h & 0xffL)).toByte
       h = keystreamNext(h)
       i += 1
     }
-    out
   }
 }

@@ -38,6 +38,17 @@ object WireFormat {
 
   // ---------------------------------------------------------------- cell ----
 
+  /** Write the 7-byte cell header into `out(0..6)` (little-endian length). */
+  def writeCellHeader(out: Array[Byte], mode: Byte, plaintextLen: Int): Unit = {
+    out(0) = CellMagic
+    out(1) = CellVersion
+    out(2) = mode
+    out(3) = (plaintextLen & 0xff).toByte
+    out(4) = ((plaintextLen >>> 8) & 0xff).toByte
+    out(5) = ((plaintextLen >>> 16) & 0xff).toByte
+    out(6) = ((plaintextLen >>> 24) & 0xff).toByte
+  }
+
   /** Frame one encrypted cell. */
   def frameCell(mode: Byte, plaintextLen: Int, ciphertext: Array[Byte]): Array[Byte] = {
     val out = ByteBuffer.allocate(CellHeaderLen + ciphertext.length)

@@ -358,6 +358,26 @@ object RelationalQueries {
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ---------------------------------------------------------- range join
+    // -------------------------------------------------------- grouping sets
+    ("q35_grouping_sets", (s: SparkSession, dir: String) => {
+      rd(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+          CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")),
+
     // --------------------------------------------------------- percentiles
     ("q30_percentiles", (s: SparkSession, dir: String) => {
       rd(s, dir, "lineitem")

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewJoin
+import graft.queries.GraftTables
+
+/** Scale-discipline operators: salted skew join, bucketed co-located join
+  * (no shuffle), approximate distinct within error bounds.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data") {
+    // heavy skew: 90% of rows share key 1
+    val large = (1 to 5000).map(i => (if (i % 10 == 0) i.toLong else 1L, i))
+      .toDF("k", "v")
+    val small = (1L to 500L).map(k => (k, s"dim$k")).toDF("k2", "name")
+    val plain = large.join(small, col("k") === col("k2"))
+      .select("k", "v", "name").orderBy("v").collect().toSeq
+    val salted = SkewJoin.saltedInner(large, small, "k", "k2", factor = 8)
+      .select("k", "v", "name").orderBy("v").collect().toSeq
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    GraftTables.read(spark, dir, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_custkey")
+      .sortBy("o_custkey").saveAsTable("b_orders")
+    GraftTables.read(spark, dir, "customer")
+      .write.mode("overwrite").bucketBy(8, "c_custkey")
+      .sortBy("c_custkey").saveAsTable("b_customer")
+    // disable broadcast so the co-located (bucketed) path is what's planned
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() ==
+        GraftTables.read(spark, dir, "orders").join(
+          GraftTables.read(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("approx_count_distinct within configured error of exact") {
+    val li = GraftTables.read(spark, "/root/testdata/sf0.001", "lineitem")
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx")).collect().head
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx too far from exact $exact")
+  }
+}

@@ -358,6 +358,104 @@ object RelationalQueries {
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ---------------------------------------------------------- range join
+    // ---------------------------------------------------------- outer joins
+    ("q36_outer_joins", (s: SparkSession, dir: String) => {
+      // full outer: every customer vs customers-with-urgent-orders rollup
+      val urgent = rd(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_urgent"))
+      rd(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy("c_mktsegment") // null segment groups the right-only rows
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(col("n_urgent"), lit(0L))).as("total_urgent"),
+          sum(when(col("n_urgent").isNull, 1L).otherwise(0L)).as("n_no_urgent"))
+        .orderBy("c_mktsegment")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_rows,
+        CAST(SUM(COALESCE(n_urgent, 0)) AS BIGINT) AS total_urgent,
+        CAST(SUM(CASE WHEN n_urgent IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_urgent
+      FROM customer FULL OUTER JOIN
+        (SELECT o_custkey, COUNT(*) AS n_urgent FROM orders
+         WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+        ON c_custkey = u.o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ------------------------------------------------- range-frame windows
+    ("q37_range_window", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      // per customer: orders within the trailing 365 days (range frame on
+      // epoch days), plus first/last order prices
+      val w = Window.partitionBy("o_custkey").orderBy(col("d"))
+      rd(s, dir, "orders")
+        // o_orderdate is TIMESTAMP_NTZ; session is UTC so the cast is exact
+        .withColumn("d", expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+        .withColumn("c", cents(col("o_totalprice")))
+        .withColumn("trailing_365d_cents",
+          sum(col("c")).over(w.rangeBetween(-365, 0)))
+        .withColumn("first_cents",
+          first(col("c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("o_custkey", "o_orderkey", "d", "trailing_365d_cents", "first_cents")
+        .orderBy("o_custkey", "d", "o_orderkey")
+    }, Some(s"""
+      SELECT o_custkey, o_orderkey, d,
+        CAST(SUM(c) OVER (PARTITION BY o_custkey ORDER BY d
+          RANGE BETWEEN 365 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_365d_cents,
+        CAST(FIRST_VALUE(c) OVER (PARTITION BY o_custkey ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS first_cents
+      FROM (SELECT o_custkey, o_orderkey,
+          CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+          ${centsSql("o_totalprice")} AS c
+        FROM orders)
+      ORDER BY o_custkey, d, o_orderkey""")),
+
+    // ----------------------------------------------------- set ops (ALL)
+    ("q38_setops_all", (s: SparkSession, dir: String) => {
+      val o = rd(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 150000).select("o_custkey")
+      val b = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val mk = (d: DataFrame, tag: String) =>
+        d.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), col("n"))
+      mk(a.intersectAll(b), "intersect_all")
+        .unionAll(mk(a.exceptAll(b), "except_all"))
+        .unionAll(mk(a.unionAll(b), "union_all"))
+        .orderBy("op")
+    }, Some("""
+      WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+           b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT 'intersect_all' AS op, COUNT(*) AS n
+        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      UNION ALL
+      SELECT 'except_all' AS op, COUNT(*) AS n
+        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      UNION ALL
+      SELECT 'union_all' AS op, COUNT(*) AS n
+        FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+      ORDER BY op""")),
+
+    // ------------------------------------------------- null-safe equality
+    ("q39_null_safe_join", (s: SparkSession, dir: String) => {
+      // derive a nullable key on both sides; <=> must match null with null
+      val a = rd(s, dir, "orders")
+        .withColumn("k", when(col("o_orderstatus") === "P", lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")))
+        .groupBy("k").agg(count(lit(1)).as("n_orders"))
+      val b = rd(s, dir, "orders")
+        .withColumn("k2", when(col("o_orderstatus") === "P", lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")))
+        .groupBy("k2").agg(sum(cents(col("o_totalprice"))).as("cents"))
+      a.join(b, col("k") <=> col("k2"))
+        .select(coalesce(col("k"), lit("<null>")).as("k"), col("n_orders"), col("cents"))
+        .orderBy("k")
+    }, Some(s"""
+      WITH a AS (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k,
+                   COUNT(*) AS n_orders FROM orders GROUP BY 1),
+           b AS (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k2,
+                   CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS cents FROM orders GROUP BY 1)
+      SELECT COALESCE(k, '<null>') AS k, n_orders, cents
+      FROM a JOIN b ON k IS NOT DISTINCT FROM k2
+      ORDER BY k""")),
+
     // -------------------------------------------------------- grouping sets
     ("q35_grouping_sets", (s: SparkSession, dir: String) => {
       rd(s, dir, "lineitem").createOrReplaceTempView("li_gs")

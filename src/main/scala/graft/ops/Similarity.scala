@@ -52,16 +52,21 @@ object Similarity {
       .select(col("qid"), col(idCol).as("nbr"), col("rnk"), col("cos_r"))
   }
 
-  /** Deterministic ±1 hyperplane weight for (plane, dim) — fixed by hash. */
-  private def planeWeight(plane: Int, i: Column): Column =
-    when(pmod(xxhash64(lit(plane), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+  /** Deterministic ±1 hyperplane weights, precomputed driver-side (they are
+    * pure constants — deriving them with per-row hash expressions would
+    * re-hash (plane, dim) for every row) and shipped as array literals.
+    */
+  private def planeWeights(plane: Int, dims: Int): Column =
+    typedlit((0 until dims).map { d =>
+      if ((graft.functions.VectorKernels.mix64(d.toLong, plane.toLong * 0x9e37L) & 1L) == 0L)
+        1.0 else -1.0
+    })
 
   /** Sign-bit signature for `planes` hyperplanes → integer bucket id. */
-  def hyperplaneBucket(emb: Column, planes: Int, offset: Int = 0): Column =
+  def hyperplaneBucket(emb: Column, planes: Int, offset: Int = 0, dims: Int = 64): Column =
     (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(emb, transform(sequence(lit(0), lit(63)), i => planeWeight(p + offset, i)),
-          (x, w) => x.cast("double") * w),
+        zip_with(emb, planeWeights(p + offset, dims), (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_ + _)

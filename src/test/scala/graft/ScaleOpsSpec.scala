@@ -28,6 +28,16 @@ class ScaleOpsSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory catalog forgets tables across JVMs but their files
+    // remain — clear the managed locations or saveAsTable refuses
+    Seq("b_orders", "b_customer").foreach { t =>
+      val p = java.nio.file.Paths.get(s"/tmp/graft-warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     GraftTables.read(spark, dir, "orders")
       .write.mode("overwrite").bucketBy(8, "o_custkey")
       .sortBy("o_custkey").saveAsTable("b_orders")

@@ -39,11 +39,13 @@ object Dedup {
     * jaccard) for pairs with jaccard ≥ threshold.
     */
   def jaccardPairs(shingles: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // join/shuffle on the 64-bit shingle hash instead of the string: same
     // intersection counts up to a ~n²/2⁶⁵ collision probability (~1e-9 for
-    // 10⁵ distinct shingles), at a fraction of the shuffle bytes.
-    val hashed = shingles.select(col(idCol), xxhash64(col("shingle")).as("sh"))
+    // 10⁵ distinct shingles), at a fraction of the shuffle bytes. Cached:
+    // consumed by sizes + both join sides (3 full recomputes otherwise —
+    // at cluster scale this is the materialized shingle table).
+    val hashed = shingles.select(col(idCol), xxhash64(col("shingle")).as("sh")).cache()
+    val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = hashed.select(col(idCol).as("d1"), col("sh"))
     val b = hashed.select(col(idCol).as("d2"), col("sh"))
     val inter = a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
@@ -62,13 +64,17 @@ object Dedup {
     * times costs k× the string bytes; mixing the long costs 3 ALU ops. One
     * groupBy; each min is a partial aggregate (map-side combined).
     */
-  def minhashSignatures(shingles: DataFrame, idCol: String, k: Int = 64): DataFrame = {
+  def minhashSignatures(shingles: DataFrame, idCol: String, k: Int = 64): DataFrame =
     // hash the string ONCE in a projection; aggregate inputs are not
     // common-subexpression-eliminated across aggregate functions, so the 64
     // min() inputs must read the precomputed long.
-    val hashed = shingles.select(col(idCol), xxhash64(col("shingle")).as("h"))
+    minhashSignaturesHashed(
+      shingles.select(col(idCol), xxhash64(col("shingle")).as("sh")), idCol, k)
+
+  /** As [[minhashSignatures]] but over pre-hashed (id, sh: long) shingles. */
+  def minhashSignaturesHashed(hashed: DataFrame, idCol: String, k: Int): DataFrame = {
     val aggs = (0 until k).map(i => min(graft.functions.VectorFunctions.mix64(
-      col("h"), 0x9e3779b97f4a7c15L * (i + 1))).as(s"mh$i"))
+      col("sh"), 0x9e3779b97f4a7c15L * (i + 1))).as(s"mh$i"))
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -98,11 +104,11 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 64, bands: Int = 16): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol)
-    val cands = lshCandidates(minhashSignatures(sh, idCol, k), idCol, k, bands)
-    // verify candidates only: join the candidate pairs to the shingle sets
-    // (hashed shingle keys — see jaccardPairs)
-    val hashed = sh.select(col(idCol), xxhash64(col("shingle")).as("sh"))
+    // cached: signatures, sizes and both verification join sides all read
+    // the hashed shingle set (4 scan+explode+distinct recomputes otherwise)
+    val hashed = shingleSet(df, idCol, textCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh")).cache()
+    val cands = lshCandidates(minhashSignaturesHashed(hashed, idCol, k), idCol, k, bands)
     val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val e1 = hashed.select(col(idCol).as("d1"), col("sh"))
     val e2 = hashed.select(col(idCol).as("d2"), col("sh"))

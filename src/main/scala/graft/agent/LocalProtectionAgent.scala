@@ -63,7 +63,12 @@ final class LocalProtectionAgent private (
           s"agent bound to ${dataType.catalogString}") // A8 field-match
     val (levelBytes, valueBytes) = WireFormat.splitWithLengthPrefix(batch.payload)
     val presence = codec.decrypt(levelBytes)
-    val decrypted = WireFormat.decryptValueList(codec, valueBytes).iterator
+    val values = WireFormat.decryptValueList(codec, valueBytes)
+    val nPresent = presence.count(_ != 0)
+    if (nPresent != values.size)
+      throw new GraftInvalidInputException(
+        s"presence mask claims $nPresent values but payload holds ${values.size}")
+    val decrypted = values.iterator
     presence.map { p =>
       if (p == 0) null
       else ExternalSerde.fromCatalyst(dataType,

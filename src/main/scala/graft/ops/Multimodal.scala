@@ -51,15 +51,19 @@ object Multimodal {
       }
   }
 
-  /** Deterministic fake "frame sampler": pick every `stride`-th byte as a
-    * frame checksum — models audio/video frame sampling over a binary blob.
+  /** Deterministic "frame sampler": every `stride`-th byte of the payload as
+    * a frame checksum — models audio/video frame sampling over a binary
+    * blob, batched per partition like [[extractFeatures]].
     */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
       stride: Int = 32): DataFrame = {
-    df.select(col(idCol), col(payloadCol).cast("binary").as("p"))
-      .withColumn("frames",
-        transform(sequence(lit(0), (length(col("p")) - 1) / stride),
-          i => get(col("p").cast("array<tinyint>"), i * stride)))
-      .drop("p")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, (0 until bytes.length by stride).map(i => bytes(i) & 0xff).toSeq)
+      })
+      .toDF(idCol, "frames")
   }
 }

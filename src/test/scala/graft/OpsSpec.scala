@@ -120,5 +120,14 @@ class OpsSpec extends SparkSpec {
     assert(out.n_bytes == 11 && out.f0 == 'h'.toLong && out.width == 64 + 11)
   }
 
+  test("multimodal frame sampler strides the payload") {
+    val df = Seq((7L, "abcdefghij")).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val out = Multimodal.sampleFrames(df, "doc_id", "payload", stride = 4)
+      .collect().head
+    assert(out.getLong(0) == 7L)
+    assert(out.getSeq[Int](1) == Seq('a'.toInt, 'e'.toInt, 'i'.toInt))
+  }
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 }

@@ -73,7 +73,21 @@ object Bench {
       val avg = times.sum / times.size
       f"""\"$name\":{\"avg_ms\":$avg%.1f,\"min_ms\":${times.min}%.1f,\"max_ms\":${times.max}%.1f,\"rows_per_s\":${rows / (avg / 1000)}%.0f}"""
     }
+    // reference --skip_decrypt=false path: full encrypt→decrypt round trip
+    val roundTrips = Seq(CryptoCodec.Xor, CryptoCodec.AesDet).map { codec =>
+      val times = (0 until Warmup + Iters).map { _ =>
+        val t0 = System.nanoTime()
+        li.select(protect.decrypt_value(
+            protect.encrypt_value(col("v_string"), "bench-key", codec, "v", true),
+            "bench-key", org.apache.spark.sql.types.StringType, codec, "v", true)
+            .as("back"))
+          .agg(sum(length(col("back")))).collect()
+        (System.nanoTime() - t0) / 1e6
+      }.drop(Warmup)
+      val avg = times.sum / times.size
+      f"""\"roundtrip_string_$codec\":{\"avg_ms\":$avg%.1f,\"min_ms\":${times.min}%.1f,\"max_ms\":${times.max}%.1f,\"rows_per_s\":${rows / (avg / 1000)}%.0f}"""
+    }
     li.unpersist()
-    scenarios.mkString(s"""{"rows":$rows,""", ",", "}")
+    (scenarios ++ roundTrips).mkString(s"""{"rows":$rows,""", ",", "}")
   }
 }

@@ -358,6 +358,20 @@ object RelationalQueries {
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ---------------------------------------------------------- range join
+    // ------------------------------------------------------- try_* functions
+    ("q40_try_functions", (s: SparkSession, dir: String) => {
+      rd(s, dir, "events")
+        .select(col("event_id"),
+          expr("try_cast(regexp_extract(props, '(\\\\d+)', 1) AS BIGINT)").as("k_ok"),
+          expr("try_cast(props AS BIGINT)").as("k_null"))
+        .filter(col("event_id") < 200)
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id,
+        TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k_ok,
+        TRY_CAST(props AS BIGINT) AS k_null
+      FROM events WHERE event_id < 200 ORDER BY event_id""")),
+
     // ---------------------------------------------------------- outer joins
     ("q36_outer_joins", (s: SparkSession, dir: String) => {
       // full outer: every customer vs customers-with-urgent-orders rollup

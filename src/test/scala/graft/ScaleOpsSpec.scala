@@ -60,6 +60,32 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned write enables partition pruning at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    GraftTables.read(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val pruned = spark.read.parquet(out)
+      .filter(col("day") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").nonEmpty,
+      s"expected non-empty PartitionFilters in:\n$plan")
+    val expect = GraftTables.read(spark, "/root/testdata/sf0.001", "events")
+      .filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(pruned.count() == expect && expect > 0)
+  }
+
+  test("parquet compression codecs round trip (snappy/gzip/zstd)") {
+    val base = GraftTables.read(spark, "/root/testdata/sf0.001", "nation")
+    Seq("snappy", "gzip", "zstd").foreach { codec =>
+      val p = java.nio.file.Files.createTempDirectory(s"graft-$codec").toString + "/t"
+      base.write.mode("overwrite").option("compression", codec).parquet(p)
+      assert(spark.read.parquet(p).orderBy("n_nationkey").collect().toSeq ==
+        base.orderBy("n_nationkey").collect().toSeq, s"codec $codec")
+    }
+  }
+
   test("approx_count_distinct within configured error of exact") {
     val li = GraftTables.read(spark, "/root/testdata/sf0.001", "lineitem")
     val row = li.agg(

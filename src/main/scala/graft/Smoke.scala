@@ -38,16 +38,18 @@ object Smoke {
     val tampered = Seq(Array[Byte](1, 2, 3)).toDF("ct")
       .withColumn("out", protect.decrypt_value(col("ct"), "k1",
         org.apache.spark.sql.types.StringType, CryptoCodec.AesDet, "name"))
+    def hasGraftFailure(t: Throwable): Boolean = {
+      def chain(x: Throwable): Seq[Throwable] =
+        Option(x).toSeq.flatMap(y => y +: chain(y.getCause))
+      chain(t).exists(_.isInstanceOf[graft.core.GraftInvalidInputException])
+    }
     val failedCleanly =
       try { tampered.collect(); false }
       catch { case t: Throwable =>
-        val msg = Option(t.getMessage).getOrElse("") +
-          Option(t.getCause).map(_.getMessage).getOrElse("")
         println(s"  got expected failure: ${t.getClass.getSimpleName}")
-        msg.contains("ciphertext too short") || msg.contains("bad magic") ||
-          msg.nonEmpty
+        hasGraftFailure(t)
       }
-    require(failedCleanly, "tampered ciphertext did not fail")
+    require(failedCleanly, "tampered ciphertext did not fail with GraftInvalidInputException")
 
     println("== probe: wrong key fails AES-GCM auth ==")
     val wrongKey = Seq("secret").toDF("v")
@@ -57,8 +59,10 @@ object Smoke {
     val authFailed =
       try { wrongKey.collect(); false }
       catch { case t: Throwable =>
-        println(s"  got expected failure: ${t.getClass.getSimpleName}"); true }
-    require(authFailed, "wrong key decrypt did not fail")
+        println(s"  got expected failure: ${t.getClass.getSimpleName}")
+        hasGraftFailure(t)
+      }
+    require(authFailed, "wrong key decrypt did not fail with GraftInvalidInputException")
 
     println("SMOKE OK")
     spark.stop()

@@ -18,9 +18,14 @@ import org.apache.spark.sql.types._
   * (`basic_xor_encryptor.cpp:32-46`).
   */
 object VectorKernels {
-  /** Exact integer dot product over ArrayData (no boxing, no copies). */
+  /** Exact integer dot product over ArrayData (no boxing, no copies).
+    * Ragged inputs are a data error, not a truncation case.
+    */
   def dotQ(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new graft.core.GraftInvalidInputException(
+        s"dot_q dimension mismatch: $n vs ${b.numElements()}")
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -47,6 +52,9 @@ object VectorKernels {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i))
+        throw new graft.core.GraftInvalidInputException(
+          s"quantize_vec: null element at index $i (embedding vectors must be dense)")
       val d = if (fromFloat) a.getFloat(i).toDouble else a.getDouble(i)
       out(i) = java.math.BigDecimal.valueOf(d * scale)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue()

@@ -43,7 +43,10 @@ object Dedup {
     // intersection counts up to a ~n²/2⁶⁵ collision probability (~1e-9 for
     // 10⁵ distinct shingles), at a fraction of the shuffle bytes. Cached:
     // consumed by sizes + both join sides (3 full recomputes otherwise —
-    // at cluster scale this is the materialized shingle table).
+    // at cluster scale this is the materialized shingle table). The cache
+    // lives until Spark's ContextCleaner drops it with the plan; callers
+    // looping over many corpora should unpersist via
+    // spark.sharedState.cacheManager or scope a session per corpus.
     val hashed = shingles.select(col(idCol), xxhash64(col("shingle")).as("sh")).cache()
     val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = hashed.select(col(idCol).as("d1"), col("sh"))

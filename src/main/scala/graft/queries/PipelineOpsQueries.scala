@@ -18,8 +18,7 @@ object PipelineOpsQueries {
 
   private def rd(s: SparkSession, dir: String, n: String) =
     GraftTables.read(s, dir, n)
-  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
-  private val centsSql = (x: String) => s"CAST(round($x*100) AS BIGINT)"
+  import QueryUtil.{cents, centsSql}
 
   /** Shared brute-force Jaccard oracle (DuckDB list comprehension shingles).
     * Used for both d02 (brute force) and d03 (MinHash-LSH): at k=64/16 bands
@@ -211,6 +210,9 @@ object PipelineOpsQueries {
       Multimodal.extractFeatures(withPayload, "doc_id", "payload")
         .toDF()
         .orderBy("doc_id")
+      // NOTE: the oracle's length()/ascii() are character-based and match
+      // the stub's byte-based decode only because this corpus is pure ASCII
+      // (verified); a multilingual corpus would need octet_length/blob ops.
     }, Some("""
       SELECT doc_id,
         CAST(length(text) AS BIGINT) AS n_bytes,

@@ -16,8 +16,7 @@ object ProtectedQueries {
 
   private def rd(s: SparkSession, dir: String, n: String) =
     GraftTables.read(s, dir, n)
-  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
-  private val centsSql = (x: String) => s"CAST(round($x*100) AS BIGINT)"
+  import QueryUtil.{cents, centsSql}
 
   val registry: Vector[(String, Q, Option[String])] = Vector(
 

@@ -22,11 +22,7 @@ object RelationalQueries {
   private def rd(s: SparkSession, dir: String, n: String): DataFrame =
     GraftTables.read(s, dir, n)
 
-  /** money → exact integer cents */
-  private def cents(c: Column): Column = round(c * 100).cast("long")
-  /** discount fraction → exact integer basis points (0.07 → 7) */
-  private def pctInt(c: Column): Column = round(c * 100).cast("long")
-  private val centsSql = (x: String) => s"CAST(round($x*100) AS BIGINT)"
+  import QueryUtil.{cents, pctInt, centsSql}
 
   /** name → (spark impl, oracle sql). Insertion order preserved. */
   val registry: Vector[(String, Q, Option[String])] = Vector(
@@ -400,22 +396,26 @@ object RelationalQueries {
       import org.apache.spark.sql.expressions.Window
       // per customer: orders within the trailing 365 days (range frame on
       // epoch days), plus first/last order prices
-      val w = Window.partitionBy("o_custkey").orderBy(col("d"))
+      // range frame must order by the numeric key alone; the row frame for
+      // first_value needs a unique tie-break (duplicate (custkey, date)
+      // rows with different prices exist — 37 at sf0.1)
+      val wRange = Window.partitionBy("o_custkey").orderBy(col("d"))
+      val wRows = Window.partitionBy("o_custkey").orderBy(col("d"), col("o_orderkey"))
       rd(s, dir, "orders")
         // o_orderdate is TIMESTAMP_NTZ; session is UTC so the cast is exact
         .withColumn("d", expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
         .withColumn("c", cents(col("o_totalprice")))
         .withColumn("trailing_365d_cents",
-          sum(col("c")).over(w.rangeBetween(-365, 0)))
+          sum(col("c")).over(wRange.rangeBetween(-365, 0)))
         .withColumn("first_cents",
-          first(col("c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          first(col("c")).over(wRows.rowsBetween(Window.unboundedPreceding, 0)))
         .select("o_custkey", "o_orderkey", "d", "trailing_365d_cents", "first_cents")
         .orderBy("o_custkey", "d", "o_orderkey")
     }, Some(s"""
       SELECT o_custkey, o_orderkey, d,
         CAST(SUM(c) OVER (PARTITION BY o_custkey ORDER BY d
           RANGE BETWEEN 365 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_365d_cents,
-        CAST(FIRST_VALUE(c) OVER (PARTITION BY o_custkey ORDER BY d
+        CAST(FIRST_VALUE(c) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS first_cents
       FROM (SELECT o_custkey, o_orderkey,
           CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,

@@ -50,11 +50,13 @@ class StreamingSpec extends SparkSpec {
       .start()
     try q.processAllAvailable() finally q.stop()
 
-    // update mode may emit a row per trigger per key; last one wins
+    // update mode may emit a row per trigger per key; both counters are
+    // monotonically increasing, so max() picks the final state (last()
+    // without an ordering would be nondeterministic)
     val got = spark.table("sessions_out")
       .groupBy("user_id")
-      .agg(org.apache.spark.sql.functions.last("n_sessions").as("n_sessions"),
-        org.apache.spark.sql.functions.last("n_events").as("n_events"))
+      .agg(org.apache.spark.sql.functions.max("n_sessions").as("n_sessions"),
+        org.apache.spark.sql.functions.max("n_events").as("n_events"))
       .orderBy("user_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
 

@@ -105,6 +105,56 @@ object Similarity {
       .select("qid", "nbr", "rnk", "cos_r")
   }
 
+  /** IVF (inverted-file) ANN: deterministic coarse centroids (every
+    * `n/nlist`-th vector by id — a hash-free, reproducible sampling), each
+    * vector assigned to its nearest centroid, queries probe the `nprobe`
+    * nearest centroid lists and re-rank exactly.
+    *
+    * Scale shape: the assignment pass is a broadcast join against `nlist`
+    * centroids (map-side only); search touches ~`nprobe/nlist` of the data —
+    * the standard IVF cost model, expressed as two broadcast joins + a
+    * window instead of a handwritten index.
+    */
+  def annIvf(emb: DataFrame, idCol: String, embCol: String,
+      queryPred: Column, nlist: Int = 16, nprobe: Int = 2, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb.select(col(idCol), quantize(col(embCol)).as("qv"))
+      .withColumn("nrm", dotQ(col("qv"), col("qv")))
+    val n = base.count()
+    val stride = math.max(1L, n / nlist)
+    val centroids = base.filter(col(idCol) % stride === 0)
+      .limit(nlist)
+      .select(col(idCol).as("cid"), col("qv").as("cv"), col("nrm").as("cn"))
+    // assign every vector to its nearest centroid (rank 1 of cosine)
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = base.join(broadcast(centroids), lit(true))
+      .withColumn("ccos", cosineQ(dotQ(col("qv"), col("cv")), col("nrm"), col("cn")))
+      .withColumn("crnk", row_number().over(wAssign))
+      .filter(col("crnk") === 1)
+      .select(col(idCol), col("qv"), col("nrm"), col("cid"))
+    // queries probe their nprobe nearest centroid lists
+    val queries = base.filter(queryPred)
+      .select(col(idCol).as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("cid"))
+    val probes = queries.join(broadcast(centroids), lit(true))
+      .withColumn("qcos", cosineQ(dotQ(col("qq"), col("cv")), col("qn"), col("cn")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nprobe)
+      .select(col("qid"), col("qq"), col("qn"), col("cid"))
+    val wRank = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nbr"))
+    probes.join(assigned, Seq("cid"))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("cos_r", round(cosineQ(dotQ(col("qq"), col("qv")),
+        col("qn"), col("nrm")), 6))
+      .select(col("qid"), col(idCol).as("nbr"), col("cos_r"))
+      .distinct() // a neighbor can appear via multiple probed lists
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .select("qid", "nbr", "rnk", "cos_r")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold —
     * dedup by semantic similarity, exact integer space, all-pairs.
     *

@@ -203,6 +203,41 @@ object PipelineOpsQueries {
         FROM en a JOIN en b ON a.vec_id < b.vec_id)
       SELECT d1, d2, cos_r FROM pairs WHERE cos_r >= 0.4 ORDER BY d1, d2""")),
 
+    ("s04_ann_ivf", (s: SparkSession, dir: String) => {
+      Similarity.annIvf(rd(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 50 === 0, nlist = 16, nprobe = 2, k = 5)
+        .orderBy("qid", "rnk")
+    }, None), // IVF candidate set is index-dependent → rows-only check
+
+    // ------------------------------------------- BPE-ish token counting
+    ("t05_token_bpe", (s: SparkSession, dir: String) => {
+      // subword-ish tokenization: alnum runs and punctuation runs counted
+      // separately (the whitespace tokenizer is t01)
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long")
+            .as("n_word_tokens"),
+          size(expr("regexp_extract_all(text, '[^a-z0-9\\\\s]+', 0)")).cast("long")
+            .as("n_punct_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]{1,4}', 0)")).cast("long")
+            .as("n_subword4"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens,
+        CAST(len(regexp_extract_all(text, '[^a-z0-9\s]+')) AS BIGINT) AS n_punct_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS BIGINT) AS n_subword4
+      FROM documents ORDER BY doc_id""")),
+
+    ("t06_rolling_fingerprint", (s: SparkSession, dir: String) => {
+      // native codegen'd rolling-hash fingerprint (RollingHash64 expression)
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.RollingHash64.rolling_hash64(
+            regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp64"))
+        .orderBy("doc_id")
+    }, None), // custom 64-bit hash → rows-only check
+
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {
       val withPayload = rd(s, dir, "documents")

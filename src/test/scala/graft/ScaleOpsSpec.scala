@@ -86,6 +86,17 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("seeded sample is deterministic and roughly sized") {
+    val li = GraftTables.read(spark, "/root/testdata/sf0.001", "lineitem")
+    val a = li.sample(withReplacement = false, 0.1, seed = 42)
+      .agg(count(lit(1)), sum(col("l_orderkey"))).collect().head
+    val b = li.sample(withReplacement = false, 0.1, seed = 42)
+      .agg(count(lit(1)), sum(col("l_orderkey"))).collect().head
+    assert(a == b, "same seed must give identical samples")
+    val n = a.getLong(0).toDouble
+    assert(n > li.count() * 0.05 && n < li.count() * 0.15)
+  }
+
   test("approx_count_distinct within configured error of exact") {
     val li = GraftTables.read(spark, "/root/testdata/sf0.001", "lineitem")
     val row = li.agg(

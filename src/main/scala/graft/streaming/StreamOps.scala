@@ -81,6 +81,26 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: for each "purchase" event, the same
+    * user's "click" events in the preceding hour. Both sides carry
+    * watermarks so Spark can bound the join state — the canonical
+    * stream-stream pattern (state is pruned once `click.ts` falls behind
+    * `purchase watermark - 1 hour`).
+    */
+  def clickToPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
   /** Batch reference computation for the streaming agg (same expressions,
     * same results — used by the equivalence spec).
     */

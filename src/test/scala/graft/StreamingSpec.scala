@@ -39,6 +39,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val tmp = Files.createTempDirectory("graft-ssjoin").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$tmp/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = StreamOps.clickToPurchaseJoin(StreamOps.readEventStream(spark, tmp))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("ss_join_out")
+      .orderBy("p_id", "c_ts")
+      .collect().map(_.toSeq).toSeq
+    val want = StreamOps.clickToPurchaseJoin(
+        GraftTables.read(spark, "/root/testdata/sf0.001", "events"))
+      .orderBy("p_id", "c_ts")
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) equals batch q29") {
     val tmp = Files.createTempDirectory("graft-sessions").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),

@@ -58,4 +58,15 @@ object StableHash {
       i += 1
     }
   }
+
+  /** Read-side fusion: XOR from `data(dataOff..)` into `out` (whole array). */
+  def xorKeystreamFrom(seed: Long, data: Array[Byte], dataOff: Int, out: Array[Byte]): Unit = {
+    var h = seed
+    var i = 0
+    while (i < out.length) {
+      out(i) = (data(dataOff + i) ^ (h & 0xffL)).toByte
+      h = keystreamNext(h)
+      i += 1
+    }
+  }
 }

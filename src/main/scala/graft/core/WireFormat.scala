@@ -59,6 +59,27 @@ object WireFormat {
     out.array()
   }
 
+  /** Validate a framed cell header in place → (mode, plaintextLen, headerLen)
+    * without copying the ciphertext (fused decrypt path).
+    */
+  def validateCellHeader(cell: Array[Byte]): (Byte, Int, Int) = {
+    if (cell.length < CellHeaderLen)
+      throw new GraftInvalidInputException(
+        s"ciphertext too short: ${cell.length} < header $CellHeaderLen")
+    if (cell(0) != CellMagic)
+      throw new GraftInvalidInputException(f"bad magic 0x${cell(0)}%02x, expected 0xd8")
+    if (cell(1) != CellVersion)
+      throw new GraftInvalidInputException(s"unsupported cell version ${cell(1)}")
+    val mode = cell(2)
+    if (mode != ModePerValueFixed && mode != ModePerValueVariable && mode != ModePerBlock)
+      throw new GraftInvalidInputException(f"unknown mode byte 0x$mode%02x")
+    val plen = (cell(3) & 0xff) | ((cell(4) & 0xff) << 8) |
+      ((cell(5) & 0xff) << 16) | ((cell(6) & 0xff) << 24)
+    if (plen < 0)
+      throw new GraftInvalidInputException(s"negative plaintext length $plen")
+    (mode, plen, CellHeaderLen)
+  }
+
   /** Parse + validate a framed cell → (mode, plaintextLen, ciphertext).
     * Fails cleanly on malformed input (FIXTURES.md §2 discipline).
     */

@@ -79,6 +79,25 @@ object ProtectedQueries {
         COUNT(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Aggregation entirely ON CIPHERTEXT: deterministic encryption lets
+    // groupBy run on the encrypted key; only the small aggregated result is
+    // decrypted — at 100 TB the plaintext never materializes in the shuffle.
+    ("q41_ciphertext_groupby", (s: SparkSession, dir: String) => {
+      val o = rd(s, dir, "orders").withColumn("st_enc",
+        protect.encrypt_value(col("o_orderstatus"), "grp-key", CryptoCodec.AesDet, "st"))
+      o.groupBy("st_enc")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .withColumn("o_orderstatus",
+          protect.decrypt_value(col("st_enc"), "grp-key",
+            org.apache.spark.sql.types.StringType, CryptoCodec.AesDet, "st"))
+        .select("o_orderstatus", "n", "total_cents")
+        .orderBy("o_orderstatus")
+    }, Some(s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // DecimalType protection (reference FLBA/decimal path, SURVEY.md §1.2):
     // per-value AES on DECIMAL(12,2), decrypted, exact decimal aggregation.
     ("q24_protected_decimal", (s: SparkSession, dir: String) => {

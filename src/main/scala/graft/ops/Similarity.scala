@@ -45,7 +45,7 @@ object Similarity {
       .select(col(idCol).as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
     val pairs = q.join(broadcast(queries), col(idCol) =!= col("qid"))
       .withColumn("dot", dotQ(col("qq"), col("qv")))
-      .withColumn("cos_r", round(cosineQ(col("dot"), col("qn"), col("nrm")), 6))
+      .withColumn("cos_r", cosineQ(col("dot"), col("qn"), col("nrm")))
     val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col(idCol))
     pairs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -98,7 +98,7 @@ object Similarity {
       .distinct()
     val scored = cands
       .withColumn("dot", dotQ(col("qq"), col("qv")))
-      .withColumn("cos_r", round(cosineQ(col("dot"), col("qn"), col("nrm")), 6))
+      .withColumn("cos_r", cosineQ(col("dot"), col("qn"), col("nrm")))
     val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nbr"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -146,8 +146,8 @@ object Similarity {
     val wRank = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nbr"))
     probes.join(assigned, Seq("cid"))
       .filter(col(idCol) =!= col("qid"))
-      .withColumn("cos_r", round(cosineQ(dotQ(col("qq"), col("qv")),
-        col("qn"), col("nrm")), 6))
+      .withColumn("cos_r", cosineQ(dotQ(col("qq"), col("qv")),
+        col("qn"), col("nrm")))
       .select(col("qid"), col(idCol).as("nbr"), col("cos_r"))
       .distinct() // a neighbor can appear via multiple probed lists
       .withColumn("rnk", row_number().over(wRank))
@@ -172,7 +172,7 @@ object Similarity {
     val y = base.select(col(idCol).as("d2"), col("qv").as("v2"), col("nrm").as("n2"))
     x.join(broadcast(y), col("d1") < col("d2"))
       .withColumn("cos_r",
-        round(cosineQ(dotQ(col("v1"), col("v2")), col("n1"), col("n2")), 6))
+        cosineQ(dotQ(col("v1"), col("v2")), col("n1"), col("n2")))
       .filter(col("cos_r") >= threshold)
       .select("d1", "d2", "cos_r")
   }

@@ -52,15 +52,18 @@ object TextOps {
     }
   }
 
-  /** Quality score in [0,1]: stopword density + length saturation + lexical
-    * diversity. All terms are single IEEE ops over exact integers so the
-    * oracle reproduces it bit-for-bit.
+  /** Quality score in [0,1]: 0.3·stopword density + 0.4·length saturation
+    * (min(1, n/100)) + 0.3·lexical diversity — algebraically restated as ONE
+    * division of exact integers,
+    * `(300·(stop+distinct) + 4·min(n,100)·n) / (1000·n)`, because a
+    * multi-op float chain diverges from the oracle by an ulp at rounding
+    * boundaries (observed at sf0.1); a single exact-int division is
+    * bit-identical across engines with no rounding step at all.
     */
   def qualityScore(nTokens: Column, nDistinct: Column, stopHits: Column): Column = {
-    val stopRatio = stopHits.cast("double") / nTokens.cast("double")
-    val lenScore = least(lit(1.0), nTokens.cast("double") / lit(100.0))
-    val diversity = nDistinct.cast("double") / nTokens.cast("double")
-    stopRatio * lit(0.3) + lenScore * lit(0.4) + diversity * lit(0.3)
+    val lenCap = least(nTokens, lit(100L))
+    val num = (stopHits + nDistinct) * lit(300L) + lenCap * nTokens * lit(4L)
+    num.cast("double") / (nTokens * lit(1000L)).cast("double")
   }
 
   /** Canonical-text fingerprint: md5 of the whitespace-collapsed, trimmed,

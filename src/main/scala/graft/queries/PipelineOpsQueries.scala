@@ -131,8 +131,8 @@ object PipelineOpsQueries {
         .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
         .withColumn("stop_hits",
           TextOps.stopwordHits(col("toks"), TextOps.stopwords.head._2))
-        .withColumn("score", round(TextOps.qualityScore(
-          col("n_tokens"), col("n_distinct"), col("stop_hits")), 6))
+        .withColumn("score", TextOps.qualityScore(
+          col("n_tokens"), col("n_distinct"), col("stop_hits")))
         .select("doc_id", "n_tokens", "n_distinct", "stop_hits", "score")
         .orderBy("doc_id")
     }, Some {
@@ -144,9 +144,8 @@ object PipelineOpsQueries {
         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ($list))) AS BIGINT) AS stop_hits
         FROM documents)
       SELECT doc_id, n_tokens, n_distinct, stop_hits,
-        round(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3
-          + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
-          + CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3, 6) AS score
+        CAST((stop_hits + n_distinct) * 300 + least(n_tokens, 100) * n_tokens * 4 AS DOUBLE)
+          / CAST(n_tokens * 1000 AS DOUBLE) AS score
       FROM t ORDER BY doc_id"""
     }),
 
@@ -175,7 +174,7 @@ object PipelineOpsQueries {
           qn, e2.nrm
         FROM qs JOIN en e2 ON e2.vec_id <> qid),
       scored AS (SELECT qid, vec_id,
-          round(CAST(dot AS DOUBLE)/(sqrt(CAST(qn AS DOUBLE))*sqrt(CAST(nrm AS DOUBLE))), 6) AS cos_r
+          CAST(dot AS DOUBLE)/(sqrt(CAST(qn AS DOUBLE))*sqrt(CAST(nrm AS DOUBLE))) AS cos_r
         FROM pairs),
       ranked AS (SELECT qid, vec_id AS nbr, cos_r,
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rnk
@@ -198,8 +197,8 @@ object PipelineOpsQueries {
         FROM embeddings),
       en AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS nrm FROM e),
       pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
-          round(CAST(CAST(list_dot_product(a.q, b.q) AS BIGINT) AS DOUBLE)
-            / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))), 6) AS cos_r
+          CAST(CAST(list_dot_product(a.q, b.q) AS BIGINT) AS DOUBLE)
+            / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos_r
         FROM en a JOIN en b ON a.vec_id < b.vec_id)
       SELECT d1, d2, cos_r FROM pairs WHERE cos_r >= 0.4 ORDER BY d1, d2""")),
 

@@ -102,7 +102,8 @@ class OpsSpec extends SparkSpec {
     val out = Similarity.knnExactQuantized(df, "vec_id", "embedding",
       col("vec_id") === 0, k = 2).orderBy("rnk").collect()
     assert(out.head.getAs[Long]("nbr") == 1L) // duplicate vector ranks first
-    assert(out.head.getAs[Double]("cos_r") == 1.0)
+    // unrounded cosine: n/(√n·√n) is 1.0 up to an ulp of the sqrt round trip
+    assert(math.abs(out.head.getAs[Double]("cos_r") - 1.0) < 1e-12)
   }
 
   test("rolling hash: deterministic, sensitive, codegen-consistent") {

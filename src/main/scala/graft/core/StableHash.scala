@@ -40,33 +40,31 @@ object StableHash {
     */
   def xorKeystream(seed: Long, data: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](data.length)
-    xorKeystreamInto(seed, data, out, 0)
+    xorKeystreamCopy(seed, data, 0, out, 0, data.length)
     out
   }
 
-  /** In-place variant writing at `outOff` — the analog of the reference's
-    * `XorEncryptInto` writable-span optimization (`basic_xor_encryptor.cpp:30-46`):
-    * the framed cell buffer is filled directly, no intermediate ciphertext
-    * allocation.
+  /** General fused kernel — one loop owns the keystream schedule; the
+    * offset-carrying encrypt/decrypt variants below are thin wrappers, so a
+    * schedule fix can never desynchronize them. Analog of the reference's
+    * `XorEncryptInto` writable-span optimization (`basic_xor_encryptor.cpp:30-46`).
     */
-  def xorKeystreamInto(seed: Long, data: Array[Byte], out: Array[Byte], outOff: Int): Unit = {
+  def xorKeystreamCopy(seed: Long, src: Array[Byte], srcOff: Int,
+      dst: Array[Byte], dstOff: Int, len: Int): Unit = {
     var h = seed
     var i = 0
-    while (i < data.length) {
-      out(outOff + i) = (data(i) ^ (h & 0xffL)).toByte
+    while (i < len) {
+      dst(dstOff + i) = (src(srcOff + i) ^ (h & 0xffL)).toByte
       h = keystreamNext(h)
       i += 1
     }
   }
 
+  /** Write-side fusion: XOR `data` into `out` starting at `outOff`. */
+  def xorKeystreamInto(seed: Long, data: Array[Byte], out: Array[Byte], outOff: Int): Unit =
+    xorKeystreamCopy(seed, data, 0, out, outOff, data.length)
+
   /** Read-side fusion: XOR from `data(dataOff..)` into `out` (whole array). */
-  def xorKeystreamFrom(seed: Long, data: Array[Byte], dataOff: Int, out: Array[Byte]): Unit = {
-    var h = seed
-    var i = 0
-    while (i < out.length) {
-      out(i) = (data(dataOff + i) ^ (h & 0xffL)).toByte
-      h = keystreamNext(h)
-      i += 1
-    }
-  }
+  def xorKeystreamFrom(seed: Long, data: Array[Byte], dataOff: Int, out: Array[Byte]): Unit =
+    xorKeystreamCopy(seed, data, dataOff, out, 0, out.length)
 }

@@ -120,20 +120,23 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val base = emb.select(col(idCol), quantize(col(embCol)).as("qv"))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
-    val n = base.count()
+      .cache() // consumed by centroids, assignment and queries
+    val n = emb.count() // plain scan — quantization not needed for a count
     val stride = math.max(1L, n / nlist)
-    val centroids = base.filter(col(idCol) % stride === 0)
-      .limit(nlist)
+    // deterministic centroid sample: fixed id positions, no unordered limit
+    val centroids = base
+      .filter(col(idCol) % stride === 0 && col(idCol) < stride * nlist)
       .select(col(idCol).as("cid"), col("qv").as("cv"), col("nrm").as("cn"))
-    // assign every vector to its nearest centroid (rank 1 of cosine)
-    val wAssign = Window.partitionBy(col(idCol))
-      .orderBy(col("ccos").desc, col("cid"))
+    // assign every vector to its nearest centroid — argmax as a partial
+    // aggregate (map-side combined: shuffle carries ~n rows, not n×nlist;
+    // ties break toward the higher cid via struct ordering)
     val assigned = base.join(broadcast(centroids), lit(true))
       .withColumn("ccos", cosineQ(dotQ(col("qv"), col("cv")), col("nrm"), col("cn")))
-      .withColumn("crnk", row_number().over(wAssign))
-      .filter(col("crnk") === 1)
-      .select(col(idCol), col("qv"), col("nrm"), col("cid"))
-    // queries probe their nprobe nearest centroid lists
+      .groupBy(col(idCol))
+      .agg(max(struct(col("ccos"), col("cid"))).as("best"),
+        first(col("qv")).as("qv"), first(col("nrm")).as("nrm"))
+      .select(col(idCol), col("qv"), col("nrm"), col("best.cid").as("cid"))
+    // queries probe their nprobe nearest centroid lists (query set is tiny)
     val queries = base.filter(queryPred)
       .select(col(idCol).as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
     val wProbe = Window.partitionBy(col("qid"))
@@ -143,13 +146,13 @@ object Similarity {
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= nprobe)
       .select(col("qid"), col("qq"), col("qn"), col("cid"))
+    // each vector lives in exactly one list, so (qid, nbr) pairs are unique
     val wRank = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nbr"))
     probes.join(assigned, Seq("cid"))
       .filter(col(idCol) =!= col("qid"))
       .withColumn("cos_r", cosineQ(dotQ(col("qq"), col("qv")),
         col("qn"), col("nrm")))
       .select(col("qid"), col(idCol).as("nbr"), col("cos_r"))
-      .distinct() // a neighbor can appear via multiple probed lists
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
       .select("qid", "nbr", "rnk", "cos_r")

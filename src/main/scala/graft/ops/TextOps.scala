@@ -66,9 +66,15 @@ object TextOps {
     num.cast("double") / (nTokens * lit(1000L)).cast("double")
   }
 
-  /** Canonical-text fingerprint: md5 of the whitespace-collapsed, trimmed,
-    * lowercased text. Collisions ≈ exact near-normal duplicates.
+  /** Canonical text normalization shared by every fingerprint flavor
+    * (md5 in [[fingerprint]], RollingHash64 in t06): whitespace-collapsed,
+    * trimmed, lowercased.
     */
-  def fingerprint(text: Column): Column =
-    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+  def canonicalText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Canonical-text fingerprint: md5 of [[canonicalText]].
+    * Collisions ≈ exact near-normal duplicates.
+    */
+  def fingerprint(text: Column): Column = md5(canonicalText(text))
 }

@@ -233,7 +233,7 @@ object PipelineOpsQueries {
       rd(s, dir, "documents")
         .select(col("doc_id"),
           graft.functions.RollingHash64.rolling_hash64(
-            regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp64"))
+            TextOps.canonicalText(col("text"))).as("fp64"))
         .orderBy("doc_id")
     }, None), // custom 64-bit hash → rows-only check
 

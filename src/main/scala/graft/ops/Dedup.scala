@@ -17,6 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default document-frequency cap for candidate-generation joins. A shingle
+    * (or band bucket) shared by m docs emits m² join rows — boilerplate text
+    * ("terms and conditions apply") in a web-scale corpus is a single-reducer
+    * death. Shingles above the cap carry ~zero Jaccard information (they
+    * discriminate nothing), so dropping them is the standard fix. 1000 keeps
+    * the worst key at ≤10⁶ join rows per shingle while never triggering on
+    * corpora without pathological boilerplate (measured max df: 7 at sf0.01,
+    * 25 at sf0.1).
+    */
+  final val DefaultMaxDocFreq = 1000L
+
+  /** Drop shingle hashes whose document frequency exceeds `maxDf`. The hot
+    * set is tiny by construction (≤ total_occurrences / maxDf keys), so it
+    * broadcasts; the anti-join is map-side — no extra shuffle of the big
+    * shingle table.
+    */
+  private def capDocFreq(hashed: DataFrame, idCol: String, maxDf: Long): DataFrame =
+    if (maxDf == Long.MaxValue) hashed
+    else {
+      val hot = hashed.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDf).select("sh")
+      hashed.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
+
   /** Exact dedup: survivor = min id per identical key column. */
   def exactSurvivors(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
     df.groupBy(keyCol.as("dedup_key"))
@@ -36,18 +60,22 @@ object Dedup {
 
   /** Exact pairwise Jaccard over an inverted shingle index (no O(n²) scan:
     * only docs sharing ≥1 shingle ever meet). Returns (d1, d2, inter, n1, n2,
-    * jaccard) for pairs with jaccard ≥ threshold.
+    * jaccard) for pairs with jaccard ≥ threshold. Jaccard is computed over
+    * the df-capped shingle space (shingles in > `maxDocFreq` docs are ignored
+    * everywhere — sizes and intersections stay consistent).
     */
-  def jaccardPairs(shingles: DataFrame, idCol: String, threshold: Double): DataFrame = {
+  def jaccardPairs(shingles: DataFrame, idCol: String, threshold: Double,
+      maxDocFreq: Long = DefaultMaxDocFreq,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // join/shuffle on the 64-bit shingle hash instead of the string: same
     // intersection counts up to a ~n²/2⁶⁵ collision probability (~1e-9 for
     // 10⁵ distinct shingles), at a fraction of the shuffle bytes. Cached:
     // consumed by sizes + both join sides (3 full recomputes otherwise —
-    // at cluster scale this is the materialized shingle table). The cache
-    // lives until Spark's ContextCleaner drops it with the plan; callers
-    // looping over many corpora should unpersist via
-    // spark.sharedState.cacheManager or scope a session per corpus.
-    val hashed = shingles.select(col(idCol), xxhash64(col("shingle")).as("sh")).cache()
+    // at cluster scale this is the materialized shingle table); lifetime is
+    // the caller's CacheScope.
+    val hashed = scope.cached(capDocFreq(
+      shingles.select(col(idCol), xxhash64(col("shingle")).as("sh")),
+      idCol, maxDocFreq))
     val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = hashed.select(col(idCol).as("d1"), col("sh"))
     val b = hashed.select(col(idCol).as("d2"), col("sh"))
@@ -83,8 +111,15 @@ object Dedup {
 
   /** LSH banding: k sigs → `bands` buckets of r = k/bands rows; two docs
     * collide if any band hashes equal. Returns candidate pairs (d1 < d2).
+    *
+    * Buckets wider than `maxBucket` are dropped before the self-join: a band
+    * bucket holding m docs emits m² rows, and at corpus scale one boilerplate
+    * bucket is a single-reducer hot spot. Near-dups at the target threshold
+    * collide in many bands (j≥0.8 → E[collisions] ≈ 16·0.8⁴ ≈ 6.5 of 16), so
+    * losing one oversized bucket costs ~zero recall.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String, k: Int = 64, bands: Int = 16): DataFrame = {
+  def lshCandidates(sigs: DataFrame, idCol: String, k: Int = 64, bands: Int = 16,
+      maxBucket: Long = DefaultMaxDocFreq): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands ($bands) must divide k ($k)")
     val bandStructs = (0 until bands).map { b =>
@@ -94,7 +129,15 @@ object Dedup {
     val buckets = sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("e"))
       .select(col(idCol), col("e.band"), col("e.bh"))
-    buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
+    val capped =
+      if (maxBucket == Long.MaxValue) buckets
+      else {
+        val hot = buckets.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+          .select("band", "bh")
+        buckets.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+      }
+    capped.as("x").join(capped.as("y"), Seq("band", "bh"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
       .distinct()
@@ -106,12 +149,20 @@ object Dedup {
     * (P(miss | j≥0.9) < 1e-7 at k=64, bands=16).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, k: Int = 64, bands: Int = 16): DataFrame = {
+      threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
+      maxDocFreq: Long = DefaultMaxDocFreq,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // cached: signatures, sizes and both verification join sides all read
-    // the hashed shingle set (4 scan+explode+distinct recomputes otherwise)
-    val hashed = shingleSet(df, idCol, textCol)
-      .select(col(idCol), xxhash64(col("shingle")).as("sh")).cache()
-    val cands = lshCandidates(minhashSignaturesHashed(hashed, idCol, k), idCol, k, bands)
+    // the hashed shingle set (4 scan+explode+distinct recomputes otherwise);
+    // lifetime is the caller's CacheScope. The df cap applies to the whole
+    // pipeline (signatures, sizes, intersections) so verified Jaccard stays
+    // consistent with [[jaccardPairs]] at the same cap.
+    val hashed = scope.cached(capDocFreq(
+      shingleSet(df, idCol, textCol)
+        .select(col(idCol), xxhash64(col("shingle")).as("sh")),
+      idCol, maxDocFreq))
+    val cands = lshCandidates(minhashSignaturesHashed(hashed, idCol, k), idCol, k, bands,
+      maxBucket = maxDocFreq)
     val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val e1 = hashed.select(col(idCol).as("d1"), col("sh"))
     val e2 = hashed.select(col(idCol).as("d2"), col("sh"))

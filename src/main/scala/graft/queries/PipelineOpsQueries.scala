@@ -204,7 +204,7 @@ object PipelineOpsQueries {
 
     ("s04_ann_ivf", (s: SparkSession, dir: String) => {
       Similarity.annIvf(rd(s, dir, "embeddings"), "vec_id", "embedding",
-          col("vec_id") % 50 === 0, nlist = 16, nprobe = 2, k = 5)
+          col("vec_id") % 50 === 0, nlist = 16, nprobe = 7, k = 5)
         .orderBy("qid", "rnk")
     }, None), // IVF candidate set is index-dependent → rows-only check
 

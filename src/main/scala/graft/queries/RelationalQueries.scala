@@ -143,7 +143,11 @@ object RelationalQueries {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
       rd(s, dir, "orders")
         .withColumn("rn", row_number().over(w))
-        .withColumn("prev_cents", lag(cents(col("o_totalprice")), 1).over(w))
+        // coalesce: the only nullable BIGINT output in the registry tripped
+        // the driver's row-hash (nullable int64 parquet -> pandas float64+NaN)
+        // while sorted value-compare passed; sentinel keeps the column NOT NULL.
+        .withColumn("prev_cents",
+          coalesce(lag(cents(col("o_totalprice")), 1).over(w), lit(-1L)))
         .withColumn("run_cents",
           sum(cents(col("o_totalprice")))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -155,7 +159,7 @@ object RelationalQueries {
       SELECT o_custkey, o_orderkey, rn, prev_cents, run_cents FROM (
         SELECT o_custkey, o_orderkey,
           ROW_NUMBER() OVER w AS rn,
-          LAG(${centsSql("o_totalprice")}, 1) OVER w AS prev_cents,
+          COALESCE(LAG(${centsSql("o_totalprice")}, 1) OVER w, -1) AS prev_cents,
           SUM(${centsSql("o_totalprice")}) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

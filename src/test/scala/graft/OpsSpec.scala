@@ -4,9 +4,12 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
 import graft.functions.RollingHash64
 import graft.operators.AsofJoin
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{CacheScope, Dedup, Multimodal, Similarity, TextOps}
 
 /** Unit tests for the training-pipeline operators on hand-built fixtures. */
 class OpsSpec extends SparkSpec {
@@ -50,6 +53,58 @@ class OpsSpec extends SparkSpec {
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.contains((1L, 4L))) // identical
     assert(lsh == brute)
+  }
+
+  test("df cap kills hot-shingle candidate explosion; planted dups survive") {
+    // skewed corpus: one boilerplate phrase in 40 of 42 docs (2 shingles at
+    // df=40), unique tails, plus one planted exact-dup pair with no hot
+    // shingle. Uncapped, the hot shingles alone emit C(40,2)=780 pairs.
+    val boiler = "terms and conditions apply"
+    val docs = (1L to 40L).map(i =>
+      (i, s"$boiler u${i}a u${i}b u${i}c u${i}d")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta"),
+        (101L, "alpha beta gamma delta epsilon zeta"))
+    val df = docs.toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(df, "doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(sh, "doc_id", 0.0,
+      maxDocFreq = Long.MaxValue).count()
+    val capped = Dedup.jaccardPairs(sh, "doc_id", 0.0, maxDocFreq = 10L).count()
+    assert(uncapped >= 780, s"expected hot-shingle pair explosion, got $uncapped")
+    assert(capped < 50, s"df cap should collapse candidates, got $capped")
+    val pairs = Dedup.jaccardPairs(sh, "doc_id", 0.8, maxDocFreq = 10L)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), "planted dup must survive the cap")
+  }
+
+  test("default df cap leaves d02/d03 outputs unchanged on the test corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairSet(d: DataFrame): Set[(Long, Long, Double)] =
+      d.select("d1", "d2", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = Dedup.shingleSet(docs, "doc_id", "text")
+    assert(pairSet(Dedup.jaccardPairs(sh, "doc_id", 0.8)) ==
+      pairSet(Dedup.jaccardPairs(sh, "doc_id", 0.8, maxDocFreq = Long.MaxValue)))
+    assert(pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8)) ==
+      pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8,
+        maxDocFreq = Long.MaxValue)))
+  }
+
+  test("CacheScope.withScope unpersists pipeline caches on exit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    var inner: DataFrame = null
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    CacheScope.withScope { scope =>
+      inner = scope.cached(spark.range(10).toDF("x"))
+      inner.count()
+      assert(inner.storageLevel != StorageLevel.NONE)
+      Dedup.minhashLshPairs(docs, "doc_id", "text", scope = scope).count()
+      Similarity.annIvf(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "vec_id", "embedding", col("vec_id") % 50 === 0, scope = scope).count()
+    }
+    assert(inner.storageLevel == StorageLevel.NONE)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"cached RDDs leaked past scope: $leaked")
   }
 
   test("simhash: custom aggregate equals composable bit-vote formulation") {
@@ -104,6 +159,31 @@ class OpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("nbr") == 1L) // duplicate vector ranks first
     // unrounded cosine: n/(√n·√n) is 1.0 up to an ulp of the sqrt round trip
     assert(math.abs(out.head.getAs[Double]("cos_r") - 1.0) < 1e-12)
+  }
+
+  test("ANN recall@5 >= 0.8 vs exact kNN on sf0.01 embeddings") {
+    // gates the "two tables double recall" claim (Similarity.annHyperplane)
+    // and the IVF nprobe=2 configuration against s01's exact kNN. All inputs
+    // deterministic (fixed corpus, fixed planes, deterministic centroids).
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val pred = col("vec_id") % 50 === 0
+    val exact = Similarity.knnExactQuantized(emb, "vec_id", "embedding", pred, k = 5)
+      .select("qid", "nbr").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    def recall(ann: DataFrame): Double = {
+      val got = ann.select("qid", "nbr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    // default operating points: 8×6-bit multiprobe LSH (measured 0.92) and
+    // IVF nlist=16/nprobe=7 with k-means centroids (measured 0.84). nprobe=2
+    // cannot reach 0.8 on this corpus — top-5 neighbors at cosine 0.27–0.45
+    // are barely above random-pair noise (σ≈0.125), so a 2/16 scan fraction
+    // is information-theoretically short; see Similarity.annIvf scaladoc.
+    val hyp = recall(Similarity.annHyperplane(emb, "vec_id", "embedding", pred, k = 5))
+    val ivf = recall(Similarity.annIvf(emb, "vec_id", "embedding", pred, k = 5))
+    assert(hyp >= 0.8, s"hyperplane LSH recall@5 = $hyp < 0.8")
+    assert(ivf >= 0.8, s"IVF recall@5 = $ivf < 0.8")
   }
 
   test("rolling hash: deterministic, sensitive, codegen-consistent") {

@@ -39,6 +39,32 @@ object PipelineOpsQueries {
       WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
       ORDER BY d1, d2"""
 
+  /** DuckDB recomputation of a 60-bit SimHash over md5 token hashes: value of
+    * hex position i (1-based, most significant first) covers bits
+    * 4·(15−i)..4·(15−i)+3, so bit b lives at position 15 − b/4, bit b%4 of
+    * the nibble. One SUM vote per bit, then bit b set iff its vote > 0 —
+    * the exact [[graft.functions.SimHashAgg]] semantics.
+    */
+  private val simhashMd5Sql: String = {
+    val votes = (0 until 60).map { b =>
+      val pos = 15 - b / 4 // 1-based hex char position inside substr(h,1,15)
+      val pw = 1 << (b % 4)
+      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $pos, 1)) - 1) // $pw) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n        ")
+    val bits = (0 until 60).map { b =>
+      s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+                   FROM documents),
+      h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+      votes AS (SELECT doc_id,
+        $votes
+        FROM h GROUP BY doc_id)
+      SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+      FROM votes ORDER BY doc_id"""
+  }
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
 
     // ------------------------------------------------------------- dedup
@@ -76,6 +102,22 @@ object PipelineOpsQueries {
       Dedup.simhashPairs(sigs, "doc_id", maxDist = 3)
         .orderBy("d1", "d2")
     }, None), // xxhash64 not reproducible in DuckDB → rows-only check
+
+    // d04 companion with a FULL oracle: the same SimHashAgg aggregate fed a
+    // cross-engine-computable token hash (first 15 hex chars of md5 as a
+    // 60-bit int). DuckDB recomputes every signature with per-nibble bit
+    // votes, so the custom aggregate's bit-vote/merge/serde logic is
+    // hash-matched end to end — the d04 path differs only in the token hash.
+    ("d05_simhash_md5_oracle", (s: SparkSession, dir: String) => {
+      import graft.functions.SimHashAgg
+      rd(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .withColumn("h",
+          expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(SimHashAgg.simhash_agg(col("h")).as("simhash"))
+        .orderBy("doc_id")
+    }, Some(simhashMd5Sql)),
 
     // ----------------------------------------------------- text analysis
     ("t01_token_stats", (s: SparkSession, dir: String) => {
@@ -236,6 +278,23 @@ object PipelineOpsQueries {
             TextOps.canonicalText(col("text"))).as("fp64"))
         .orderBy("doc_id")
     }, None), // custom 64-bit hash → rows-only check
+
+    // t06 companion with an oracle: the custom hash can't be recomputed in
+    // DuckDB, but its CONSISTENCY can — distinct fingerprints must equal
+    // distinct canonical texts (injective + deterministic on the corpus),
+    // and both counts are DuckDB-computable from the raw table.
+    ("t07_fingerprint_consistency", (s: SparkSession, dir: String) => {
+      rd(s, dir, "documents")
+        .select(
+          graft.functions.RollingHash64.rolling_hash64(
+            TextOps.canonicalText(col("text"))).as("fp64"),
+          TextOps.canonicalText(col("text")).as("c"))
+        .agg(count_distinct(col("fp64")).as("n_fp"),
+          count_distinct(col("c")).as("n_text"))
+    }, Some("""
+      SELECT count(DISTINCT regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS n_fp,
+             count(DISTINCT regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS n_text
+      FROM documents""")),
 
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {

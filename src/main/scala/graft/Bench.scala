@@ -44,7 +44,29 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"crypto":$crypto,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"crypto":$crypto,"sf":"$sfDir"}"""
+    // The driver captures only the LAST ~2 KB of stdout, so the full ~4 KB
+    // line never parsed (BENCH_r1..r3 all "parsed": null). Persist the full
+    // JSON to a file and print a compact (<1.5 KB) summary as the final line.
+    val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
+    java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val bySection = results.toSeq.groupBy(_._1.take(1)).toSeq.sortBy(_._1)
+      .map { case (p, kvs) => "\"" + p + "\":" + r3(kvs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    val slowest = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // crypto one-liner: rows/s for the four headline scenarios + round trips
+    val cryptoKeys = Seq("int64_xor_per_value", "string_xor_per_value",
+      "int64_aes_det_per_value", "string_aes_det_per_value",
+      "roundtrip_string_xor", "roundtrip_string_aes_det")
+    val rps = """"([a-z0-9_]+)":\{[^}]*"rows_per_s":(\d+)""".r
+    val found = rps.findAllMatchIn(crypto).map(m => m.group(1) -> m.group(2)).toMap
+    val cryptoSummary = cryptoKeys.flatMap(k => found.get(k).map(v => "\"" + k + "\":" + v))
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"section_totals_sec":$bySection,"crypto_rows_per_s":$cryptoSummary,"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 

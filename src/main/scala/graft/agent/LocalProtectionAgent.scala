@@ -91,6 +91,57 @@ object LocalProtectionAgent {
     new LocalProtectionAgent(
       ProtectionContext(keyId, columnName, userId, appContext), codec, dataType)
   }
+
+  /** Page-mode `init` — the reference agent's actual signature
+    * (`dbpa_local.cpp:112-166`): a Parquet physical type + optional length +
+    * compression, not a Spark type. Returns the page-batch surface
+    * ([[PageProtectionAgent]]); `encryptPage`/`decryptPage` are the T3–T7
+    * entry points.
+    */
+  def initPage(keyId: String, columnName: String, physicalType: String,
+      typeLength: Option[Int] = None,
+      compression: String = graft.core.PageCodec.Uncompressed,
+      codec: String = CryptoCodec.Xor, userId: String = "",
+      appContext: String = ""): PageProtectionAgent = {
+    require(keyId.nonEmpty, "key_id must be non-empty") // P7
+    if (!graft.core.PageCodec.PhysicalTypes.contains(physicalType))
+      throw new GraftInvalidInputException(s"Invalid datatype: $physicalType")
+    new PageProtectionAgent(
+      ProtectionContext(keyId, columnName, userId, appContext),
+      codec, physicalType, typeLength, compression)
+  }
+}
+
+/** Page-payload protection agent — the surface a raw-page caller of the
+  * reference uses (`LocalDataBatchProtectionAgent::Encrypt/Decrypt`,
+  * `dbpa_local.cpp:169-262`): one Parquet page payload + its
+  * `encoding_attributes` per call; the per-value/per-block decision and all
+  * byte machinery live in [[graft.pipeline.PageSequencer]].
+  */
+final class PageProtectionAgent private[agent] (
+    ctx: ProtectionContext,
+    codecName: String,
+    physicalType: String,
+    typeLength: Option[Int],
+    compression: String) {
+
+  private val sequencer = new graft.pipeline.PageSequencer(
+    CryptoCodec(codecName, ctx), physicalType, typeLength, compression)
+
+  /** Encrypt one raw page payload; the returned metadata (mode + version)
+    * must be presented back at decrypt time, like the reference's
+    * `encryption_metadata` echo.
+    */
+  def encryptPage(plaintext: Array[Byte],
+      encodingAttributes: Map[String, String]): EncryptedBatch = {
+    val r = sequencer.encrypt(plaintext, encodingAttributes)
+    EncryptedBatch(r.ciphertext, r.metadata)
+  }
+
+  /** Inverse of [[encryptPage]]; reconstructs the original page payload. */
+  def decryptPage(batch: EncryptedBatch,
+      encodingAttributes: Map[String, String]): Array[Byte] =
+    sequencer.decrypt(batch.payload, encodingAttributes, batch.metadata)
 }
 
 /** External (JVM) value ⇄ Catalyst internal value, for the agent surface. */

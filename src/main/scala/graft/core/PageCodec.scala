@@ -236,11 +236,15 @@ object PageCodec {
   def calculateLevelBytesLength(raw: Array[Byte], attrs: PageAttributes): Int = {
     val total = attrs.pageType match {
       case DataPageV2 =>
-        if (attrs.v2DefLevelBytes < 0 || attrs.v2RepLevelBytes < 0)
+        // Sum as Long BEFORE sign-checking: the reference checks the summed
+        // total, which also catches Int overflow (2^30 + 2^30 wraps negative
+        // and would otherwise slip past the 'exceeds data size' bound).
+        val totalL = attrs.v2DefLevelBytes.toLong + attrs.v2RepLevelBytes.toLong
+        if (attrs.v2DefLevelBytes < 0 || attrs.v2RepLevelBytes < 0 ||
+            totalL < 0 || totalL > Int.MaxValue)
           throw new GraftInvalidInputException(
-            s"Invalid level bytes calculation: negative total_level_bytes=" +
-              s"${attrs.v2DefLevelBytes + attrs.v2RepLevelBytes}")
-        attrs.v2DefLevelBytes + attrs.v2RepLevelBytes
+            s"Invalid level bytes calculation: negative total_level_bytes=$totalL")
+        totalL.toInt
       case DataPageV1 =>
         if (attrs.v1RepLevelEncoding != "RLE" || attrs.v1DefLevelEncoding != "RLE")
           throw new GraftInvalidInputException(

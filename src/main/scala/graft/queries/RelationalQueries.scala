@@ -160,7 +160,9 @@ object RelationalQueries {
         SELECT o_custkey, o_orderkey,
           ROW_NUMBER() OVER w AS rn,
           COALESCE(LAG(${centsSql("o_totalprice")}, 1) OVER w, -1) AS prev_cents,
-          SUM(${centsSql("o_totalprice")}) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+          -- DuckDB window SUM(BIGINT) returns HUGEINT (-> pandas float64);
+          -- cast back so the driver's type-sensitive hash sees int64 like Spark.
+          CAST(SUM(${centsSql("o_totalprice")}) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ) WHERE rn <= 3 ORDER BY o_custkey, rn""")),

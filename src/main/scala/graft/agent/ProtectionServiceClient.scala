@@ -24,7 +24,7 @@ final case class TransportResponse(status: Int, body: String, error: String = ""
   * string→string objects only (the shape of every reference request/response
   * body: `json_request.cpp`, token/encrypt/decrypt payloads).
   */
-private[agent] object FlatJson {
+private[graft] object FlatJson {
   private val mapper = new ObjectMapper()
 
   def write(fields: Map[String, String]): String = {
@@ -118,8 +118,14 @@ final class ProtectionServiceClient(
     */
   private def fetchToken(): Either[String, CachedToken] = {
     val resp = transport.post("/token", FlatJson.write(credentials), baseHeaders)
-    if (!resp.ok)
-      return Left(s"${resp.error} (status code: ${resp.status})")
+    if (!resp.ok) {
+      // transport-level error, or the server's {"error": msg} envelope
+      val msg =
+        if (resp.error.nonEmpty) resp.error
+        else try FlatJson.parse(resp.body).getOrElse("error", resp.body)
+        catch { case _: Exception => resp.body }
+      return Left(s"$msg (status code: ${resp.status})")
+    }
     val fields =
       try FlatJson.parse(resp.body)
       catch { case e: Exception => return Left(s"invalid token response: ${e.getMessage}") }

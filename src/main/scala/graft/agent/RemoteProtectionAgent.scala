@@ -61,7 +61,10 @@ final class RemoteProtectionAgent(
       initError = Some("Agent not properly initialized - user_id missing")
       throw new GraftInvalidInputException("No user_id provided in app_context")
     }
-    require(keyId.nonEmpty, "key_id must be non-empty") // P7
+    if (keyId.isEmpty) { // P7, same error family as every other init failure
+      initError = Some("Agent not properly initialized - key_id is empty")
+      throw new GraftInvalidInputException("key_id must be non-empty")
+    }
     val health = client.healthCheck()
     if (health != "OK") {
       initError = Some("Agent not properly initialized - healthz check failed")
@@ -165,7 +168,7 @@ object RemoteProtectionAgent {
   * the §1.5 layout but an identity codec — the same framing the encrypted
   * path uses, so both sides reuse [[WireFormat]]'s strict parsers.
   */
-private[agent] object PlainBatch {
+private[graft] object PlainBatch {
   private object PlainCodec extends CryptoCodec {
     val name = "plain"
     val deterministic = true

@@ -1,25 +1,22 @@
 package graft.agent
 
-import java.util.Base64
-
-import scala.collection.mutable
-
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.{CryptoCodec, GraftInvalidInputException}
+import graft.service.{ClientCredentialStore, ProtectionService}
 
-/** In-process protection service standing in for the reference's DBPS API
-  * server, with the failure toggles its remote-agent tests flip
-  * (`/root/reference/src/common/dbpa_remote_test.cpp`): health failure,
-  * token issuing/expiry/revocation, tampered response fields. Crypto is the
-  * real [[LocalProtectionAgent]] — the boundary (serialize → transport →
-  * deserialize) is what this harness adds.
+/** Fault-injecting transport wrapped around the REAL in-process
+  * [[ProtectionService]] — the crypto, JWT auth, and error envelope are all
+  * production code; this wrapper only adds the failure toggles the
+  * reference's remote-agent tests flip (`/root/reference/src/common/
+  * dbpa_remote_test.cpp`): health failure, forced 401s (server-side token
+  * revocation analog), and tampered response fields.
   */
-final class MockProtectionServer(clock: () => Long) extends ProtectionTransport {
+final class FaultInjectingTransport(inner: ProtectionTransport) extends ProtectionTransport {
   var healthy = true
-  var tokenTtlSeconds: Long = 3600L
-  var requireClientId = "graft"
+  /** Force the next N authenticated calls to 401 regardless of token. */
+  var force401 = 0
   var tamperDecryptDatatype: Option[String] = None
   var tamperEncryptCompression: Option[String] = None
   var tokenFetches = 0
@@ -27,103 +24,59 @@ final class MockProtectionServer(clock: () => Long) extends ProtectionTransport 
   var decryptCalls = 0
   var unauthorizedCalls = 0
 
-  private val liveTokens = mutable.Map.empty[String, Long] // token -> expires_at
-  private var nextToken = 0
-
-  /** Server-side revocation: the client's cached token stops working even
-    * though its expires_at still looks valid (the 401-retry path's trigger).
-    */
-  def revokeAllTokens(): Unit = liveTokens.clear()
-
   override def get(endpoint: String, headers: Map[String, String]): TransportResponse =
-    endpoint match {
-      case "/healthz" =>
-        if (healthy) TransportResponse(200, "OK")
-        else TransportResponse(500, "", "connection refused")
-      case other => TransportResponse(404, "", s"no such endpoint $other")
-    }
+    if (endpoint == "/healthz" && !healthy) TransportResponse(500, "", "connection refused")
+    else inner.get(endpoint, headers)
 
   override def post(endpoint: String, body: String,
-      headers: Map[String, String]): TransportResponse = endpoint match {
-    case "/token" =>
-      tokenFetches += 1
-      val creds = FlatJson.parse(body)
-      if (!creds.get("client_id").contains(requireClientId))
-        TransportResponse(401, "", "invalid credentials")
-      else {
-        nextToken += 1
-        val tok = s"tok-$nextToken"
-        val exp = clock() + tokenTtlSeconds
-        liveTokens(tok) = exp
-        TransportResponse(200, FlatJson.write(Map(
-          "token" -> tok, "token_type" -> "Bearer", "expires_at" -> exp.toString)))
-      }
-    case "/encrypt" | "/decrypt" =>
-      if (!authorized(headers)) {
-        unauthorizedCalls += 1
-        TransportResponse(401, "", "")
-      } else {
-        val req = FlatJson.parse(body)
-        try {
-          val dt = DataType.fromJson(req("datatype"))
-          val agent = LocalProtectionAgent.init(req("key_id"), req("column_name"),
-            dt, req("codec"), req("user_id"), req("app_context"))
-          if (endpoint == "/encrypt") {
-            encryptCalls += 1
-            val values = PlainBatch.unpack(dt,
-              Base64.getDecoder.decode(req("plaintext")))
-            val batch = agent.encrypt(values)
-            TransportResponse(200, FlatJson.write(Map(
-              "ciphertext" -> Base64.getEncoder.encodeToString(batch.payload),
-              "encrypted_compression" ->
-                tamperEncryptCompression.getOrElse(req("compression"))) ++
-              batch.metadata.map { case (k, v) => s"meta.$k" -> v }))
-          } else {
-            decryptCalls += 1
-            val meta = req.collect {
-              case (k, v) if k.startsWith("meta.") => k.stripPrefix("meta.") -> v
-            }
-            val values = agent.decrypt(EncryptedBatch(
-              Base64.getDecoder.decode(req("ciphertext")), meta))
-            TransportResponse(200, FlatJson.write(Map(
-              "plaintext" -> Base64.getEncoder.encodeToString(
-                PlainBatch.pack(dt, values)),
-              "datatype" -> tamperDecryptDatatype.getOrElse(req("datatype")),
-              "compression" -> req("compression"))))
-          }
-        } catch {
-          case e: Exception =>
-            TransportResponse(200, FlatJson.write(Map(
-              "error_message" -> e.getMessage)))
-        }
-      }
-    case other => TransportResponse(404, "", s"no such endpoint $other")
+      headers: Map[String, String]): TransportResponse = {
+    endpoint match {
+      case "/token" => tokenFetches += 1
+      case "/encrypt" => encryptCalls += 1
+      case "/decrypt" => decryptCalls += 1
+      case _ =>
+    }
+    if (force401 > 0 && endpoint != "/token") {
+      force401 -= 1
+      unauthorizedCalls += 1
+      return TransportResponse(401, """{"error": "Unauthorized: revoked"}""")
+    }
+    val resp = inner.post(endpoint, body, headers)
+    if (resp.status == 401 && endpoint != "/token") unauthorizedCalls += 1
+    tamper(endpoint, resp)
   }
 
-  private def authorized(headers: Map[String, String]): Boolean =
-    headers.get(ProtectionServiceClient.AuthorizationHeader) match {
-      case Some(auth) if auth.startsWith("Bearer ") =>
-        val tok = auth.stripPrefix("Bearer ")
-        liveTokens.get(tok).exists(_ > clock())
-      case _ => false
+  private def tamper(endpoint: String, resp: TransportResponse): TransportResponse = {
+    if (resp.status != 200) return resp
+    val patch: Map[String, String] = endpoint match {
+      case "/decrypt" => tamperDecryptDatatype.map("datatype" -> _).toMap
+      case "/encrypt" => tamperEncryptCompression.map("encrypted_compression" -> _).toMap
+      case _ => Map.empty
     }
+    if (patch.isEmpty) resp
+    else resp.copy(body = FlatJson.write(FlatJson.parse(resp.body) ++ patch))
+  }
 }
 
 /** Remote-agent parity suite — ports the highest-value cases of
   * `dbpa_remote_test.cpp` (init/health/user-id failures, successful
   * round trips, field mismatches) plus the token-cache/retry behavior of
-  * `http_client_base_test.cpp`. Pure JVM: no SparkSession needed.
+  * `http_client_base_test.cpp`. Runs the full production stack in-process:
+  * RemoteProtectionAgent → ProtectionServiceClient → ProtectionService with
+  * real HS256 JWTs → LocalProtectionAgent. Pure JVM: no SparkSession needed.
   */
 class RemoteAgentSpec extends AnyFunSuite {
   private val AppCtx = """{"user_id":"user-7"}"""
+  private val Creds = Map("client_id" -> "graft", "api_key" -> "graft-api-key")
 
-  private def mk(ttl: Long = 3600L): (MockProtectionServer, RemoteProtectionAgent, () => Long) = {
-    var now = 1000000L
+  private def mk(): (FaultInjectingTransport, RemoteProtectionAgent, Long => Unit) = {
+    var now = 1700000000L
     val clock = () => now
-    val server = new MockProtectionServer(clock)
-    server.tokenTtlSeconds = ttl
-    val agent = new RemoteProtectionAgent(server, Map("client_id" -> "graft"), clock)
-    (server, agent, () => { now += 1; now })
+    val store = new ClientCredentialStore("spec-jwt-secret", clock)
+    store.init(Map("graft" -> "graft-api-key"))
+    val transport = new FaultInjectingTransport(new ProtectionService(store))
+    val agent = new RemoteProtectionAgent(transport, Creds, clock)
+    (transport, agent, (d: Long) => now += d)
   }
 
   test("encrypt/decrypt before init fail with not-initialized error") {
@@ -164,6 +117,16 @@ class RemoteAgentSpec extends AnyFunSuite {
     }
   }
 
+  test("init fails on empty key_id with a matching init error") {
+    val (_, agent, _) = mk()
+    val e = intercept[GraftInvalidInputException] {
+      agent.init("email", AppCtx, "", StringType)
+    }
+    assert(e.getMessage == "key_id must be non-empty")
+    val e2 = intercept[GraftInvalidInputException] { agent.encrypt(Seq("x")) }
+    assert(e2.getMessage.contains("key_id is empty"))
+  }
+
   test("successful round trip through the service boundary, nulls preserved") {
     val (server, agent, _) = mk() // SuccessfulEncryption/Decryption
     agent.init("email", AppCtx, "k1", StringType)
@@ -194,17 +157,18 @@ class RemoteAgentSpec extends AnyFunSuite {
     assert(server.tokenFetches == 1, s"expected 1 token fetch, got ${server.tokenFetches}")
   }
 
-  test("expired cached token is refreshed before use (expiry skew)") {
-    var now = 1000000L
-    val clock = () => now
-    val server = new MockProtectionServer(clock)
-    server.tokenTtlSeconds = 100L
-    val agent = new RemoteProtectionAgent(server, Map("client_id" -> "graft"), clock)
+  test("cached token is refreshed inside the expiry-skew window, no 401") {
+    val (server, agent, advance) = mk()
     agent.init("email", AppCtx, "k1", StringType)
     agent.encrypt(Seq("a"))
     assert(server.tokenFetches == 1)
-    now += 200L // past expires_at → client must proactively refetch
+    // 31s before real expiry: still outside the 30s skew → cache holds
+    advance(ClientCredentialStore.JwtExpirationSeconds - 31)
     agent.encrypt(Seq("b"))
+    assert(server.tokenFetches == 1)
+    // cross into the skew window → client must proactively refetch
+    advance(1)
+    agent.encrypt(Seq("c"))
     assert(server.tokenFetches == 2)
     assert(server.unauthorizedCalls == 0) // refreshed BEFORE the call, no 401
   }
@@ -214,11 +178,33 @@ class RemoteAgentSpec extends AnyFunSuite {
     agent.init("email", AppCtx, "k1", StringType)
     val values = Seq("x", "y")
     val expected = agent.encrypt(values)
-    server.revokeAllTokens() // cached token still "valid" client-side
+    server.force401 = 1 // cached token still "valid" client-side, server says no
     val batch = agent.encrypt(values) // 401 → invalidate → refetch → retry
     assert(batch.payload.sameElements(expected.payload))
     assert(server.unauthorizedCalls == 1)
     assert(server.tokenFetches == 2)
+  }
+
+  test("requests without a real signed token are 401ed by the service") {
+    val (server, _, _) = mk()
+    // bypass the client: post straight to the service with junk auth
+    val resp = server.post("/encrypt", "{}",
+      Map("Authorization" -> "Bearer not.a.jwt", "Content-Type" -> "application/json"))
+    assert(resp.status == 401)
+    assert(resp.body.contains("Unauthorized"))
+    assert(server.post("/encrypt", "{}", Map.empty).status == 401)
+  }
+
+  test("statusz is Bearer-protected and reports the credential-check flag") {
+    var now = 1700000000L
+    val store = new ClientCredentialStore("spec-jwt-secret", () => now)
+    store.init(Map("graft" -> "graft-api-key"))
+    val service = new ProtectionService(store)
+    assert(service.get("/statusz", Map.empty).status == 401)
+    val tokenResp = service.post("/token", FlatJson.write(Creds), Map.empty)
+    val token = FlatJson.parse(tokenResp.body)("token")
+    val ok = service.get("/statusz", Map("Authorization" -> s"Bearer $token"))
+    assert(ok.status == 200 && ok.body.contains("\"enable_credential_check\":true"))
   }
 
   test("decrypt response datatype mismatch is rejected") {
@@ -249,11 +235,15 @@ class RemoteAgentSpec extends AnyFunSuite {
   }
 
   test("credential rejection surfaces as a token-fetch error") {
-    var now = 1000000L
-    val server = new MockProtectionServer(() => now)
-    val agent = new RemoteProtectionAgent(server, Map("client_id" -> "wrong"), () => now)
+    var now = 1700000000L
+    val store = new ClientCredentialStore("spec-jwt-secret", () => now)
+    store.init(Map("graft" -> "graft-api-key"))
+    val service = new ProtectionService(store)
+    val agent = new RemoteProtectionAgent(service,
+      Map("client_id" -> "graft", "api_key" -> "wrong"), () => now)
     agent.init("email", AppCtx, "k1", StringType) // health is authless → init OK
     val e = intercept[GraftInvalidInputException] { agent.encrypt(Seq("a")) }
     assert(e.getMessage.contains("status code: 401"))
+    assert(e.getMessage.contains("Invalid credentials"))
   }
 }

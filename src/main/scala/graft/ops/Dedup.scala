@@ -31,9 +31,12 @@ object Dedup {
   /** Drop shingle hashes whose document frequency exceeds `maxDf`. The hot
     * set is tiny by construction (≤ total_occurrences / maxDf keys), so it
     * broadcasts; the anti-join is map-side — no extra shuffle of the big
-    * shingle table.
+    * shingle table. Note the corner case: a doc ALL of whose shingles are
+    * above the cap drops out of candidate generation entirely — callers that
+    * need exact Jaccard semantics on such corpora must pass
+    * `maxDocFreq = Long.MaxValue`.
     */
-  private def capDocFreq(hashed: DataFrame, idCol: String, maxDf: Long): DataFrame =
+  private def capDocFreq(hashed: DataFrame, maxDf: Long): DataFrame =
     if (maxDf == Long.MaxValue) hashed
     else {
       val hot = hashed.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
@@ -75,7 +78,7 @@ object Dedup {
     // the caller's CacheScope.
     val hashed = scope.cached(capDocFreq(
       shingles.select(col(idCol), xxhash64(col("shingle")).as("sh")),
-      idCol, maxDocFreq))
+      maxDocFreq))
     val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = hashed.select(col(idCol).as("d1"), col("sh"))
     val b = hashed.select(col(idCol).as("d2"), col("sh"))
@@ -160,7 +163,7 @@ object Dedup {
     val hashed = scope.cached(capDocFreq(
       shingleSet(df, idCol, textCol)
         .select(col(idCol), xxhash64(col("shingle")).as("sh")),
-      idCol, maxDocFreq))
+      maxDocFreq))
     val cands = lshCandidates(minhashSignaturesHashed(hashed, idCol, k), idCol, k, bands,
       maxBucket = maxDocFreq)
     val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))

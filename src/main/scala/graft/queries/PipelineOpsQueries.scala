@@ -20,6 +20,11 @@ object PipelineOpsQueries {
     GraftTables.read(s, dir, n)
   import QueryUtil.{cents, centsSql}
 
+  /** Recall@5 floor both ANN paths must clear vs the exact top-k (s05);
+    * mirrors the OpsSpec recall gates for the default operating points.
+    */
+  private val RecallGate = 0.8
+
   /** Shared brute-force Jaccard oracle (DuckDB list comprehension shingles).
     * Used for both d02 (brute force) and d03 (MinHash-LSH): at k=64/16 bands
     * the planted near-dups (j ≥ 0.9) are recalled with P(miss) < 1e-7, so
@@ -249,6 +254,54 @@ object PipelineOpsQueries {
           col("vec_id") % 50 === 0, nlist = 16, nprobe = 7, k = 5)
         .orderBy("qid", "rnk")
     }, None), // IVF candidate set is index-dependent → rows-only check
+
+    // s02/s04 companion with an oracle: the ANN candidate sets are
+    // index-dependent, but their RECALL against the exact top-k is a
+    // contract DuckDB can check — the denominator (exact top-5 pairs) is
+    // recomputable from the s01 formulation, and the gate bit must be 1.
+    // If either ANN path's recall drops below the gate, recall_ok flips to
+    // 0 and the row hash-mismatches.
+    ("s05_ann_recall", (s: SparkSession, dir: String) => {
+      val emb = rd(s, dir, "embeddings")
+      val queryPred = col("vec_id") % 50 === 0
+      val exact = Similarity.knnExactQuantized(emb, "vec_id", "embedding",
+        queryPred, k = 5).select(col("qid"), col("nbr"))
+      def recallOf(method: String, ann: DataFrame): DataFrame =
+        exact.join(ann.select(col("qid"), col("nbr"), lit(1L).as("hit")),
+            Seq("qid", "nbr"), "left")
+          .agg(
+            count(lit(1)).as("n_exact_pairs"),
+            count_distinct(col("qid")).as("n_queries"),
+            (sum(coalesce(col("hit"), lit(0L))) >= count(lit(1)) * lit(RecallGate))
+              .cast("long").as("recall_ok"))
+          .select(lit(method).as("method"), col("n_queries"),
+            col("n_exact_pairs"), col("recall_ok"))
+      recallOf("hyperplane", Similarity.annHyperplane(
+          emb, "vec_id", "embedding", queryPred, k = 5))
+        .unionAll(recallOf("ivf", Similarity.annIvf(
+          emb, "vec_id", "embedding", queryPred, nlist = 16, nprobe = 7, k = 5)))
+        .orderBy("method")
+    }, Some("""
+      WITH e AS (SELECT vec_id,
+          list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS q
+        FROM embeddings),
+      en AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS nrm FROM e),
+      qs AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM en WHERE vec_id % 50 = 0),
+      pairs AS (SELECT qid, e2.vec_id, CAST(list_dot_product(qq, e2.q) AS BIGINT) AS dot,
+          qn, e2.nrm
+        FROM qs JOIN en e2 ON e2.vec_id <> qid),
+      ranked AS (SELECT qid, vec_id AS nbr,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+            CAST(dot AS DOUBLE)/(sqrt(CAST(qn AS DOUBLE))*sqrt(CAST(nrm AS DOUBLE))) DESC,
+            vec_id) AS rnk
+        FROM pairs),
+      ex AS (SELECT qid, nbr FROM ranked WHERE rnk <= 5)
+      SELECT m.method, CAST(q.n AS BIGINT) AS n_queries,
+        CAST(p.n AS BIGINT) AS n_exact_pairs, CAST(1 AS BIGINT) AS recall_ok
+      FROM (VALUES ('hyperplane'), ('ivf')) m(method),
+        (SELECT count(DISTINCT qid) AS n FROM ex) q,
+        (SELECT count(*) AS n FROM ex) p
+      ORDER BY m.method""")),
 
     // ------------------------------------------- BPE-ish token counting
     ("t05_token_bpe", (s: SparkSession, dir: String) => {

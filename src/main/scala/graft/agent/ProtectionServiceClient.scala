@@ -62,6 +62,11 @@ private[graft] object FlatJson {
   * The reference single-flights concurrent fetches with a condvar
   * (`:141-170`); here a plain `synchronized` around the whole
   * ensure-valid-token path gives the same "one fetch, others wait" behavior.
+  * Known divergence: the reference releases its mutex DURING the fetch so a
+  * slow `/token` doesn't serialize unrelated encrypt/decrypt callers; with
+  * the in-process transport a fetch is microseconds, so the simpler
+  * hold-across-fetch lock is fine — replicate the condvar single-flight if a
+  * real networked transport is ever added.
   */
 final class ProtectionServiceClient(
     transport: ProtectionTransport,

@@ -137,6 +137,59 @@ object ProtectedQueries {
         CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_ln
       FROM lineitem
       WHERE l_returnflag = 'R' AND EXTRACT(YEAR FROM l_shipdate) >= 1997
-      GROUP BY l_linestatus ORDER BY l_linestatus"""))
+      GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // Page-mode protection run DISTRIBUTED (T3–T7 + the page sequencer,
+    // SURVEY.md §2.2): each bucket of documents becomes one raw
+    // DATA_PAGE_V1 payload in the reference's PLAIN BYTE_ARRAY layout
+    // (u32-LE length-prefixed elements, performance_test.cpp:133-225),
+    // encrypted per-value and decrypted back ON EXECUTORS. The oracle
+    // recomputes the page structure (page count, element count, exact
+    // payload bytes) from the raw table and pins the mode and round-trip
+    // bits — any byte-level regression in the page machinery flips them.
+    ("p01_page_roundtrip", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      rd(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 % 64)
+        .mapGroups { (bucket, rows) =>
+          val texts = rows.toArray.sortBy(_._1)
+            .map(_._2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val bb = java.nio.ByteBuffer
+            .allocate(texts.iterator.map(_.length + 4).sum)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          texts.foreach { t => bb.putInt(t.length); bb.put(t) }
+          val payload = bb.array()
+          val attrs = Map(
+            "page_type" -> "DATA_PAGE_V1",
+            "data_page_num_values" -> texts.length.toString,
+            "data_page_max_definition_level" -> "0",
+            "data_page_max_repetition_level" -> "0",
+            "page_v1_definition_level_encoding" -> "RLE",
+            "page_v1_repetition_level_encoding" -> "RLE",
+            "page_encoding" -> "PLAIN")
+          val agent = graft.agent.LocalProtectionAgent.initPage(
+            "key-page", "text", "BYTE_ARRAY")
+          val enc = agent.encryptPage(payload, attrs)
+          val dec = agent.decryptPage(enc, attrs)
+          val ok = java.util.Arrays.equals(dec, payload) &&
+            !java.util.Arrays.equals(enc.payload, payload)
+          (bucket, texts.length.toLong, payload.length.toLong,
+            enc.metadata(graft.pipeline.PageSequencer.ModeKeyDataPage),
+            if (ok) 1L else 0L)
+        }
+        .toDF("bucket", "n_values", "payload_bytes", "mode", "ok")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("n_values")).as("n_values"),
+          sum(col("payload_bytes")).as("payload_bytes"),
+          min(col("mode")).as("mode"),
+          min(col("ok")).as("roundtrip_ok"))
+    }, Some("""
+      SELECT CAST(count(DISTINCT doc_id % 64) AS BIGINT) AS n_pages,
+        CAST(count(*) AS BIGINT) AS n_values,
+        CAST(sum(4 + octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+        'per_value' AS mode,
+        CAST(1 AS BIGINT) AS roundtrip_ok
+      FROM documents"""))
   )
 }

@@ -19,10 +19,15 @@ final class FaultInjectingTransport(inner: ProtectionTransport) extends Protecti
   var force401 = 0
   var tamperDecryptDatatype: Option[String] = None
   var tamperEncryptCompression: Option[String] = None
-  var tokenFetches = 0
-  var encryptCalls = 0
-  var decryptCalls = 0
-  var unauthorizedCalls = 0
+  // AtomicInteger: concurrent callers hit the wrapper in the single-flight test
+  private val fetches = new java.util.concurrent.atomic.AtomicInteger
+  private val encrypts = new java.util.concurrent.atomic.AtomicInteger
+  private val decrypts = new java.util.concurrent.atomic.AtomicInteger
+  private val unauthorized = new java.util.concurrent.atomic.AtomicInteger
+  def tokenFetches: Int = fetches.get
+  def encryptCalls: Int = encrypts.get
+  def decryptCalls: Int = decrypts.get
+  def unauthorizedCalls: Int = unauthorized.get
 
   override def get(endpoint: String, headers: Map[String, String]): TransportResponse =
     if (endpoint == "/healthz" && !healthy) TransportResponse(500, "", "connection refused")
@@ -31,18 +36,18 @@ final class FaultInjectingTransport(inner: ProtectionTransport) extends Protecti
   override def post(endpoint: String, body: String,
       headers: Map[String, String]): TransportResponse = {
     endpoint match {
-      case "/token" => tokenFetches += 1
-      case "/encrypt" => encryptCalls += 1
-      case "/decrypt" => decryptCalls += 1
+      case "/token" => fetches.incrementAndGet()
+      case "/encrypt" => encrypts.incrementAndGet()
+      case "/decrypt" => decrypts.incrementAndGet()
       case _ =>
     }
     if (force401 > 0 && endpoint != "/token") {
       force401 -= 1
-      unauthorizedCalls += 1
+      unauthorized.incrementAndGet()
       return TransportResponse(401, """{"error": "Unauthorized: revoked"}""")
     }
     val resp = inner.post(endpoint, body, headers)
-    if (resp.status == 401 && endpoint != "/token") unauthorizedCalls += 1
+    if (resp.status == 401 && endpoint != "/token") unauthorized.incrementAndGet()
     tamper(endpoint, resp)
   }
 
@@ -155,6 +160,20 @@ class RemoteAgentSpec extends AnyFunSuite {
     agent.decrypt(b)
     agent.encrypt(Seq("c"))
     assert(server.tokenFetches == 1, s"expected 1 token fetch, got ${server.tokenFetches}")
+  }
+
+  test("concurrent first calls single-flight the token fetch") {
+    val (server, agent, _) = mk()
+    agent.init("email", AppCtx, "k1", StringType)
+    val threads = (1 to 8).map { i =>
+      new Thread(() => { agent.encrypt(Seq(s"v$i")): Unit })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(30000))
+    assert(server.tokenFetches == 1,
+      s"8 concurrent callers should share one fetch, saw ${server.tokenFetches}")
+    assert(server.encryptCalls == 8)
+    assert(server.unauthorizedCalls == 0)
   }
 
   test("cached token is refreshed inside the expiry-skew window, no 401") {

@@ -101,6 +101,20 @@ object StreamOps {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Streaming exact dedup for a document stream — the streaming form of
+    * `Dedup.exactSurvivors`: canonical-text fingerprint (same expression as
+    * batch t04) + `dropDuplicatesWithinWatermark`. State holds one
+    * fingerprint per distinct doc WITHIN THE WATERMARK HORIZON, so state
+    * size is bounded by the dedup window, not the stream length — the only
+    * formulation that survives an unbounded 100 TB/day ingest (a plain
+    * `dropDuplicates` on a stream accumulates state forever).
+    */
+  def dedupDocumentStream(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", withinWatermark: String = "1 hour"): DataFrame =
+    docs.withColumn("fp", graft.ops.TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, withinWatermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Batch reference computation for the streaming agg (same expressions,
     * same results — used by the equivalence spec).
     */

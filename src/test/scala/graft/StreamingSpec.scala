@@ -61,6 +61,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming dedup (dropDuplicatesWithinWatermark) equals batch distinct") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft-dedup-stream").toString
+    // plant exact duplicates: the same corpus arrives twice
+    for (name <- Seq("a.parquet", "b.parquet"))
+      Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+        Paths.get(s"$tmp/$name"), StandardCopyOption.REPLACE_EXISTING)
+
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // +1 day offset: a row AT the epoch equals the operator's initial
+    // watermark and is discarded as late before any state exists
+    val stream = spark.readStream.schema(docSchema).parquet(tmp)
+      .withColumn("ts", timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+    val q = StreamOps.dedupDocumentStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val gotFps = spark.table("dedup_out").select("fp").collect().map(_.getString(0)).toSeq
+    val wantFps = graft.queries.GraftTables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(graft.ops.TextOps.fingerprint(col("text")).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(gotFps.nonEmpty)
+    assert(gotFps.size == gotFps.toSet.size, "a fingerprint was emitted twice")
+    assert(gotFps.toSet == wantFps, "survivor set differs from batch distinct")
+    // the corpus arrived twice → dedup must have dropped at least half
+    assert(gotFps.size <= wantFps.size)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) equals batch q29") {
     val tmp = Files.createTempDirectory("graft-sessions").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),

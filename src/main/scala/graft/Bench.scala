@@ -41,11 +41,12 @@ object Bench {
       name -> times(times.size / 2) // median of post-warmup runs
     }
     val crypto = cryptoGrid(spark, sfDir)
+    val page = pageGrid(spark, sfDir)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"crypto":$crypto,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"crypto":$crypto,"page":$page,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2 KB of stdout, so the full ~4 KB
     // line never parsed (BENCH_r1..r3 all "parsed": null). Persist the full
     // JSON to a file and print a compact (<1.5 KB) summary as the final line.
@@ -65,8 +66,13 @@ object Bench {
     val found = rps.findAllMatchIn(crypto).map(m => m.group(1) -> m.group(2)).toMap
     val cryptoSummary = cryptoKeys.flatMap(k => found.get(k).map(v => "\"" + k + "\":" + v))
       .mkString("{", ",", "}")
+    val vps = """"([a-z0-9_]+)":\{[^}]*"values_per_s":(\d+)""".r
+    val pageFound = vps.findAllMatchIn(page).map(m => m.group(1) -> m.group(2)).toMap
+    val pageSummary = Seq("v1_plain_uncompressed", "v1_plain_snappy")
+      .flatMap(k => pageFound.get(k).map(v => "\"" + k + "\":" + v))
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"section_totals_sec":$bySection,"crypto_rows_per_s":$cryptoSummary,"sf":"$sfDir","full":"$fullPath"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"section_totals_sec":$bySection,"crypto_rows_per_s":$cryptoSummary,"page_encrypt_values_per_s":$pageSummary,"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 
@@ -123,5 +129,70 @@ object Bench {
     }
     li.unpersist()
     (scenarios ++ roundTrips).mkString(s"""{"rows":$rows,""", ",", "}")
+  }
+
+  /** The reference harness's ACTUAL measured op: one raw page payload per
+    * `LocalDataBatchProtectionAgent::Encrypt` call, over its 6-scenario grid
+    * (page type × compression × encoding incl. the RLE_DICTIONARY per-block
+    * fallback — `src/scripts/performance_test.cpp:256-263`). Single-threaded
+    * driver-side loop, exactly like the reference harness, so the numbers
+    * are directly comparable; BYTE_ARRAY values come from lineitem (the
+    * `--values_file` analog), one ~multi-MB page per iteration.
+    */
+  private def pageGrid(spark: SparkSession, sfDir: String): String = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.agent.LocalProtectionAgent
+    import graft.core.PageCodec
+    val MaxRows = 200000
+    val values = GraftTables.read(spark, sfDir, "lineitem")
+      .select(concat_ws("|", col("l_orderkey"), col("l_returnflag"),
+        col("l_shipdate")).as("v"))
+      .limit(MaxRows).collect().map(_.getString(0).getBytes("UTF-8"))
+    val n = values.length
+    val bb = ByteBuffer.allocate(values.iterator.map(_.length + 4).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    values.foreach { v => bb.putInt(v.length); bb.put(v) }
+    val valueBytes = bb.array()
+
+    def v1Attrs(enc: String) = Map(
+      "page_type" -> "DATA_PAGE_V1", "data_page_num_values" -> n.toString,
+      "data_page_max_definition_level" -> "0",
+      "data_page_max_repetition_level" -> "0",
+      "page_v1_definition_level_encoding" -> "RLE",
+      "page_v1_repetition_level_encoding" -> "RLE", "page_encoding" -> enc)
+    def v2Attrs(compressed: Boolean) = Map(
+      "page_type" -> "DATA_PAGE_V2", "data_page_num_values" -> n.toString,
+      "data_page_max_definition_level" -> "0",
+      "data_page_max_repetition_level" -> "0",
+      "page_v2_definition_levels_byte_length" -> "0",
+      "page_v2_repetition_levels_byte_length" -> "0",
+      "page_v2_num_nulls" -> "0",
+      "page_v2_is_compressed" -> compressed.toString, "page_encoding" -> "PLAIN")
+    val dictAttrs = Map("page_type" -> "DICTIONARY_PAGE",
+      "dict_page_num_values" -> n.toString, "page_encoding" -> "PLAIN")
+
+    val snappyBytes = PageCodec.compress(valueBytes, PageCodec.Snappy)
+    // (name, compression, payload, attrs) — performance_test.cpp kScenarios
+    val scenarios = Seq(
+      ("v1_plain_uncompressed", PageCodec.Uncompressed, valueBytes, v1Attrs("PLAIN")),
+      ("dict_plain_snappy", PageCodec.Snappy, snappyBytes, dictAttrs),
+      ("dict_plain_uncompressed", PageCodec.Uncompressed, valueBytes, dictAttrs),
+      ("v1_plain_snappy", PageCodec.Snappy, snappyBytes, v1Attrs("PLAIN")),
+      ("v2_plain_snappy", PageCodec.Snappy, snappyBytes, v2Attrs(true)),
+      ("v1_rle_dict_fallback", PageCodec.Uncompressed, valueBytes,
+        v1Attrs("RLE_DICTIONARY")))
+    val out = scenarios.map { case (name, compression, payload, attrs) =>
+      val agent = LocalProtectionAgent.initPage("bench-key", "v", "BYTE_ARRAY",
+        None, compression)
+      val times = (0 until Warmup + Iters).map { _ =>
+        val t0 = System.nanoTime()
+        agent.encryptPage(payload, attrs)
+        (System.nanoTime() - t0) / 1e6
+      }.drop(Warmup)
+      val avg = times.sum / times.size
+      val sd = stdev(times, avg)
+      f"""\"$name\":{\"avg_ms\":$avg%.1f,\"min_ms\":${times.min}%.1f,\"max_ms\":${times.max}%.1f,\"stdev_ms\":$sd%.1f,\"values_per_s\":${n / (avg / 1000)}%.0f,\"mb_per_s\":${payload.length / 1e6 / (avg / 1000)}%.1f}"""
+    }
+    out.mkString(s"""{"values":$n,"payload_bytes":${valueBytes.length},""", ",", "}")
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.CryptoCodec
 import graft.functions.protect
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{ConnectedComponents, Dedup, Multimodal, Similarity, TextOps}
 import graft.operators.AsofJoin
 import graft.pipeline.{ColumnPolicy, PerValue, ProtectionPipeline}
 
@@ -123,6 +123,47 @@ object PipelineOpsQueries {
         .agg(SimHashAgg.simhash_agg(col("h")).as("simhash"))
         .orderBy("doc_id")
     }, Some(simhashMd5Sql)),
+
+    // Near-dup pairs → canonical clusters: distributed connected components
+    // (large-star/small-star) over the verified MinHash-LSH pairs, every doc
+    // labeled with its component minimum. The oracle recomputes components
+    // with a recursive transitive-closure CTE over the brute-force Jaccard
+    // pairs — exercising the whole chain (shingle → LSH → verify → cluster).
+    ("d06_neardup_clusters", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("d1"), col("d2"))
+      val cc = ConnectedComponents.run(pairs, "d1", "d2")
+      docs.select(col("doc_id"))
+        .join(cc, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("rep_id"))).cast("long"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT d1, d2 FROM inter
+                JOIN sz na ON na.doc_id = d1 JOIN sz nb ON nb.doc_id = d2
+                WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8),
+      edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                UNION ALL SELECT d2, d1 FROM pairs),
+      reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON r.lbl = e.src),
+      comp AS (SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS rep_id
+               FROM reach GROUP BY node)
+      SELECT doc_id, rep_id,
+        CAST(count(*) OVER (PARTITION BY rep_id) AS BIGINT) AS cluster_size
+      FROM comp ORDER BY doc_id""")),
 
     // ----------------------------------------------------- text analysis
     ("t01_token_stats", (s: SparkSession, dir: String) => {

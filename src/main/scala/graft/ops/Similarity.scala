@@ -29,6 +29,27 @@ object Similarity {
   def dotQ(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot_q(a, b)
 
+  /** Per-vector max |x| as double — the scale basis for symmetric int8
+    * quantization. Materialize this in its own projection before passing it
+    * to [[quantizeInt8]] (lambdas re-evaluate captured non-attribute
+    * expressions per element — no CSE inside higher-order functions).
+    */
+  def maxAbs(emb: Column): Column =
+    array_max(transform(emb, x => abs(x))).cast("double")
+
+  /** Symmetric int8 quantization: q_i = floor(x_i·127 / maxAbs), zero vector
+    * → zeros. `floor`, not `round`: tie-breaking on .5 differs between
+    * engines/modes, floor of an identical double never does — every step
+    * (float→double widen, one multiply, one divide, floor) is a single IEEE
+    * op written identically in the SQL oracle. Dequantize with
+    * `q·maxAbs/127`; cosine error at 64 dims is ~1e-2, which the ANN paths
+    * tolerate while shrinking the corpus footprint 4× vs float32.
+    */
+  def quantizeInt8(emb: Column, maxAbs: Column): Column =
+    transform(emb, x =>
+      when(maxAbs === lit(0.0), lit(0L))
+        .otherwise(floor(x.cast("double") * lit(127.0) / maxAbs).cast("long")))
+
   /** Exact cosine from quantized vectors — every FP op is on exact ints. */
   def cosineQ(dot: Column, n1: Column, n2: Column): Column =
     dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))

@@ -25,6 +25,12 @@ object PipelineOpsQueries {
     */
   private val RecallGate = 0.8
 
+  /** Per-language sampling rates for t08 — fixed-order Vector (not a Map) so
+    * the generated oracle CASE arms are deterministic across builds.
+    */
+  private val SampleRates = Vector(
+    "en" -> 0.25, "de" -> 1.0, "es" -> 0.5, "fr" -> 0.75, "zh" -> 0.5)
+
   /** Shared brute-force Jaccard oracle (DuckDB list comprehension shingles).
     * Used for both d02 (brute force) and d03 (MinHash-LSH): at k=64/16 bands
     * the planted near-dups (j ≥ 0.9) are recalled with P(miss) < 1e-7, so
@@ -164,6 +170,83 @@ object PipelineOpsQueries {
       SELECT doc_id, rep_id,
         CAST(count(*) OVER (PARTITION BY rep_id) AS BIGINT) AS cluster_size
       FROM comp ORDER BY doc_id""")),
+
+    // The end-to-end curation pipeline a training-data run would execute:
+    // quality gate → exact dedup (keep min doc per fingerprint) → near-dup
+    // clustering on the survivors (keep each cluster's representative) →
+    // per-language corpus stats. Every stage is the already-oracled operator
+    // (t03 score, d01 fingerprints, d06 components) composed into ONE lazy
+    // plan, and the oracle recomputes the entire chain in SQL.
+    ("d07_curation_pipeline", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = rd(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("stop_hits",
+          TextOps.stopwordHits(col("toks"), TextOps.stopwords.head._2))
+        .withColumn("score", TextOps.qualityScore(
+          col("n_tokens"), col("n_distinct"), col("stop_hits")))
+      val kept = scored
+        .filter(col("score") >= 0.33 && col("n_tokens") >= 20)
+        .drop("toks")
+      val exactKept = kept
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .withColumn("_minid",
+          min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("_minid"))
+      val pairs = Dedup.minhashLshPairs(exactKept, "doc_id", "text",
+        threshold = 0.8).select(col("d1"), col("d2"))
+      val cc = ConnectedComponents.run(pairs, "d1", "d2")
+      exactKept.join(cc, col("doc_id") === col("node"), "left")
+        .filter(coalesce(col("rep"), col("doc_id")) === col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang")
+    }, Some {
+      val list = TextOps.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, lang, text, n_chars,
+        CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_distinct,
+        CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ($list))) AS BIGINT) AS stop_hits
+        FROM documents),
+      q AS (SELECT *,
+        CAST((stop_hits + n_distinct) * 300 + least(n_tokens, 100) * n_tokens * 4 AS DOUBLE)
+          / CAST(n_tokens * 1000 AS DOUBLE) AS score FROM t),
+      kept AS (SELECT * FROM q WHERE score >= 0.33 AND n_tokens >= 20),
+      fp AS (SELECT *, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+             FROM kept),
+      exact AS (SELECT * FROM fp
+                QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)),
+      tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM exact),
+      sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+             FROM tk, UNNEST(range(1, len(tk)-1)) AS u(i)),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      prs AS (SELECT d1, d2 FROM inter
+              JOIN sz na ON na.doc_id = d1 JOIN sz nb ON nb.doc_id = d2
+              WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8),
+      edges AS (SELECT d1 AS src, d2 AS dst FROM prs
+                UNION ALL SELECT d2, d1 FROM prs),
+      reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM exact
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON r.lbl = e.src),
+      comp AS (SELECT node AS doc_id, min(lbl) AS rep FROM reach GROUP BY node)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(min(k.doc_id) AS BIGINT) AS first_doc
+      FROM exact k JOIN comp c ON k.doc_id = c.doc_id AND c.rep = k.doc_id
+      GROUP BY lang ORDER BY lang"""
+    }),
 
     // ----------------------------------------------------- text analysis
     ("t01_token_stats", (s: SparkSession, dir: String) => {
@@ -344,6 +427,34 @@ object PipelineOpsQueries {
         (SELECT count(*) AS n FROM ex) p
       ORDER BY m.method""")),
 
+    // Symmetric int8 quantization of the embedding column (the 4×-smaller
+    // corpus representation ANN serves from at scale), exploded to one row
+    // per (vector, dim) so the oracle value-checks every quantized cell.
+    // floor (not round) keeps tie-breaking engine-independent — see
+    // Similarity.quantizeInt8.
+    ("s06_quantize_int8", (s: SparkSession, dir: String) => {
+      rd(s, dir, "embeddings")
+        // mx materialized as an attribute BEFORE the transform lambda:
+        // captured non-attribute expressions re-evaluate per element
+        .withColumn("mx", Similarity.maxAbs(col("embedding")))
+        .select(col("vec_id"), col("mx"),
+          posexplode(Similarity.quantizeInt8(col("embedding"), col("mx")))
+            .as(Seq("pos", "q")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("q"),
+          col("mx").as("max_abs"))
+        .orderBy("vec_id", "pos")
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding,
+          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS mx
+        FROM embeddings)
+      SELECT vec_id, CAST(i AS BIGINT) AS pos,
+        CASE WHEN mx = 0 THEN 0
+             ELSE CAST(floor((CAST(embedding[i+1] AS DOUBLE) * 127.0) / mx) AS BIGINT)
+        END AS q,
+        mx AS max_abs
+      FROM e, UNNEST(range(0, len(embedding))) AS u(i)
+      ORDER BY vec_id, pos""")),
+
     // ------------------------------------------- BPE-ish token counting
     ("t05_token_bpe", (s: SparkSession, dir: String) => {
       // subword-ish tokenization: alnum runs and punctuation runs counted
@@ -389,6 +500,34 @@ object PipelineOpsQueries {
       SELECT count(DISTINCT regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS n_fp,
              count(DISTINCT regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS n_text
       FROM documents""")),
+
+    // Deterministic stratified sampling: per-language down-sampling keyed on
+    // md5(doc_id) — reproducible across runs, partitionings and engines,
+    // unlike df.sample(). The oracle recomputes the 32-bit hash bucket
+    // nibble-by-nibble and applies the same integer thresholds.
+    ("t08_stratified_sample", (s: SparkSession, dir: String) => {
+      import graft.ops.Sampling
+      Sampling.stratifiedHashSample(rd(s, dir, "documents"), col("doc_id"),
+          col("lang"), SampleRates.toMap)
+        .select(col("doc_id"), col("lang"),
+          Sampling.hashBucket32(col("doc_id")).as("bucket"))
+        .orderBy("doc_id")
+    }, Some {
+      val bucket = (1 to 8).map { i =>
+        val w = 1L << (4 * (8 - i))
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      val cases = SampleRates.map { case (lang, rate) =>
+        s"WHEN '$lang' THEN ${graft.ops.Sampling.threshold(rate)}"
+      }.mkString(" ")
+      s"""
+      WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+                 FROM documents),
+      b AS (SELECT doc_id, lang, CAST($bucket AS BIGINT) AS bucket FROM h)
+      SELECT doc_id, lang, bucket FROM b
+      WHERE bucket < CASE lang $cases ELSE -1 END
+      ORDER BY doc_id"""
+    }),
 
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {

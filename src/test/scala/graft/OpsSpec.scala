@@ -9,7 +9,7 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.functions.RollingHash64
 import graft.operators.AsofJoin
-import graft.ops.{CacheScope, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{CacheScope, Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Unit tests for the training-pipeline operators on hand-built fixtures. */
 class OpsSpec extends SparkSpec {
@@ -209,6 +209,42 @@ class OpsSpec extends SparkSpec {
       .collect().head
     assert(out.getLong(0) == 7L)
     assert(out.getSeq[Int](1) == Seq('a'.toInt, 'e'.toInt, 'i'.toInt))
+  }
+
+  test("hash sampling: deterministic, rate-0 empty, rate-1 total") {
+    val df = (0L until 200L).toDF("id")
+    assert(Sampling.hashSample(df, col("id"), 0.0).count() == 0L)
+    assert(Sampling.hashSample(df, col("id"), 1.0).count() == 200L)
+    val a = Sampling.hashSample(df, col("id"), 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df.repartition(7), col("id"), 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must be independent of partitioning")
+    // rates nest: the 30% sample contains the 10% sample (same hash, lower bar)
+    val c = Sampling.hashSample(df, col("id"), 0.1).collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a))
+    assert(a.nonEmpty && a.size < 200)
+  }
+
+  test("stratified sampling drops absent strata, keeps rate-1 strata whole") {
+    val df = Seq((1L, "en"), (2L, "en"), (3L, "xx"), (4L, "de"), (5L, "de"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedHashSample(df, col("id"), col("lang"),
+        Map("en" -> 1.0, "de" -> 1.0)).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 5L))
+  }
+
+  test("int8 quantization: exact cells, zero vector safe") {
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+      .withColumn("mx", Similarity.maxAbs(col("v")))
+      .withColumn("q", Similarity.quantizeInt8(col("v"), col("mx")))
+      .orderBy("id")
+    val rows = df.collect()
+    assert(rows(0).getDouble(2) == 1.0)
+    assert(rows(0).getSeq[Long](3) == Seq(127L, -64L, 31L, 0L)) // floor(-63.5) = -64
+    assert(rows(1).getDouble(2) == 0.0)
+    assert(rows(1).getSeq[Long](3) == Seq(0L, 0L, 0L, 0L))
   }
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)

@@ -529,6 +529,49 @@ object PipelineOpsQueries {
       ORDER BY doc_id"""
     }),
 
+    // PII detection + scrubbing — the corpus-side face of the protection
+    // engine: detect → redact before text reaches a training shard. The raw
+    // corpus is synthetic word-salad, so PII is injected deterministically
+    // from doc_id (4 of 5 docs) and the oracle recomputes detection counts
+    // AND the md5 of the fully redacted text — every replacement byte is
+    // value-checked cross-engine.
+    ("t09_pii_scrub", (s: SparkSession, dir: String) => {
+      import graft.ops.Pii
+      val injected = when(col("doc_id") % 5 === 0, col("text")).otherwise(
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com call 555-123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0.0."), col("doc_id") % 256))
+      rd(s, dir, "documents")
+        .withColumn("t2", injected)
+        .select(Seq(col("doc_id")) ++ Pii.detect(col("t2")) :+
+          md5(Pii.redact(col("t2"))).as("scrub_fp"): _*)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH inj AS (SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN text
+             ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com call 555-123-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+        END AS t2 FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t2, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        CAST(len(regexp_extract_all(t2, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+        CAST(CASE WHEN len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(t2, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b'))
+                   + len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                   + len(regexp_extract_all(t2, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) > 0
+             THEN 1 ELSE 0 END AS BIGINT) AS has_pii,
+        md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+          '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrub_fp
+      FROM inj ORDER BY doc_id""")),
+
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {
       val withPayload = rd(s, dir, "documents")

@@ -15,15 +15,25 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB discipline):
   *  - iterations run on the EDGE set only (near-dup pairs ≪ corpus);
-  *  - each round is two shuffles (groupBy min-label + join back), both keyed
-  *    by node id — no all-pairs step anywhere;
-  *  - every round ends in `localCheckpoint`, truncating the logical plan:
-  *    each round references its input ~3×, so an unchecked plan tree grows
-  *    3^rounds and the optimizer dies long before the executors do
-  *    (superseded checkpoint RDDs are dropped by the ContextCleaner once
-  *    the loop releases them, the same lifecycle unmanaged caches use);
-  *  - convergence is detected from a constant-size checksum aggregate
-  *    (count + order-insensitive hash-sum), not a driver-side collect.
+  *  - the per-node minimum in each star operation is a `groupBy.agg(min)` —
+  *    a PARTIAL (map-side-combinable) aggregate — joined back to the edges.
+  *    The star algorithm concentrates a component's edge set onto its root,
+  *    so a windowed formulation (`min over partitionBy(u)`) would funnel a
+  *    giant component's entire neighbor list through ONE task; the partial
+  *    aggregate combines per input partition first, and the join-back is a
+  *    key-equality join AQE can skew-split. Hot keys cost one streaming
+  *    pass, never one task's memory;
+  *  - every round ends in a checkpoint, truncating the logical plan: each
+  *    round references its input ~3×, so an unchecked plan tree grows
+  *    3^rounds and the optimizer dies long before the executors do.
+  *    `localCheckpoint` (default) is cheap but stores blocks only on
+  *    executors — one lost executor mid-round kills the job (lineage is
+  *    truncated). For cluster deployments pass `checkpointDir` to use
+  *    reliable `checkpoint()` into fault-tolerant storage instead;
+  *  - convergence is decided by two constant-size checks on the
+  *    (checkpointed, already-small) edge set — an aggregate for "every
+  *    child has exactly one root" and a semi-join for "no root is also a
+  *    child" — never a driver-side collect of the data.
   */
 object ConnectedComponents {
 
@@ -40,38 +50,41 @@ object ConnectedComponents {
     *                  real near-dup graphs), so hitting this indicates a bug,
     *                  not a big graph — we throw rather than return a wrong
     *                  partial labeling.
+    * @param checkpointDir when set, rounds checkpoint reliably into this
+    *                  fault-tolerant directory (survives executor loss — the
+    *                  right choice on a real cluster); when None, rounds use
+    *                  `localCheckpoint` (fast, executor-memory-resident,
+    *                  fine for single-JVM / short jobs).
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 30, checkpointDir: Option[String] = None): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+
     // canonical undirected form: (u = larger, v = smaller), no self-loops.
     // Checkpointed: each round references its input ~3 times, and the input
     // here is often an expensive pair-generation pipeline.
-    var e = edges
+    var e = save(edges
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
         least(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
-    // Convergence = the edge set is a union of stars (every edge is
-    // (child, root)), which by Kiveris et al. Thm 1-3 is exactly the fixed
-    // point of the star operations. Checking "no node is both a child and a
-    // root" directly (one semi-join on the checkpointed set) converges one
-    // full round earlier than comparing consecutive edge-set fingerprints —
-    // on real near-dup graphs (mostly pairs/triangles) that is 1 round
-    // instead of 2, i.e. ~half the shuffles.
-    var converged = isStarSet(e)
+    var converged = isDisjointStars(e)
     var round = 0
     while (!converged && round < maxRounds) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      converged = isStarSet(e)
+      e = save(smallStar(largeStar(e)))
+      converged = isDisjointStars(e)
       round += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds")
     // every edge is (child, root = component minimum); roots appear only on
-    // the v side.
+    // the v side and each child has exactly one root.
     e.select(col("u").as("node"), col("v").as("rep"))
       .union(e.select(col("v").as("node"), col("v").as("rep")))
       .distinct()
@@ -79,34 +92,30 @@ object ConnectedComponents {
 
   /** Large-star: for each node u, connect every LARGER neighbor to the
     * minimum of Γ(u) ∪ {u}. Keeps components intact, pulls high nodes
-    * toward local minima. The per-node minimum rides along as a window
-    * aggregate over the SAME shuffle that groups the neighbors — one
-    * exchange per round instead of groupBy + join-back (at near-dup edge
-    * cardinalities the rounds are stage-overhead-bound, not data-bound).
+    * toward local minima. The per-node minimum is a partial aggregate
+    * (map-side combine — a giant star's neighbor list is reduced inside
+    * each input partition before the shuffle) joined back on the node key.
     * Output stays canonical (first col > second) but may carry duplicates —
     * small-star's closing distinct absorbs them, so deduping here would be
     * a wasted shuffle.
     */
-  private def largeStar(e: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
     val bi = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    bi.withColumn("m",
-        least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
+    val mins = bi.groupBy("u").agg(min(col("v")).as("mv"))
+    bi.join(mins, "u")
       .filter(col("v") > col("u"))
-      .select(col("v").as("u"), col("m").as("v"))
+      .select(col("v").as("u"), least(col("mv"), col("u")).as("v"))
   }
 
   /** Small-star: orient edges toward smaller ids, then connect every smaller
-    * neighbor (and u itself) to the minimum neighbor. Same single-exchange
-    * window shape as [[largeStar]]; both emitted branches reuse that
-    * exchange. Output canonical and distinct.
+    * neighbor (and u itself) to the minimum neighbor. Same partial-agg +
+    * join-back shape as [[largeStar]]. Output canonical and distinct.
     */
-  private def smallStar(e: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
     // e is already canonical (u > v) — Γ(u) below is exactly the smaller
     // neighbors, so m = min(Γ(u)) ≤ every emitted partner.
-    val withM = e.withColumn("m",
-      min(col("v")).over(Window.partitionBy(col("u"))))
+    val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+    val withM = e.join(mins, "u")
     withM.select(col("v").as("n"), col("m"))
       .union(withM.select(col("u").as("n"), col("m")))
       .filter(col("n") =!= col("m"))
@@ -114,11 +123,27 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** True iff no node appears both as a child (u side) and a root (v side) —
-    * i.e. the canonical edge set is a union of stars, the algorithm's fixed
-    * point. One broadcast-or-shuffle semi-join over the (checkpointed,
-    * already-small) edge set.
+  /** True iff the canonical edge set is a DISJOINT union of stars — the
+    * algorithm's true fixed point and a correct labeling (star operations
+    * preserve connectivity, so each star is then exactly one component,
+    * rooted at its minimum). Two conditions, both required:
+    *
+    *  1. every child has exactly one root — `groupBy(u).count == 1`
+    *     everywhere. Without this, a child bridging two roots (edges
+    *     (3,1),(3,2): C pairs with A and B but A,B don't pair — a
+    *     non-transitive near-dup triple) would pass a mere "no node on both
+    *     sides" test and the two components would never merge;
+    *  2. no node appears both as a child (u side) and a root (v side).
+    *
+    * Both run on the checkpointed, already-small edge set: one partial
+    * aggregate and one semi-join, constant-size results, no data collect.
+    * Condition 1's count(*) equals countDistinct because `e` is distinct
+    * at every point this is called (initial distinct / small-star output).
     */
-  private def isStarSet(e: DataFrame): Boolean =
-    e.as("a").join(e.as("b"), col("a.v") === col("b.u"), "left_semi").isEmpty
+  private[graft] def isDisjointStars(e: DataFrame): Boolean = {
+    val oneRootEach =
+      e.groupBy("u").agg(count(lit(1)).as("nr")).filter(col("nr") > 1).isEmpty
+    oneRootEach &&
+      e.as("a").join(e.as("b"), col("a.v") === col("b.u"), "left_semi").isEmpty
+  }
 }

@@ -56,4 +56,85 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(separate.filter(_._1 >= 20L).values.toSet == Set(20L))
     assert(separate.filter(_._1 < 20L).values.toSet == Set(1L))
   }
+
+  test("non-transitive pair triple merges (shared-child star set)") {
+    // C pairs with A and B, but A does not pair with B — the canonical
+    // edge set {(3,1),(3,2)} has no node on both sides yet is NOT a
+    // disjoint union of stars (child 3 has two roots). A convergence test
+    // that only checks side-disjointness declares victory here and returns
+    // two conflicting reps for node 3; the disjoint-stars test must force
+    // another round until all three nodes share rep 1.
+    assert(cc(Seq((1L, 3L), (2L, 3L))) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // same shape, more children/roots interleaved
+    assert(cc(Seq((10L, 30L), (20L, 30L), (20L, 40L))) ==
+      Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L))
+  }
+
+  test("randomized graphs match a driver-side union-find") {
+    val rnd = new scala.util.Random(0xC0FFEEL)
+    for (trial <- 1 to 6) {
+      val n = 40 + rnd.nextInt(40)
+      val m = 1 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find oracle
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(t => Seq(t._1, t._2)).distinct
+        val comps = nodes.groupBy(find).map { case (_, ns) =>
+          ns.toSet -> ns.min
+        }
+        val expected = comps.flatMap { case (ns, mn) => ns.map(_ -> mn) }.toMap
+        assert(cc(edges) == expected, s"trial $trial: n=$n m=$m")
+      }
+    }
+  }
+
+  test("giant bridged stars: big component labels correctly, no Window op") {
+    // two 25k-child hubs bridged by one edge — after round 1 the surviving
+    // root's neighbor list IS the whole component. The windowed-min
+    // formulation funnels those rows through one task; the partial-agg
+    // formulation combines map-side. Assert correctness AND that the star
+    // rounds' physical plans aggregate partially instead of windowing.
+    val big = (1L to 25000L).map(i => (i * 4, 0L)) ++
+      (1L to 25000L).map(i => (i * 4 + 1, 1L)) ++ Seq((0L, 1L))
+    val small = (200000L until 200400L by 2).map(i => (i, i + 1))
+    val got = cc(big ++ small)
+    assert(got.size == 50002 + 400)
+    assert(got.filter(_._1 < 200000L).values.forall(_ == 0L))
+    assert(got.filter(_._1 >= 200000L).forall { case (n, r) => r == (n / 2) * 2 })
+  }
+
+  test("star-round plans use partial aggregation, not Window") {
+    import spark.implicits._
+    val e = Seq((5L, 1L), (4L, 1L), (3L, 2L)).toDF("u", "v")
+    for (round <- Seq(ConnectedComponents.largeStar(e),
+        ConnectedComponents.smallStar(e))) {
+      val plan = round.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), plan)
+      assert(plan.contains("HashAggregate"), plan)
+      assert(plan.toLowerCase.contains("partial_min"), plan)
+    }
+  }
+
+  test("reliable checkpoint path labels identically") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-cc-ckpt").toString
+    val edges = ((0L until 30L).map(i => (i, i + 1)) ++ Seq((50L, 51L)))
+      .toDF("a", "b")
+    val got = ConnectedComponents
+      .run(edges, "a", "b", checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 33)
+    assert(got.filter(_._1 <= 31L).values.forall(_ == 0L))
+    assert(got(50L) == 50L && got(51L) == 50L)
+  }
 }

@@ -42,7 +42,9 @@ final class LocalProtectionAgent private (
         (if (fixedWidth.isDefined) "per_value_fixed" else "per_value_variable"),
       ProtectionPipeline.KeyCodec -> codecName,
       ProtectionPipeline.KeyKeyId -> ctx.keyId,
-      ProtectionPipeline.KeyOrigType -> dataType.json))
+      ProtectionPipeline.KeyOrigType -> dataType.json,
+      ProtectionPipeline.KeyRows -> values.size.toString,
+      ProtectionPipeline.KeyNulls -> presence.count(_ == 0).toString))
   }
 
   /** Inverse of [[encrypt]] with the reference's decrypt-side checks:

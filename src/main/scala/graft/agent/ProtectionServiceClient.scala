@@ -93,14 +93,19 @@ final class ProtectionServiceClient(
   def prefetchToken(): Option[String] =
     ensureValidToken().left.toOption.orElse(None)
 
-  /** Authenticated POST with the 401-invalidate-retry-once discipline. */
-  def post(endpoint: String, fields: Map[String, String]): TransportResponse = {
+  /** Authenticated POST of a flat JSON object body. */
+  def post(endpoint: String, fields: Map[String, String]): TransportResponse =
+    postRaw(endpoint, FlatJson.write(fields))
+
+  /** Authenticated POST of a prebuilt body (the nested request envelopes),
+    * with the 401-invalidate-retry-once discipline.
+    */
+  def postRaw(endpoint: String, body: String): TransportResponse = {
     def attempt(): TransportResponse = ensureValidToken() match {
       case Left(err) => TransportResponse(0, "", err)
       case Right(t) =>
         val auth = s"${t.tokenType.stripSuffix(" ")} ${t.token}"
-        transport.post(endpoint, FlatJson.write(fields),
-          baseHeaders + (AuthorizationHeader -> auth))
+        transport.post(endpoint, body, baseHeaders + (AuthorizationHeader -> auth))
     }
     val first = attempt()
     if (first.status == 401) { // token expired between validation and use

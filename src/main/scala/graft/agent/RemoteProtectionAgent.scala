@@ -1,18 +1,31 @@
 package graft.agent
 
-import java.util.Base64
-
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types._
 
 import graft.core._
-import graft.pipeline.ProtectionPipeline
+import graft.pipeline.{PageSequencer, ProtectionPipeline}
+import graft.service.JsonEnvelope
+import graft.service.JsonEnvelope.{DecryptResponse, EncryptResponse, ProtectRequest}
 
 /** Remote protection agent — parity surface for the reference's
   * `RemoteDataBatchProtectionAgent` (`/root/reference/src/common/dbpa_remote.cpp:170-365`):
-  * same batch interface as [[LocalProtectionAgent]], but every call crosses a
-  * serialization boundary to a protection service through an injected
-  * [[ProtectionTransport]] (the reference injects its HTTP client the same
-  * way, `dbpa_remote.cpp:164-168`).
+  * every call crosses a serialization boundary to a protection service
+  * through an injected [[ProtectionTransport]] (the reference injects its
+  * HTTP client the same way, `dbpa_remote.cpp:164-168`), speaking the
+  * reference's NESTED JSON envelope (`json_request.cpp`) on the wire.
+  *
+  * Two call surfaces share that wire protocol:
+  *  - **page mode** ([[initPage]] → [[encryptPage]]/[[decryptPage]]) is the
+  *    reference agent's own signature — a raw Parquet page payload plus
+  *    `encoding_attributes` per call (`dbpa_remote.cpp:246-365`);
+  *  - **cell mode** ([[init]] → [[encrypt]]/[[decrypt]]) is this engine's
+  *    Spark-typed batch surface, expressed over the SAME protocol by
+  *    encoding each batch as an uncompressed DATA_PAGE_V2 page: the
+  *    presence mask is the definition-level section (opaque bytes, length
+  *    in the attributes) and the present values are PLAIN-encoded in the
+  *    mapped Parquet physical type. The resulting ciphertext is
+  *    byte-identical to [[LocalProtectionAgent.encrypt]]'s, so local- and
+  *    remote-encrypted batches stay interchangeable.
   *
   * Reference semantics reproduced:
   *  - construct-then-`init` lifecycle; `encrypt`/`decrypt` before a
@@ -27,6 +40,13 @@ import graft.pipeline.ProtectionPipeline
   *    compression (`dbpa_remote.cpp:345-361`);
   *  - auth: token fetch/cache/expiry-skew/retry-once-on-401 lives in
   *    [[ProtectionServiceClient]] (`http_client_base.cpp:39-199`).
+  *
+  * @param codecName the cipher the TARGET SERVICE is configured with
+  *                  ([[graft.service.ProtectionService]]'s `codecName`) —
+  *                  stamped into cell-batch metadata so remote-encrypted
+  *                  batches interoperate with local agents; the service, not
+  *                  the client, owns the actual cipher choice (the
+  *                  reference's server-side encryptor factory).
   */
 final class RemoteProtectionAgent(
     transport: ProtectionTransport,
@@ -44,14 +64,47 @@ final class RemoteProtectionAgent(
   private var keyId: String = _
   private var appContext: String = _
   private var userId: String = _
+  private var codecName: String = CryptoCodec.Xor
+  // cell mode
   private var dataType: DataType = _
-  private var codecName: String = _
+  // page mode
+  private var physicalType: String = _
+  private var typeLength: Option[Int] = None
+  private var pageCompression: String = PageCodec.Uncompressed
 
-  /** Bind the column context and verify server connectivity
+  /** Bind a Spark-typed column context and verify server connectivity
     * (`RemoteDataBatchProtectionAgent::init`, `dbpa_remote.cpp:170-244`).
     */
   def init(columnName: String, appContext: String, keyId: String,
       dataType: DataType, codec: String = CryptoCodec.Xor): Unit = {
+    initCommon(columnName, appContext, keyId)
+    this.dataType = dataType
+    this.codecName = codec
+    val (pt, len) = physicalMapping(dataType)
+    this.physicalType = pt
+    this.typeLength = len
+    this.pageCompression = PageCodec.Uncompressed
+    initError = None
+  }
+
+  /** Bind a raw-page column context — the reference agent's actual `init`
+    * signature (`dbpa_remote.cpp:170-179`): Parquet physical type, optional
+    * length, page compression.
+    */
+  def initPage(columnName: String, appContext: String, keyId: String,
+      physicalType: String, typeLength: Option[Int] = None,
+      compression: String = PageCodec.Uncompressed): Unit = {
+    initCommon(columnName, appContext, keyId)
+    if (!PageCodec.PhysicalTypes.contains(physicalType))
+      throw new GraftInvalidInputException(s"Invalid datatype: $physicalType")
+    this.dataType = null
+    this.physicalType = physicalType
+    this.typeLength = typeLength
+    this.pageCompression = compression
+    initError = None
+  }
+
+  private def initCommon(columnName: String, appContext: String, keyId: String): Unit = {
     initError = Some("Agent not properly initialized - incomplete")
     if (appContext.isEmpty) {
       initError = Some("Agent not properly initialized - app_context is empty")
@@ -74,28 +127,55 @@ final class RemoteProtectionAgent(
     this.keyId = keyId
     this.appContext = appContext
     this.userId = uid
-    this.dataType = dataType
-    this.codecName = codec
-    initError = None
   }
 
-  /** Encrypt one column batch through the service. Same contract as
+  // ---------------------------------------------------------------- page mode --
+
+  /** Encrypt one raw page payload through the service
+    * (`RemoteDataBatchProtectionAgent::Encrypt`, `dbpa_remote.cpp:246-298`).
+    */
+  def encryptPage(plaintext: Array[Byte],
+      encodingAttributes: Map[String, String]): EncryptedBatch = {
+    initError.foreach(e => throw new GraftInvalidInputException(e))
+    val resp = callEncrypt(plaintext, encodingAttributes)
+    EncryptedBatch(resp.encryptedValue, resp.encryptionMetadata)
+  }
+
+  /** Inverse of [[encryptPage]] (`dbpa_remote.cpp:300-365`); the caller
+    * presents the metadata from encryption, like the reference's
+    * `column_encryption_metadata`.
+    */
+  def decryptPage(batch: EncryptedBatch,
+      encodingAttributes: Map[String, String]): Array[Byte] = {
+    initError.foreach(e => throw new GraftInvalidInputException(e))
+    callDecrypt(batch.payload, encodingAttributes, batch.metadata).value
+  }
+
+  // ---------------------------------------------------------------- cell mode --
+
+  /** Encrypt one Spark-typed column batch. Same contract as
     * [[LocalProtectionAgent.encrypt]] — remote and local agents are
     * interchangeable for a caller holding value batches.
     */
   def encrypt(values: Seq[Any]): EncryptedBatch = {
     initError.foreach(e => throw new GraftInvalidInputException(e))
-    val fields = requestFields + ("plaintext" -> b64(PlainBatch.pack(dataType, values)))
-    val body = call("/encrypt", fields)
-    // field match: response compression must echo the request
-    // (`ValidateEncryptFieldMatch`, dbpa_remote.cpp:286-296)
-    fieldMatch(body.getOrElse("encrypted_compression", ""), Compression,
-      "encrypted_compression", "Encrypt")
-    val meta = body.collect {
-      case (k, v) if k.startsWith(MetaPrefix) => k.stripPrefix(MetaPrefix) -> v
-    }
-    EncryptedBatch(unb64(body.getOrElse("ciphertext",
-      throw new GraftInvalidInputException("encrypt response missing ciphertext"))), meta)
+    requireCellMode()
+    val presence = values.map(v => if (v == null) 0.toByte else 1.toByte).toArray
+    val present = values.filter(_ != null)
+      .map(v => ValueSerde.serialize(dataType, ExternalSerde.toCatalyst(dataType, v)))
+    // DATA_PAGE_V2 layout: [def-level bytes = presence][PLAIN values]
+    val page = presence ++ PageCodec.joinValueBytes(present, physicalType, typeLength)
+    val nNulls = presence.count(_ == 0)
+    val resp = callEncrypt(page, cellAttributes(values.size, nNulls))
+    EncryptedBatch(resp.encryptedValue, resp.encryptionMetadata ++ Map(
+      ProtectionPipeline.KeyMode ->
+        (if (ValueSerde.fixedWidth(dataType).isDefined) "per_value_fixed"
+         else "per_value_variable"),
+      ProtectionPipeline.KeyCodec -> codecName,
+      ProtectionPipeline.KeyKeyId -> keyId,
+      ProtectionPipeline.KeyOrigType -> dataType.json,
+      ProtectionPipeline.KeyRows -> values.size.toString,
+      ProtectionPipeline.KeyNulls -> nNulls.toString))
   }
 
   /** Inverse of [[encrypt]], with the decrypt-side field-match checks
@@ -103,35 +183,136 @@ final class RemoteProtectionAgent(
     */
   def decrypt(batch: EncryptedBatch): Seq[Any] = {
     initError.foreach(e => throw new GraftInvalidInputException(e))
-    val fields = requestFields +
-      ("ciphertext" -> b64(batch.payload)) ++
-      batch.metadata.map { case (k, v) => (MetaPrefix + k) -> v }
-    val body = call("/decrypt", fields)
-    fieldMatch(body.getOrElse("datatype", ""), dataType.json, "datatype", "Decrypt")
-    fieldMatch(body.getOrElse("compression", ""), Compression, "compression", "Decrypt")
-    PlainBatch.unpack(dataType, unb64(body.getOrElse("plaintext",
-      throw new GraftInvalidInputException("decrypt response missing plaintext"))))
+    requireCellMode()
+    val declaredType = batch.metadata.get(ProtectionPipeline.KeyOrigType)
+    declaredType.map(DataType.fromJson).foreach { dt =>
+      if (dt != dataType)
+        throw new GraftInvalidInputException(
+          s"datatype mismatch: batch has ${dt.catalogString}, " +
+            s"agent bound to ${dataType.catalogString}") // A8 field-match
+    }
+    val rows = cellCount(batch, ProtectionPipeline.KeyRows)
+    val nulls = cellCount(batch, ProtectionPipeline.KeyNulls)
+    // server-side sequencer metadata: version passthrough (its prefix check
+    // must fire on tampered batches) + the page-mode encryption mode.
+    val serverMeta = Map(
+      ProtectionPipeline.KeyVersion ->
+        batch.metadata.getOrElse(ProtectionPipeline.KeyVersion,
+          throw new GraftInvalidInputException("missing agent version metadata")),
+      PageSequencer.ModeKeyDataPage ->
+        batch.metadata.getOrElse(PageSequencer.ModeKeyDataPage,
+          PageSequencer.ModePerValue))
+    val resp = callDecrypt(batch.payload, cellAttributes(rows, nulls), serverMeta)
+    val page = resp.value
+    if (page.length < rows)
+      throw new GraftInvalidInputException(
+        s"decrypted page has ${page.length} bytes, shorter than the $rows-byte presence mask")
+    val presence = java.util.Arrays.copyOfRange(page, 0, rows)
+    val valueBytes = java.util.Arrays.copyOfRange(page, rows, page.length)
+    val typed = PageCodec.splitValueBytes(
+      valueBytes, rows - nulls, physicalType, typeLength, "PLAIN")
+    if (presence.count(_ != 0) != typed.size)
+      throw new GraftInvalidInputException(
+        s"presence mask claims ${presence.count(_ != 0)} values but payload holds ${typed.size}")
+    val it = typed.iterator
+    presence.map { p =>
+      if (p == 0) null
+      else ExternalSerde.fromCatalyst(dataType, ValueSerde.deserialize(dataType, it.next()))
+    }.toSeq
   }
 
-  private def requestFields: Map[String, String] = Map(
-    "column_name" -> columnName,
-    "datatype" -> dataType.json,
-    "codec" -> codecName,
-    "compression" -> Compression,
-    "key_id" -> keyId,
-    "user_id" -> userId,
-    "app_context" -> appContext)
+  private def requireCellMode(): Unit =
+    if (dataType == null)
+      throw new GraftInvalidInputException(
+        "agent is bound to page mode; use encryptPage/decryptPage")
 
-  private def call(endpoint: String, fields: Map[String, String]): Map[String, String] = {
-    val resp = client.post(endpoint, fields)
+  private def cellCount(batch: EncryptedBatch, key: String): Int =
+    batch.metadata.get(key).flatMap(s => s.toIntOption).getOrElse(
+      throw new GraftInvalidInputException(
+        s"cell batch metadata missing row-count key '$key'"))
+
+  /** The V2 attribute set describing a cell batch as a page: presence bytes
+    * are the (opaque) definition-level section, values are PLAIN.
+    */
+  private def cellAttributes(rows: Int, nulls: Int): Map[String, String] = Map(
+    "page_type" -> "DATA_PAGE_V2",
+    "data_page_num_values" -> rows.toString,
+    "data_page_max_definition_level" -> "1",
+    "data_page_max_repetition_level" -> "0",
+    "page_v2_definition_levels_byte_length" -> rows.toString,
+    "page_v2_repetition_levels_byte_length" -> "0",
+    "page_v2_num_nulls" -> nulls.toString,
+    "page_v2_is_compressed" -> "false",
+    "page_encoding" -> "PLAIN")
+
+  // --------------------------------------------------------------- transport --
+
+  /** Build + POST one nested `/encrypt` envelope, with the reference's
+    * response discipline (`dbps_api_client.cpp:190-266`): HTTP failure →
+    * error with the server body; invalid response envelope → client error;
+    * then the encrypt field-match (`dbpa_remote.cpp:286-296`).
+    */
+  private def callEncrypt(payload: Array[Byte],
+      attrs: Map[String, String]): EncryptResponse = {
+    val body = call("/encrypt", envelope(encrypt = true, payload, attrs, Map.empty))
+    val resp = EncryptResponse.parse(body) match {
+      case Left(err) => throw new GraftInvalidInputException(err)
+      case Right(r) => r
+    }
+    fieldMatch(resp.encryptedCompression, Compression, "encrypted_compression", "Encrypt")
+    if (resp.encryptedValue.isEmpty)
+      throw new GraftInvalidInputException("Decoded ciphertext response is empty")
+    resp
+  }
+
+  private def callDecrypt(payload: Array[Byte], attrs: Map[String, String],
+      metadata: Map[String, String]): DecryptResponse = {
+    val body = call("/decrypt", envelope(encrypt = false, payload, attrs, metadata))
+    val resp = DecryptResponse.parse(body) match {
+      case Left(err) => throw new GraftInvalidInputException(err)
+      case Right(r) => r
+    }
+    fieldMatch(resp.datatype, physicalType, "datatype", "Decrypt")
+    fieldMatch(resp.compression, Compression, "compression", "Decrypt")
+    resp
+  }
+
+  private def envelope(encrypt: Boolean, payload: Array[Byte],
+      attrs: Map[String, String], metadata: Map[String, String]): ProtectRequest =
+    ProtectRequest(
+      encrypt = encrypt,
+      columnName = columnName,
+      datatype = Some(physicalType),
+      datatypeLength = typeLength,
+      datatypeLengthStr = "",
+      compression = Some(pageCompression),
+      // ExtractPageEncoding (`dbpa_remote.cpp:248-255`): the top-level
+      // encoding is the page encoding from the attributes, default PLAIN.
+      encoding = Some(attrs.getOrElse("page_encoding", "PLAIN")),
+      encodingAttributes = attrs,
+      encryptedCompression = Some(Compression),
+      keyId = keyId,
+      userId = userId,
+      applicationContext = appContext,
+      // GenerateReferenceId (`dbps_api_client.cpp:35-40`): millis timestamp
+      referenceId = System.currentTimeMillis().toString,
+      value = payload,
+      encryptionMetadata = metadata)
+
+  private def call(endpoint: String, req: ProtectRequest): String = {
+    val resp = client.postRaw(endpoint, req.toJson)
     if (!resp.ok)
       throw new GraftInvalidInputException(
         if (resp.error.nonEmpty) resp.error
-        else s"$endpoint failed with status ${resp.status}: ${resp.body}")
-    val body = FlatJson.parse(resp.body)
-    body.get("error_message").foreach(m =>
-      throw new GraftInvalidInputException(m))
-    body
+        else {
+          // surface the server's {"error": message} envelope when present
+          val serverMsg =
+            try Option(JsonEnvelope.mapper.readTree(resp.body))
+              .flatMap(n => Option(n.get("error"))).map(_.asText())
+            catch { case _: Exception => None }
+          serverMsg.getOrElse(s"$endpoint failed with status ${resp.status}: ${resp.body}")
+        })
+    resp.body
   }
 
   private def fieldMatch(responseValue: String, requestValue: String,
@@ -147,13 +328,26 @@ object RemoteProtectionAgent {
     * the Parquet writer's job in this architecture — SURVEY §1.3).
     */
   final val Compression = "UNCOMPRESSED"
-  private final val MetaPrefix = "meta."
 
-  private def b64(b: Array[Byte]): String = Base64.getEncoder.encodeToString(b)
-  private def unb64(s: String): Array[Byte] =
-    try Base64.getDecoder.decode(s)
-    catch { case e: IllegalArgumentException =>
-      throw new GraftInvalidInputException(s"invalid base64 payload: ${e.getMessage}") }
+  /** Spark type → Parquet physical type, chosen so the per-value byte layout
+    * (and the §1.5 fixed/variable classification) matches
+    * [[graft.core.ValueSerde]] exactly — that is what keeps remote- and
+    * local-encrypted cell batches byte-interchangeable. Types with no
+    * same-width physical analog ride FIXED_LEN_BYTE_ARRAY (1- and 2-byte
+    * scalars) or BYTE_ARRAY (variable).
+    */
+  def physicalMapping(dt: DataType): (String, Option[Int]) = dt match {
+    case BooleanType | ByteType => ("FIXED_LEN_BYTE_ARRAY", Some(1))
+    case ShortType => ("FIXED_LEN_BYTE_ARRAY", Some(2))
+    case IntegerType | DateType => ("INT32", None)
+    case FloatType => ("FLOAT", None)
+    case LongType | TimestampType | TimestampNTZType => ("INT64", None)
+    case DoubleType => ("DOUBLE", None)
+    case StringType | BinaryType => ("BYTE_ARRAY", None)
+    case _: DecimalType => ("BYTE_ARRAY", None)
+    case other =>
+      throw new GraftInvalidInputException(s"unsupported type for protection: $other")
+  }
 
   /** `ExtractUserId` (`dbpa_utils.h:43-56`): app_context is JSON with a
     * non-empty string `user_id`.
@@ -161,39 +355,4 @@ object RemoteProtectionAgent {
   def extractUserId(appContext: String): Option[String] =
     try FlatJson.parse(appContext).get("user_id").filter(_.nonEmpty)
     catch { case _: Exception => None }
-}
-
-/** Plaintext batch wire form shared by the remote agent and the service:
-  * `[u32 LE presence_len][presence bytes][value list]` with the value list in
-  * the §1.5 layout but an identity codec — the same framing the encrypted
-  * path uses, so both sides reuse [[WireFormat]]'s strict parsers.
-  */
-private[graft] object PlainBatch {
-  private object PlainCodec extends CryptoCodec {
-    val name = "plain"
-    val deterministic = true
-    def encrypt(data: Array[Byte]): Array[Byte] = data
-    def decrypt(data: Array[Byte]): Array[Byte] = data
-  }
-
-  def pack(dataType: DataType, values: Seq[Any]): Array[Byte] = {
-    val presence = values.map(v => if (v == null) 0.toByte else 1.toByte).toArray
-    val present = values.filter(_ != null)
-      .map(v => ValueSerde.serialize(dataType, ExternalSerde.toCatalyst(dataType, v)))
-    WireFormat.joinWithLengthPrefix(presence,
-      WireFormat.encryptValueList(PlainCodec, present, ValueSerde.fixedWidth(dataType)))
-  }
-
-  def unpack(dataType: DataType, payload: Array[Byte]): Seq[Any] = {
-    val (presence, valueBytes) = WireFormat.splitWithLengthPrefix(payload)
-    val values = WireFormat.decryptValueList(PlainCodec, valueBytes)
-    if (presence.count(_ != 0) != values.size)
-      throw new GraftInvalidInputException(
-        s"presence mask claims ${presence.count(_ != 0)} values but payload holds ${values.size}")
-    val it = values.iterator
-    presence.map { p =>
-      if (p == 0) null
-      else ExternalSerde.fromCatalyst(dataType, ValueSerde.deserialize(dataType, it.next()))
-    }.toSeq
-  }
 }

@@ -61,6 +61,12 @@ object ProtectionPipeline {
   final val KeyCodec = "encrypt_codec"
   final val KeyKeyId = "encrypt_key_id"
   final val KeyOrigType = "original_type"
+  /** Cell-batch shape carried in metadata — what a remote decrypt needs to
+    * describe the batch as a page to the service (the reference's decrypt
+    * REQUEST likewise carries `encryption_metadata`, `json_request.cpp:499-505`).
+    */
+  final val KeyRows = "cell_num_values"
+  final val KeyNulls = "cell_num_nulls"
 
   /** Effective mode after plan-time fallback: BOOLEAN can't be per-value
     * (reference: bit-packed → `BooleanTypeUsesPerBlockEncryption`).

@@ -108,13 +108,21 @@ final case class TokenResponse(
 
   def validationError: String = errorMessage
 
-  /** Body of a 200 `/token` response, field-compatible with what
-    * [[graft.agent.ProtectionServiceClient]] parses.
+  /** Body of a 200 `/token` response. `expires_at` is a JSON NUMBER — the
+    * reference emits the int64 directly (`json_request.cpp:259`), and a
+    * non-graft client pointed at this service would reject a string there.
     */
-  def toJson: String = FlatJson.write(Map(
-    "token" -> token.getOrElse(""),
-    "token_type" -> tokenType,
-    "expires_at" -> expiresAt.map(_.toString).getOrElse("")))
+  def toJson: String = {
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("token", token.getOrElse(""))
+    node.put("token_type", tokenType)
+    expiresAt match {
+      case Some(e) => node.put("expires_at", e)
+      case None => node.put("expires_at", "")
+    }
+    mapper.writeValueAsString(node)
+  }
 }
 
 /** Server-side credential store + JWT issuer/verifier — parity with the

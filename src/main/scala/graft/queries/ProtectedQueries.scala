@@ -190,6 +190,158 @@ object ProtectedQueries {
         CAST(sum(4 + octet_length(encode(text))) AS BIGINT) AS payload_bytes,
         'per_value' AS mode,
         CAST(1 AS BIGINT) AS roundtrip_ok
+      FROM documents""")),
+
+    // Typed/nullable page grid run DISTRIBUTED — the page shapes p01 leaves
+    // out (VERDICT r4 #5, `encryption_sequencer_test.cpp` nullable cases):
+    //  (a) DATA_PAGE_V1 with max_definition_level=1 and REAL RLE-encoded
+    //      definition levels — the T5/T6 ULEB128+RLE decode computes the
+    //      present count, and a miscount breaks the round trip;
+    //  (b) FIXED_LEN_BYTE_ARRAY(16) page (md5 digests) — the typeLength
+    //      path through T8/T13;
+    //  (c) DATA_PAGE_V2 with SNAPPY-compressed values and the def-level
+    //      section carried opaque, nulls declared via num_nulls.
+    // The oracle recomputes page counts, present counts, and exact PLAIN
+    // value-section byte sizes from the raw table; `mode` and the
+    // round-trip bit pin per-value operation end-to-end.
+    ("p02_typed_pages", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      rd(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 % 32)
+        .mapGroups { (bucket, rows) =>
+          import java.nio.{ByteBuffer, ByteOrder}
+          import graft.core.PageCodec
+          val docs = rows.toArray.sortBy(_._1)
+          // deterministic nulls: every doc_id divisible by 5
+          val present = docs.filter(_._1 % 5 != 0)
+            .map(_._2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          def plain(values: Array[Array[Byte]]): Array[Byte] = {
+            val bb = ByteBuffer.allocate(values.iterator.map(_.length + 4).sum)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            values.foreach { v => bb.putInt(v.length); bb.put(v) }
+            bb.array()
+          }
+          def uleb(n: Int): Array[Byte] = {
+            var v = n
+            val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+            var continue = true
+            while (continue) {
+              var b = v & 0x7f
+              v >>>= 7
+              if (v != 0) b |= 0x80 else continue = false
+              out += b.toByte
+            }
+            out.toArray
+          }
+          // parquet RLE runs over the 0/1 definition levels, one run per
+          // stretch of equal values, u32-LE length-prefixed (V1 layout)
+          def rleLevels(levels: Array[Int]): Array[Byte] = {
+            val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+            levels.foreach { l =>
+              if (runs.nonEmpty && runs.last._1 == l) {
+                val (v, c) = runs.last; runs(runs.size - 1) = (v, c + 1)
+              } else runs += ((l, 1))
+            }
+            val body = runs.toArray.flatMap { case (v, c) =>
+              uleb(c << 1) :+ v.toByte
+            }
+            ByteBuffer.allocate(4 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+              .putInt(body.length).put(body).array()
+          }
+          def roundTrip(physicalType: String, typeLength: Option[Int],
+              compression: String, payload: Array[Byte],
+              attrs: Map[String, String]): (Boolean, String) = {
+            val agent = graft.agent.LocalProtectionAgent.initPage(
+              "key-p02", "text", physicalType, typeLength, compression)
+            val enc = agent.encryptPage(payload, attrs)
+            val dec = agent.decryptPage(enc, attrs)
+            (java.util.Arrays.equals(dec, payload) &&
+              !java.util.Arrays.equals(enc.payload, payload),
+              enc.metadata(graft.pipeline.PageSequencer.ModeKeyDataPage))
+          }
+
+          // (a) nullable V1: RLE def levels + PLAIN values of present rows
+          val defLevels = docs.map(d => if (d._1 % 5 != 0) 1 else 0)
+          val v1Values = plain(present)
+          val v1Page = rleLevels(defLevels) ++ v1Values
+          val v1Attrs = Map(
+            "page_type" -> "DATA_PAGE_V1",
+            "data_page_num_values" -> docs.length.toString,
+            "data_page_max_definition_level" -> "1",
+            "data_page_max_repetition_level" -> "0",
+            "page_v1_definition_level_encoding" -> "RLE",
+            "page_v1_repetition_level_encoding" -> "RLE",
+            "page_encoding" -> "PLAIN")
+          // the engine's own T5/T6 decode computes the present count
+          val v1Split = PageCodec.decompressAndSplit(v1Page, "UNCOMPRESSED",
+            PageCodec.parseAttributes(v1Attrs))
+          val (v1Ok, v1Mode) = roundTrip("BYTE_ARRAY", None, "UNCOMPRESSED",
+            v1Page, v1Attrs)
+
+          // (b) FLBA(16): md5 digest per doc, no nulls, fixed 16-byte elements
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+          val flbaPage = docs.flatMap(d => md5.digest(
+            d._2.getBytes(java.nio.charset.StandardCharsets.UTF_8))).toArray
+          val flbaAttrs = Map(
+            "page_type" -> "DATA_PAGE_V1",
+            "data_page_num_values" -> docs.length.toString,
+            "data_page_max_definition_level" -> "0",
+            "data_page_max_repetition_level" -> "0",
+            "page_v1_definition_level_encoding" -> "RLE",
+            "page_v1_repetition_level_encoding" -> "RLE",
+            "page_encoding" -> "PLAIN")
+          val (flbaOk, flbaMode) = roundTrip("FIXED_LEN_BYTE_ARRAY", Some(16),
+            "UNCOMPRESSED", flbaPage, flbaAttrs)
+
+          // (c) V2 + SNAPPY values: presence mask as opaque def-level bytes
+          val v2Levels = docs.map(d => (if (d._1 % 5 != 0) 1 else 0).toByte)
+          val v2Page = v2Levels ++ org.xerial.snappy.Snappy.compress(v1Values)
+          val v2Attrs = Map(
+            "page_type" -> "DATA_PAGE_V2",
+            "data_page_num_values" -> docs.length.toString,
+            "data_page_max_definition_level" -> "1",
+            "data_page_max_repetition_level" -> "0",
+            "page_v2_definition_levels_byte_length" -> docs.length.toString,
+            "page_v2_repetition_levels_byte_length" -> "0",
+            "page_v2_num_nulls" -> (docs.length - present.length).toString,
+            "page_v2_is_compressed" -> "true",
+            "page_encoding" -> "PLAIN")
+          val v2Split = PageCodec.decompressAndSplit(v2Page, "SNAPPY",
+            PageCodec.parseAttributes(v2Attrs))
+          val (v2Ok, v2Mode) = roundTrip("BYTE_ARRAY", None, "SNAPPY",
+            v2Page, v2Attrs)
+
+          (bucket,
+            v1Split.numElements.toLong, v1Split.valueBytes.length.toLong,
+            docs.length.toLong, flbaPage.length.toLong,
+            v2Split.numElements.toLong, v2Split.valueBytes.length.toLong,
+            Seq(v1Mode, flbaMode, v2Mode).min,
+            if (v1Ok && flbaOk && v2Ok) 1L else 0L)
+        }
+        .toDF("bucket", "v1_present", "v1_value_bytes", "flba_values",
+          "flba_bytes", "v2_values", "v2_value_bytes", "mode", "ok")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("v1_present")).as("v1_present"),
+          sum(col("v1_value_bytes")).as("v1_value_bytes"),
+          sum(col("flba_values")).as("flba_values"),
+          sum(col("flba_bytes")).as("flba_bytes"),
+          sum(col("v2_values")).as("v2_values"),
+          sum(col("v2_value_bytes")).as("v2_value_bytes"),
+          min(col("mode")).as("mode"),
+          min(col("ok")).as("roundtrip_ok"))
+    }, Some("""
+      SELECT CAST(count(DISTINCT doc_id % 32) AS BIGINT) AS n_pages,
+        CAST(count(*) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT) AS v1_present,
+        CAST(sum(4 + octet_length(encode(text))) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT)
+          AS v1_value_bytes,
+        CAST(count(*) AS BIGINT) AS flba_values,
+        CAST(16 * count(*) AS BIGINT) AS flba_bytes,
+        CAST(count(*) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT) AS v2_values,
+        CAST(sum(4 + octet_length(encode(text))) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT)
+          AS v2_value_bytes,
+        'per_value' AS mode,
+        CAST(1 AS BIGINT) AS roundtrip_ok
       FROM documents"""))
   )
 }

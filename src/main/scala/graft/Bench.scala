@@ -22,31 +22,52 @@ object Bench {
   private val QueryWarmup = 1
   private val QueryIters = 3
 
+  /** First three fields of /proc/loadavg — lets a reader discount a
+    * load-contaminated snapshot (BENCH_r04 measured 40% slow purely from
+    * end-of-round machine load).
+    */
+  private def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+").take(3).mkString(" ")
+    catch { case _: Exception => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the re-run iterations re-cache identical plans and
+    // CacheManager's "already cached" WARNs (one per iteration per cached
+    // query) crowd the 2 KB stdout tail the driver keeps.
+    spark.sparkContext.setLogLevel("ERROR")
+    val loadStart = loadavg()
     // warm the JVM/codegen once on the smallest SF so per-query numbers
     // measure execution, not first-call class loading.
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // per query: (median, min, max) of the post-warmup iterations — the
+    // spread separates steady-state cost from machine-load noise.
+    val stats = SparkEntry.queries.map { case (name, fn) =>
       val times = (0 until QueryWarmup + QueryIters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.drop(QueryWarmup).sorted
-      name -> times(times.size / 2) // median of post-warmup runs
+      name -> (times(times.size / 2), times.head, times.last)
     }
+    val results = stats.map { case (k, (med, _, _)) => k -> med }
     val crypto = cryptoGrid(spark, sfDir)
     val page = pageGrid(spark, sfDir)
+    val loadEnd = loadavg()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread = stats.map { case (k, (med, mn, mx)) =>
+      f"""\"$k\":{\"med\":$med%.3f,\"min\":$mn%.3f,\"max\":$mx%.3f}"""
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"crypto":$crypto,"page":$page,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_spread":$spread,"crypto":$crypto,"page":$page,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     // The driver captures only the LAST ~2 KB of stdout, so the full ~4 KB
     // line never parsed (BENCH_r1..r3 all "parsed": null). Persist the full
     // JSON to a file and print a compact (<1.5 KB) summary as the final line.
@@ -72,7 +93,7 @@ object Bench {
       .flatMap(k => pageFound.get(k).map(v => "\"" + k + "\":" + v))
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"section_totals_sec":$bySection,"crypto_rows_per_s":$cryptoSummary,"page_encrypt_values_per_s":$pageSummary,"sf":"$sfDir","full":"$fullPath"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"section_totals_sec":$bySection,"crypto_rows_per_s":$cryptoSummary,"page_encrypt_values_per_s":$pageSummary,"loadavg":"$loadEnd","sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 

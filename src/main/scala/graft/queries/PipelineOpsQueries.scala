@@ -56,7 +56,10 @@ object PipelineOpsQueries {
     * the nibble. One SUM vote per bit, then bit b set iff its vote > 0 —
     * the exact [[graft.functions.SimHashAgg]] semantics.
     */
-  private val simhashMd5Sql: String = {
+  /** CTE chain recomputing every md5-hash SimHash signature per-nibble in
+    * DuckDB; shared by the signature oracle (d05) and the pair oracle (d08).
+    */
+  private val simhashMd5Cte: String = {
     val votes = (0 until 60).map { b =>
       val pos = 15 - b / 4 // 1-based hex char position inside substr(h,1,15)
       val pw = 1 << (b % 4)
@@ -71,10 +74,12 @@ object PipelineOpsQueries {
       h AS (SELECT doc_id, md5(tok) AS h FROM tok),
       votes AS (SELECT doc_id,
         $votes
-        FROM h GROUP BY doc_id)
-      SELECT doc_id, CAST($bits AS BIGINT) AS simhash
-      FROM votes ORDER BY doc_id"""
+        FROM h GROUP BY doc_id),
+      sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes)"""
   }
+
+  private val simhashMd5Sql: String =
+    s"$simhashMd5Cte SELECT doc_id, simhash FROM sig ORDER BY doc_id"
 
   val registry: Vector[(String, Q, Option[String])] = Vector(
 
@@ -129,6 +134,28 @@ object PipelineOpsQueries {
         .agg(SimHashAgg.simhash_agg(col("h")).as("simhash"))
         .orderBy("doc_id")
     }, Some(simhashMd5Sql)),
+
+    // d04's PAIR GENERATION gated by a full oracle: the same pigeonhole
+    // banding + hamming verification ([[Dedup.simhashPairs]]) run on the
+    // cross-engine md5-hash signatures, against a brute-force all-pairs
+    // DuckDB recompute. d04 differs only in the token hash (xxhash64), so a
+    // banding or distance bug in its candidate generation fails here.
+    ("d08_simhash_pairs_md5", (s: SparkSession, dir: String) => {
+      import graft.functions.SimHashAgg
+      val sigs = rd(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .withColumn("h",
+          expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(SimHashAgg.simhash_agg(col("h")).as("simhash"))
+      Dedup.simhashPairs(sigs, "doc_id", maxDist = 3)
+        .orderBy("d1", "d2")
+    }, Some(s"""$simhashMd5Cte
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY d1, d2""")),
 
     // Near-dup pairs → canonical clusters: distributed connected components
     // (large-star/small-star) over the verified MinHash-LSH pairs, every doc

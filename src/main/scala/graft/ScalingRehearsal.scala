@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.GraftSession
+
+/** Scaling rehearsal for the curation chain (VERDICT r4 #7): synthesize a
+  * 10× documents table from sf0.1 with CONTROLLED perturbations, run the
+  * expensive dedup/clustering queries at 1× and 10×, and report wall times,
+  * scaling exponents, and per-task maxima (the early-warning signal for a
+  * windowed-stars-class hot partition: a 10× corpus must not produce a 10×
+  * max task).
+  *
+  * Perturbation design — each source doc yields 10 docs with known cluster
+  * structure, so correctness is eyeballable while the volume scales:
+  *  - copy 0: the original text;
+  *  - copies 1–4: first token replaced with a copy marker — a ~1-token edit
+  *    keeps shingle-Jaccard ≥ 0.8 for normal-length docs, forming one
+  *    near-dup cluster {orig, p1..p4};
+  *  - copies 5–9: token order reversed + marker — disjoint shingles from
+  *    the original, but identical to each other, forming a second cluster
+  *    {q5..q9}.
+  *
+  * Usage: `sbt 'runMain graft.ScalingRehearsal [sfDir] [workDir]'` — writes
+  * the 10× table under workDir and prints a markdown table for SCALING.md.
+  */
+object ScalingRehearsal {
+
+  /** Max single-task input/shuffle-read bytes and task time, per query run. */
+  private final class TaskMaxListener extends SparkListener {
+    val maxInput = new java.util.concurrent.atomic.AtomicLong
+    val maxShuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        maxInput.getAndAccumulate(m.inputMetrics.bytesRead, Math.max)
+        maxShuffleRead.getAndAccumulate(
+          m.shuffleReadMetrics.totalBytesRead, Math.max)
+        maxTaskMs.getAndAccumulate(m.executorRunTime, Math.max)
+      }
+    }
+    def reset(): Unit = { maxInput.set(0); maxShuffleRead.set(0); maxTaskMs.set(0) }
+  }
+
+  def synthesize10x(spark: SparkSession, sfDir: String, outDir: String): Long = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = split(col("text"), "\\s+")
+    val perturbed = docs
+      .crossJoin(spark.range(10).toDF("copy"))
+      .withColumn("text",
+        when(col("copy") === 0, col("text"))
+          .when(col("copy") <= 4,
+            concat_ws(" ",
+              concat(lit("p"), col("copy"), lit("_"), col("doc_id")),
+              concat_ws(" ", slice(toks, 2, 1000000))))
+          .otherwise(
+            concat_ws(" ",
+              concat(lit("q"), col("copy")),
+              concat_ws(" ", reverse(toks)))))
+      .withColumn("doc_id", col("doc_id") + col("copy") * 10000000L)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    perturbed.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$outDir/documents.parquet").count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_scale10x")
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val listener = new TaskMaxListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val n10 = synthesize10x(spark, sfDir, workDir)
+    println(s"synthesized 10x table: $n10 docs at $workDir")
+
+    val targets = Seq("d03_minhash_lsh", "d06_neardup_clusters", "d07_curation_pipeline")
+    val queries = SparkEntry.queries
+
+    def timed(name: String, dir: String): (Double, Long, Long, Long, Long) = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val rows = queries(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, rows, listener.maxInput.get, listener.maxShuffleRead.get,
+        listener.maxTaskMs.get)
+    }
+
+    println("| query | 1x sec | 10x sec | exponent | 1x rows | 10x rows | " +
+      "10x max task input | 10x max task shuffle read | 10x max task ms |")
+    println("|---|---|---|---|---|---|---|---|---|")
+    targets.foreach { q =>
+      // warm once at 1x so codegen/class-load doesn't pollute the 1x number
+      timed(q, sfDir)
+      val (t1, r1, _, _, _) = timed(q, sfDir)
+      val (t10, r10, in10, sh10, ms10) = timed(q, workDir)
+      val exponent = math.log(t10 / t1) / math.log(10.0)
+      println(f"| $q | $t1%.1f | $t10%.1f | $exponent%.2f | $r1 | $r10 | " +
+        f"${in10 / 1048576.0}%.1f MiB | ${sh10 / 1048576.0}%.1f MiB | $ms10 ms |")
+    }
+    spark.stop()
+  }
+}

@@ -128,22 +128,24 @@ object ConnectedComponents {
     * preserve connectivity, so each star is then exactly one component,
     * rooted at its minimum). Two conditions, both required:
     *
-    *  1. every child has exactly one root — `groupBy(u).count == 1`
+    *  1. every child has exactly one root — child-side count == 1
     *     everywhere. Without this, a child bridging two roots (edges
     *     (3,1),(3,2): C pairs with A and B but A,B don't pair — a
     *     non-transitive near-dup triple) would pass a mere "no node on both
     *     sides" test and the two components would never merge;
     *  2. no node appears both as a child (u side) and a root (v side).
     *
-    * Both run on the checkpointed, already-small edge set: one partial
-    * aggregate and one semi-join, constant-size results, no data collect.
-    * Condition 1's count(*) equals countDistinct because `e` is distinct
-    * at every point this is called (initial distinct / small-star output).
+    * Both conditions fold into ONE partial aggregate over the (checkpointed,
+    * already-small) edge set — a single Spark job per round, no semi-join,
+    * no data collect. The child-side count equals the distinct-root count
+    * because `e` is distinct at every point this is called (initial
+    * distinct / small-star output).
     */
-  private[graft] def isDisjointStars(e: DataFrame): Boolean = {
-    val oneRootEach =
-      e.groupBy("u").agg(count(lit(1)).as("nr")).filter(col("nr") > 1).isEmpty
-    oneRootEach &&
-      e.as("a").join(e.as("b"), col("a.v") === col("b.u"), "left_semi").isEmpty
-  }
+  private[graft] def isDisjointStars(e: DataFrame): Boolean =
+    e.select(col("u").as("n"), lit(1).as("child"), lit(0).as("root"))
+      .union(e.select(col("v").as("n"), lit(0).as("child"), lit(1).as("root")))
+      .groupBy("n")
+      .agg(sum(col("child")).as("nc"), max(col("root")).as("isRoot"))
+      .filter(col("nc") > 1 || (col("nc") >= 1 && col("isRoot") === 1))
+      .isEmpty
 }

@@ -77,4 +77,22 @@ object TextOps {
     * Collisions ≈ exact near-normal duplicates.
     */
   def fingerprint(text: Column): Column = md5(canonicalText(text))
+
+  /** Repetition counters over word n-grams — the integer core of the
+    * Gopher-family repetition quality filters (Rae et al. 2021 §A1.1:
+    * "fraction of characters in the most common n-gram" etc.), kept as
+    * exact counts so thresholds stay reproducible across engines:
+    * per doc, total n-grams, the top n-gram's occurrence count, and the
+    * distinct n-gram count. One hash aggregation on (id, gram), partial
+    * map-side; a second tiny one per doc — no window, no sort.
+    */
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(shingles(col("_toks"), n)).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("n_grams"),
+        max(col("c")).as("top_count"),
+        count(lit(1)).as("n_distinct"))
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.CryptoCodec
 import graft.functions.protect
-import graft.ops.{ConnectedComponents, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{ConnectedComponents, Decontamination, Dedup, Multimodal, Similarity, TextOps}
 import graft.operators.AsofJoin
 import graft.pipeline.{ColumnPolicy, PerValue, ProtectionPipeline}
 
@@ -156,6 +156,26 @@ object PipelineOpsQueries {
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       ORDER BY d1, d2""")),
+
+    // Benchmark decontamination: corpus docs sharing any 8-token n-gram
+    // with the held-out "eval" split (doc_id % 10 = 0) are flagged with
+    // their distinct-hit counts. The benchmark side broadcasts — the corpus
+    // never shuffles — and DuckDB recomputes the full overlap exactly.
+    ("d09_decontamination", (s: SparkSession, dir: String) => {
+      Decontamination.contaminationHits(rd(s, dir, "documents"),
+          "doc_id", "text", col("doc_id") % 10 === 0, n = 8)
+        .select(col("doc_id"), col("n_hits"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                    FROM documents),
+      g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+      bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0)
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM g JOIN bench USING (s)
+      WHERE g.doc_id % 10 <> 0
+      GROUP BY g.doc_id ORDER BY g.doc_id""")),
 
     // Near-dup pairs → canonical clusters: distributed connected components
     // (large-star/small-star) over the verified MinHash-LSH pairs, every doc
@@ -598,6 +618,26 @@ object PipelineOpsQueries {
           '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrub_fp
       FROM inj ORDER BY doc_id""")),
+
+    // Gopher-family repetition quality counters as exact integers: per doc,
+    // total / top-occurrence / distinct word-2-gram counts. Pure two-level
+    // hash aggregation (map-side partials, no window) — the filter a real
+    // pipeline derives (top_count/n_grams > threshold) stays reproducible
+    // because no float math happens in the engine.
+    ("t10_repetition_stats", (s: SparkSession, dir: String) => {
+      TextOps.ngramRepetition(rd(s, dir, "documents"), "doc_id", "text", n = 2)
+        .select(col("doc_id"), col("n_grams"), col("top_count"), col("n_distinct"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                    FROM documents),
+      g AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS s
+            FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+      c AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        CAST(max(c) AS BIGINT) AS top_count,
+        CAST(count(*) AS BIGINT) AS n_distinct
+      FROM c GROUP BY doc_id ORDER BY doc_id""")),
 
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {

@@ -247,5 +247,36 @@ class OpsSpec extends SparkSpec {
     assert(rows(1).getSeq[Long](3) == Seq(0L, 0L, 0L, 0L))
   }
 
+  test("decontamination: shared 3-grams flag docs; removal keeps the rest") {
+    import graft.ops.Decontamination
+    // doc 100 is "benchmark"; doc 1 contains its exact phrase (contaminated),
+    // doc 2 shares only a 2-gram (clean at n=3), doc 3 is disjoint.
+    val docs = Seq(
+      (100L, "the quick brown fox jumps"),
+      (1L, "intro words the quick brown fox jumps and more"),
+      (2L, "the quick cat sat down low"),
+      (3L, "completely different tokens here now")).toDF("id", "text")
+    val hits = Decontamination
+      .contaminationHits(docs, "id", "text", col("id") >= 100L, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(1L))
+    assert(hits(1L) == 3L) // "the quick brown", "quick brown fox", "brown fox jumps"
+    val kept = Decontamination
+      .decontaminate(docs, "id", "text", col("id") >= 100L, n = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L)) // benchmark doc and contaminated doc removed
+  }
+
+  test("ngram repetition counters match a hand computation") {
+    import graft.ops.TextOps
+    val df = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("id", "text")
+    val got = TextOps.ngramRepetition(df, "id", "text", n = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 2-grams: "a b","b a","a b","b a" → total 4, top 2, distinct 2
+    assert(got(0) == ((1L, 4L, 2L, 2L)))
+    assert(got(1) == ((2L, 2L, 1L, 2L)))
+  }
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 }

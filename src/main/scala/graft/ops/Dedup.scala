@@ -55,11 +55,18 @@ object Dedup {
     * lambda: a lambda that captures the raw `split(...)` expression re-runs
     * the regex split on every element access (no CSE inside higher-order
     * functions) — the difference between O(tokens) and O(tokens²) splits.
+    *
+    * Dedup happens per doc with `array_distinct` BEFORE the explode — the
+    * same row set a global `.distinct()` would produce (rows are
+    * (id, shingle), so global row-dedup IS per-doc dedup), but map-side
+    * with zero shuffle instead of exchanging the entire exploded gram
+    * stream. At corpus scale that removed shuffle is the largest exchange
+    * in the Jaccard/decontamination plans.
     */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
-      .select(col(idCol), explode(TextOps.shingles(col("_toks"), n)).as("shingle"))
-      .distinct()
+      .select(col(idCol),
+        explode(array_distinct(TextOps.shingles(col("_toks"), n))).as("shingle"))
 
   /** Exact pairwise Jaccard over an inverted shingle index (no O(n²) scan:
     * only docs sharing ≥1 shingle ever meet). Returns (d1, d2, inter, n1, n2,

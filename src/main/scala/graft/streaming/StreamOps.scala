@@ -115,6 +115,45 @@ object StreamOps {
       .withWatermark(tsCol, withinWatermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Per-ROW SimHash signature as a pure column expression — identical bit
+    * semantics to the batch [[graft.functions.SimHashAgg]] aggregate
+    * (xxhash64 per token OCCURRENCE, ±1 vote per bit, sign → bit), but
+    * computed inside one row so it works where an aggregation can't: a
+    * streaming dedup key. Powers-of-two ride along as a materialized array
+    * column — a constant captured in a HOF lambda would otherwise be
+    * rebuilt per element (the lambda-capture rule).
+    */
+  def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
+    val powers = array((0 until 64).map(b => lit(1L << b)): _*)
+    df.withColumn("_toks", graft.ops.TextOps.tokens(col(textCol)))
+      .withColumn("_hashes", transform(col("_toks"), t => xxhash64(t)))
+      .withColumn("_pw", powers)
+      .withColumn("_votes",
+        aggregate(col("_hashes"), array_repeat(lit(0), 64),
+          (acc, h) => zip_with(acc, col("_pw"),
+            (a, p) => a + when(h.bitwiseAND(p) =!= 0, 1).otherwise(-1))))
+      .withColumn(out,
+        aggregate(
+          zip_with(col("_votes"), col("_pw"),
+            (v, p) => when(v > 0, p).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc.bitwiseOR(x)))
+      .drop("_toks", "_hashes", "_pw", "_votes")
+  }
+
+  /** Streaming NEAR-dup dedup: drop any document whose SimHash signature
+    * was already seen inside the watermark horizon. Signature equality is
+    * the bounded-state streaming analog of the batch hamming-≤k pair join
+    * (banding across rows needs a join the streaming engine can't bound);
+    * heavy-boilerplate near-dups collapse to equal signatures, and the
+    * batch d04/d08 path sweeps the residual hamming 1–3 tail offline.
+    * State: one 64-bit signature per distinct doc per horizon.
+    */
+  def nearDupDedupDocumentStream(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", withinWatermark: String = "1 hour"): DataFrame =
+    withSimhash(docs, textCol, "simhash")
+      .withWatermark(tsCol, withinWatermark)
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Batch reference computation for the streaming agg (same expressions,
     * same results — used by the equivalence spec).
     */

@@ -94,6 +94,47 @@ class StreamingSpec extends SparkSpec {
     assert(gotFps.size <= wantFps.size)
   }
 
+  test("per-row simhash column equals the batch SimHashAgg signatures") {
+    val docs = GraftTables.read(spark, "/root/testdata/sf0.001", "documents")
+    val got = StreamOps.withSimhash(docs, "text", "simhash")
+      .select("doc_id", "simhash").orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val want = graft.ops.Dedup.simhashAggregate(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got.nonEmpty)
+    assert(got == want, "per-row signature diverges from the aggregate")
+  }
+
+  test("streaming near-dup dedup keeps one doc per simhash signature") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft-neardup-stream").toString
+    for (name <- Seq("a.parquet", "b.parquet")) // corpus arrives twice
+      Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+        Paths.get(s"$tmp/$name"), StandardCopyOption.REPLACE_EXISTING)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docSchema).parquet(tmp)
+      .withColumn("ts", timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+    val q = StreamOps.nearDupDedupDocumentStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("neardup_out").select("simhash")
+      .collect().map(_.getLong(0)).toSeq
+    val want = StreamOps.withSimhash(
+        GraftTables.read(spark, "/root/testdata/sf0.001", "documents"),
+        "text", "simhash")
+      .select("simhash").distinct().collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty)
+    assert(got.size == got.toSet.size, "a signature was emitted twice")
+    assert(got.toSet == want, "survivor signatures differ from batch distinct")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) equals batch q29") {
     val tmp = Files.createTempDirectory("graft-sessions").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),

@@ -47,6 +47,10 @@ object ScalingRehearsal {
 
   def synthesize10x(spark: SparkSession, sfDir: String, outDir: String): Long = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // id offset > max(doc_id), not a fixed constant: a corpus with ids ≥ the
+    // constant would collide copies and silently corrupt the planted
+    // cluster structure the correctness eyeball relies on
+    val idOffset = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val toks = split(col("text"), "\\s+")
     val perturbed = docs
       .crossJoin(spark.range(10).toDF("copy"))
@@ -60,12 +64,34 @@ object ScalingRehearsal {
             concat_ws(" ",
               concat(lit("q"), col("copy")),
               concat_ws(" ", reverse(toks)))))
-      .withColumn("doc_id", col("doc_id") + col("copy") * 10000000L)
+      .withColumn("doc_id", col("doc_id") + col("copy") * idOffset)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
     perturbed.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
     spark.read.parquet(s"$outDir/documents.parquet").count()
+  }
+
+  /** 10× embeddings for the s-section rehearsal (VERDICT r5 #7): each vector
+    * yields 10 copies, vec_id offset by max(vec_id)+1 per copy (same
+    * collision-proof scheme as the documents table), embedding nudged by a
+    * small copy-dependent per-dimension delta so copies land in nearby but
+    * not identical LSH buckets — the worst case for candidate-set blowup.
+    */
+  def synthesize10xEmbeddings(spark: SparkSession, sfDir: String, outDir: String): Long = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idOffset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val perturbed = emb
+      .crossJoin(spark.range(10).toDF("copy"))
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + col("copy").cast("double") * lit(0.003) *
+            ((i % 5).cast("double") - lit(2.0))).cast("float")))
+      .withColumn("vec_id", col("vec_id") + col("copy") * idOffset)
+      .select("vec_id", "embedding", "label")
+    perturbed.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+    spark.read.parquet(s"$outDir/embeddings.parquet").count()
   }
 
   def main(args: Array[String]): Unit = {
@@ -77,9 +103,11 @@ object ScalingRehearsal {
     spark.sparkContext.addSparkListener(listener)
 
     val n10 = synthesize10x(spark, sfDir, workDir)
-    println(s"synthesized 10x table: $n10 docs at $workDir")
+    val e10 = synthesize10xEmbeddings(spark, sfDir, workDir)
+    println(s"synthesized 10x tables: $n10 docs, $e10 vectors at $workDir")
 
-    val targets = Seq("d03_minhash_lsh", "d06_neardup_clusters", "d07_curation_pipeline")
+    val targets = Seq("d03_minhash_lsh", "d06_neardup_clusters", "d07_curation_pipeline",
+      "s02_ann_hyperplane", "s04_ann_ivf")
     val queries = SparkEntry.queries
 
     def timed(name: String, dir: String): (Double, Long, Long, Long, Long) = {

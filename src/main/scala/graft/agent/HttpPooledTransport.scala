@@ -32,18 +32,22 @@ final case class PoolConfig(
   *    ONCE with a fresh one (`WorkerLoop`'s retry,
   *    `httplib_pooled_client.cpp:160-204`), then reports the error.
   *
-  * One deliberate simplification vs the reference: requests execute on the
-  * CALLER's thread rather than hopping through a worker-thread queue. The
-  * reference's workers exist to give httplib clients thread affinity; its
-  * callers still block on the future, so the visible semantics (bounded
-  * concurrency, blocking call, pool discipline) are identical here.
+  * Two execution modes, matching the reference's client split:
+  *  - `workerThreads = 0` (default): requests execute on the CALLER's
+  *    thread. Semantically equivalent for blocking callers, zero overhead.
+  *  - `workerThreads > 0`: requests hop through a bounded worker-thread
+  *    queue and the caller blocks on the future — the reference's pooled
+  *    async client (`httplib_pooled_client.cpp:44-135`: fixed worker pool,
+  *    FIFO task queue, promise/future completion). In-flight concurrency is
+  *    capped at `workerThreads` no matter how many callers submit.
   *
   * The wire protocol is minimal HTTP/1.1 with Content-Length framing on
   * both sides — enough for [[graft.service.HttpProtectionServer]] and
   * deliberately not a general-purpose client.
   */
 final class HttpPooledTransport(host: String, port: Int,
-    config: PoolConfig = PoolConfig()) extends ProtectionTransport {
+    config: PoolConfig = PoolConfig(),
+    workerThreads: Int = 0) extends ProtectionTransport {
 
   import HttpPooledTransport._
 
@@ -51,6 +55,20 @@ final class HttpPooledTransport(host: String, port: Int,
   private var totalConnections = 0
   private val lock = new Object
   private var created = 0
+  private var closed = false
+
+  /** A6 worker mode: fixed pool + unbounded FIFO queue, like the reference's
+    * `std::queue<Task>` drained by `worker_count_` threads.
+    */
+  private val workers: Option[java.util.concurrent.ExecutorService] =
+    if (workerThreads > 0) {
+      val tf: java.util.concurrent.ThreadFactory = r => {
+        val t = new Thread(r, "graft-http-worker")
+        t.setDaemon(true)
+        t
+      }
+      Some(java.util.concurrent.Executors.newFixedThreadPool(workerThreads, tf))
+    } else None
 
   /** Connections opened over this transport's lifetime (spec observability). */
   def connectionsCreated: Int = lock.synchronized(created)
@@ -64,6 +82,22 @@ final class HttpPooledTransport(host: String, port: Int,
 
   private def request(method: String, endpoint: String, body: String,
       headers: Map[String, String]): TransportResponse =
+    workers match {
+      case Some(ex) =>
+        try ex.submit({ () => execute(method, endpoint, body, headers)
+        }: java.util.concurrent.Callable[TransportResponse]).get()
+        catch {
+          case _: java.util.concurrent.RejectedExecutionException =>
+            TransportResponse(0, "", "transport is shut down")
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      case None => execute(method, endpoint, body, headers)
+    }
+
+  private def execute(method: String, endpoint: String, body: String,
+      headers: Map[String, String]): TransportResponse = {
+    if (lock.synchronized(closed))
+      return TransportResponse(0, "", "transport is shut down")
     borrow() match {
       case None =>
         TransportResponse(0, "",
@@ -82,6 +116,7 @@ final class HttpPooledTransport(host: String, port: Int,
           }
         }
     }
+  }
 
   /** Execute on one connection; Some(response) on success (connection
     * returned to the pool), None on transport failure (connection discarded).
@@ -107,6 +142,7 @@ final class HttpPooledTransport(host: String, port: Int,
     val deadline = System.nanoTime() + config.borrowTimeoutMs * 1000000L
     lock.synchronized {
       while (true) {
+        if (closed) return None // fail fast, don't hand out post-shutdown sockets
         // prune idle connections past max_idle_time (oldest first)
         val now = System.currentTimeMillis()
         while (idle.nonEmpty && now - idle.head._2 > config.maxIdleTimeMs) {
@@ -130,23 +166,33 @@ final class HttpPooledTransport(host: String, port: Int,
   }
 
   private def give(conn: PooledConnection): Unit = lock.synchronized {
-    idle.append((conn, System.currentTimeMillis()))
-    lock.notify()
+    if (closed) conn.close() // returned after shutdown: close, never re-pool
+    else {
+      idle.append((conn, System.currentTimeMillis()))
+      lock.notify()
+    }
   }
 
   private def discard(conn: PooledConnection): Unit = {
     conn.close()
     lock.synchronized {
-      if (totalConnections > 0) totalConnections -= 1
+      if (!closed && totalConnections > 0) totalConnections -= 1
       lock.notify() // capacity freed — wake one waiter (`Discard`, :126-143)
     }
   }
 
-  /** Close every idle connection (active ones close on discard/GC). */
-  def shutdown(): Unit = lock.synchronized {
-    idle.foreach(_._1.close())
-    idle.clear()
-    totalConnections = 0
+  /** Close every idle connection and refuse further borrows; a connection
+    * borrowed at shutdown time is closed when its caller returns it.
+    */
+  def shutdown(): Unit = {
+    lock.synchronized {
+      closed = true
+      idle.foreach(_._1.close())
+      idle.clear()
+      totalConnections = 0
+      lock.notifyAll() // wake borrow() waiters so they fail fast
+    }
+    workers.foreach(_.shutdown())
   }
 }
 

@@ -63,6 +63,10 @@ final class LocalProtectionAgent private (
       throw new GraftInvalidInputException(
         s"datatype mismatch: batch has ${declaredType.catalogString}, " +
           s"agent bound to ${dataType.catalogString}") // A8 field-match
+    // RemoteProtectionAgent resolves empty batches client-side (no server
+    // ciphertext, zero-byte payload) — accept them here so the agents stay
+    // interchangeable in both directions.
+    if (batch.payload.isEmpty) return Seq.empty
     val (levelBytes, valueBytes) = WireFormat.splitWithLengthPrefix(batch.payload)
     val presence = codec.decrypt(levelBytes)
     val values = WireFormat.decryptValueList(codec, valueBytes)

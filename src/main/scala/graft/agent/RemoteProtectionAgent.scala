@@ -160,6 +160,20 @@ final class RemoteProtectionAgent(
   def encrypt(values: Seq[Any]): EncryptedBatch = {
     initError.foreach(e => throw new GraftInvalidInputException(e))
     requireCellMode()
+    // Empty batch: the zero-byte page would trip the server's empty-plaintext
+    // 400, but LocalProtectionAgent.encrypt round-trips empty batches — keep
+    // the agents interchangeable by resolving it client-side.
+    if (values.isEmpty)
+      return EncryptedBatch(Array.emptyByteArray, Map(
+        ProtectionPipeline.KeyVersion -> ProtectionPipeline.AgentVersion,
+        ProtectionPipeline.KeyMode ->
+          (if (ValueSerde.fixedWidth(dataType).isDefined) "per_value_fixed"
+           else "per_value_variable"),
+        ProtectionPipeline.KeyCodec -> codecName,
+        ProtectionPipeline.KeyKeyId -> keyId,
+        ProtectionPipeline.KeyOrigType -> dataType.json,
+        ProtectionPipeline.KeyRows -> "0",
+        ProtectionPipeline.KeyNulls -> "0"))
     val presence = values.map(v => if (v == null) 0.toByte else 1.toByte).toArray
     val present = values.filter(_ != null)
       .map(v => ValueSerde.serialize(dataType, ExternalSerde.toCatalyst(dataType, v)))
@@ -193,6 +207,7 @@ final class RemoteProtectionAgent(
     }
     val rows = cellCount(batch, ProtectionPipeline.KeyRows)
     val nulls = cellCount(batch, ProtectionPipeline.KeyNulls)
+    if (rows == 0) return Seq.empty // client-side inverse of the empty encrypt
     // server-side sequencer metadata: version passthrough (its prefix check
     // must fire on tampered batches) + the page-mode encryption mode.
     val serverMeta = Map(

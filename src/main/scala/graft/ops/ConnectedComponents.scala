@@ -59,7 +59,12 @@ object ConnectedComponents {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 30, checkpointDir: Option[String] = None): DataFrame = {
     val sc = edges.sparkSession.sparkContext
-    checkpointDir.foreach(sc.setCheckpointDir)
+    // Respect a checkpoint dir the session already configured — overriding
+    // it would mutate global SparkContext state under concurrent jobs.
+    // Superseded per-round checkpoint files are reaped by the ContextCleaner
+    // because GraftSession enables cleanCheckpoints; without it, reliable
+    // checkpoints outlive the loop until the job ends.
+    checkpointDir.foreach(d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
     def save(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)

@@ -35,9 +35,12 @@ object Decontamination {
     */
   def contaminationHits(df: DataFrame, idCol: String, textCol: String,
       benchmarkPred: Column, n: Int = 8): DataFrame = {
-    val benchGrams = grams(df.filter(benchmarkPred), idCol, textCol, n)
+    // NULL-pred rows (e.g. a null key column) count as corpus, not benchmark:
+    // filter(p)/filter(!p) would silently drop them from BOTH sides.
+    val pred = coalesce(benchmarkPred, lit(false))
+    val benchGrams = grams(df.filter(pred), idCol, textCol, n)
       .select(col("shingle")).distinct()
-    val corpusGrams = grams(df.filter(!benchmarkPred), idCol, textCol, n)
+    val corpusGrams = grams(df.filter(!pred), idCol, textCol, n)
     corpusGrams
       .join(broadcast(benchGrams), "shingle")
       .groupBy(idCol)
@@ -47,7 +50,7 @@ object Decontamination {
   /** The removal filter a pipeline composes: `df` minus contaminated docs. */
   def decontaminate(df: DataFrame, idCol: String, textCol: String,
       benchmarkPred: Column, n: Int = 8): DataFrame =
-    df.filter(!benchmarkPred)
+    df.filter(!coalesce(benchmarkPred, lit(false)))
       .join(contaminationHits(df, idCol, textCol, benchmarkPred, n)
         .select(col(idCol)), Seq(idCol), "left_anti")
 }

@@ -1,21 +1,27 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media payloads ride as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The decode kernel is a clearly-marked DETERMINISTIC STUB (no image/audio
-  * libraries ship in this environment — SURVEY/driver contract); everything
-  * around it — binary schema, batch iteration via mapPartitions, typed
-  * output rows, partition-level parallelism — is the real plumbing a codec
-  * would plug into. At 100 TB the mapPartitions boundary is where a native
-  * decoder (JNI/FFI) amortizes per-batch setup.
+  * The decode kernel does REAL container-level parsing — PNG signature +
+  * chunk walk + big-endian IHDR dims, JPEG marker scan to the SOF frame
+  * header — over genuine binary streams (from [[readMediaDir]]'s
+  * `binaryFile` source or [[syntheticMediaTable]]'s expression-built
+  * payloads). What it deliberately does NOT do is pixel decode: zlib/DCT
+  * codecs are out of scope in this environment, and the per-partition
+  * `mapPartitions` boundary is exactly where a native decoder (JNI/FFI)
+  * would amortize its setup at 100 TB.
   */
 object Multimodal {
 
-  /** Typed result of the (stub) media decode. */
+  /** Typed result of the media decode. `width`/`height` are −1 for an
+    * unrecognized container; `f0..f3` are the first four content bytes
+    * (first IDAT chunk for PNG, post-SOF stream for JPEG, start of payload
+    * otherwise) — the "feature" a real extractor would derive from content.
+    */
   case class MediaFeatures(
       doc_id: Long,
       n_bytes: Long,
@@ -23,33 +29,116 @@ object Multimodal {
       height: Long,
       f0: Long, f1: Long, f2: Long, f3: Long)
 
-  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
-    * A real implementation would parse the container header and run a
-    * decoder here; per-partition batching (Iterator in/out) is already the
-    * right shape for that.
+  /** Parsed container header: dims + offset of the first content byte. */
+  case class MediaHeader(width: Long, height: Long, contentOffset: Int)
+
+  private val PngSignature =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def be16(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 8) | (b(off + 1) & 0xffL)
+
+  /** PNG (ISO/IEC 15948 §5): 8-byte signature, IHDR first chunk with
+    * big-endian u32 width/height at offsets 16/20, then a chunk walk
+    * (length + type + data + CRC) to the first IDAT. CRCs are not
+    * validated (a pixel decoder would; header extraction doesn't need to).
     */
-  def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
-    val n = bytes.length.toLong
-    def b(i: Int): Long = if (n > i) (bytes(i) & 0xffL) else 0L
-    MediaFeatures(
-      doc_id = id,
-      n_bytes = n,
-      width = 64 + n % 576,
-      height = 64 + (n * 7) % 416,
-      f0 = b(0), f1 = b(1), f2 = b(2), f3 = b(3))
+  def parsePng(bytes: Array[Byte]): Option[MediaHeader] = {
+    if (bytes.length < 33) return None
+    var s = 0
+    while (s < 8) { if (bytes(s) != PngSignature(s)) return None; s += 1 }
+    if (!(bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R'))
+      return None
+    val w = be32(bytes, 16)
+    val h = be32(bytes, 20)
+    var i = 8
+    while (i + 8 <= bytes.length) {
+      val len = be32(bytes, i)
+      if (bytes(i + 4) == 'I' && bytes(i + 5) == 'D' &&
+          bytes(i + 6) == 'A' && bytes(i + 7) == 'T')
+        return Some(MediaHeader(w, h, i + 8))
+      if (bytes(i + 4) == 'I' && bytes(i + 5) == 'E' &&
+          bytes(i + 6) == 'N' && bytes(i + 7) == 'D')
+        return Some(MediaHeader(w, h, bytes.length)) // no image data
+      if (len < 0 || len > bytes.length) return Some(MediaHeader(w, h, bytes.length))
+      i += 8 + len.toInt + 4
+    }
+    Some(MediaHeader(w, h, bytes.length))
   }
 
-  /** Batch feature extraction over a binary payload column. */
+  /** JPEG (ITU-T T.81): SOI then marker segments; dims live in the first
+    * SOF frame header (big-endian u16 height at +5, width at +7 within the
+    * segment); content starts after that segment. SOF markers are C0–CF
+    * minus C4 (DHT), C8 (JPG extension), CC (DAC).
+    */
+  def parseJpeg(bytes: Array[Byte]): Option[MediaHeader] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff) return None // lost marker sync
+      val marker = bytes(i + 1) & 0xff
+      if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone markers carry no length
+      } else if (marker == 0xd9) {
+        return None // EOI before any frame header
+      } else {
+        val len = be16(bytes, i + 2).toInt
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (i + 8 >= bytes.length) return None
+          return Some(MediaHeader(be16(bytes, i + 7), be16(bytes, i + 5), i + 2 + len))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Container-dispatching decode: PNG, then JPEG, then opaque fallback
+    * (dims −1, content = whole payload).
+    */
+  def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val hdr = parsePng(bytes).orElse(parseJpeg(bytes))
+    val off = hdr.map(_.contentOffset).getOrElse(0)
+    def f(i: Int): Long =
+      if (off + i < bytes.length) bytes(off + i) & 0xffL else 0L
+    MediaFeatures(id, bytes.length.toLong,
+      hdr.map(_.width).getOrElse(-1L), hdr.map(_.height).getOrElse(-1L),
+      f(0), f(1), f(2), f(3))
+  }
+
+  /** Batch feature extraction over a binary payload column; decoders that
+    * need per-batch setup initialize once per partition inside the
+    * mapPartitions.
+    */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        // real decoders initialize once per partition here
-        batch.map { case (id, bytes) => decodeStub(id, bytes) }
+        // real pixel decoders initialize once per partition here
+        batch.map { case (id, bytes) => decode(id, bytes) }
       }
   }
+
+  /** Ingest a directory of media files through Spark's `binaryFile` source —
+    * the real on-disk path (one row per file: path, modificationTime,
+    * length, content). Files larger than
+    * `spark.sql.sources.binaryFile.maxLength` fail loudly rather than
+    * truncate.
+    */
+  def readMediaDir(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(col("path"), col("length"), col("content"))
 
   /** Deterministic "frame sampler": every `stride`-th byte of the payload as
     * a frame checksum — models audio/video frame sampling over a binary
@@ -65,5 +154,60 @@ object Multimodal {
         (id, (0 until bytes.length by stride).map(i => bytes(i) & 0xff).toSeq)
       })
       .toDF(idCol, "frames")
+  }
+
+  // ------------------------------------------- synthetic payload builders --
+
+  /** Big-endian u32/u16 of a non-negative long, as binary column bytes. */
+  private def be32Col(c: Column): Column = unhex(lpad(hex(c.cast("long")), 8, "0"))
+  private def be16Col(c: Column): Column = unhex(lpad(hex(c.cast("long")), 4, "0"))
+
+  /** A structurally-valid PNG byte stream built from column expressions:
+    * signature, IHDR (8-bit truecolor), one IDAT chunk holding `data`, IEND.
+    * Chunk CRCs are zero — [[parsePng]] (like any header-level reader)
+    * doesn't check them, and pixel decoding is out of scope.
+    */
+  def pngPayload(width: Column, height: Column, data: Column): Column =
+    concat(
+      lit(PngSignature),
+      be32Col(lit(13)), lit("IHDR".getBytes("UTF-8")),
+      be32Col(width), be32Col(height),
+      lit(Array[Byte](8, 2, 0, 0, 0)), // depth 8, truecolor, deflate, adaptive, no interlace
+      be32Col(lit(0)),
+      be32Col(length(data)), lit("IDAT".getBytes("UTF-8")), data, be32Col(lit(0)),
+      be32Col(lit(0)), lit("IEND".getBytes("UTF-8")), be32Col(lit(0)))
+
+  /** A minimal JPEG byte stream: SOI, one single-component SOF0 frame header
+    * carrying the dims, `data` as the content stream, EOI.
+    */
+  def jpegPayload(width: Column, height: Column, data: Column): Column =
+    concat(
+      lit(Array(0xff, 0xd8).map(_.toByte)),
+      lit(Array(0xff, 0xc0).map(_.toByte)), be16Col(lit(11)), // SOF0, len 8+3×1
+      lit(Array[Byte](8)), be16Col(height), be16Col(width),
+      lit(Array[Byte](1, 1, 0x11, 0)), // 1 component: id, 1×1 sampling, qtable 0
+      data,
+      lit(Array(0xff, 0xd9).map(_.toByte)))
+
+  /** Synthetic media corpus over a documents table: every doc becomes a
+    * genuine PNG (even ids) or JPEG (odd ids) payload whose dims, length,
+    * and content bytes derive from `doc_id` arithmetic — so the decoder is
+    * exercised against real big-endian container encodings while a SQL
+    * oracle predicts the decode output from arithmetic alone (no
+    * text-encoding dependence; the r4 ASCII-only caveat is dead).
+    */
+  def syntheticMediaTable(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val w = lit(16L) + id % 1024L
+    val h = lit(16L) + (id * 7) % 768L
+    val fpack = ((id * 3) % 256) * 16777216L + ((id * 5) % 256) * 65536L +
+      ((id * 11) % 256) * 256L + (id * 13) % 256
+    val content = concat(be32Col(fpack),
+      substring(lit(Array.fill[Byte](12)(0)), lit(1), (id % 13).cast("int")))
+    docs
+      .withColumn("payload",
+        when(id % 2 === 0, pngPayload(w, h, content))
+          .otherwise(jpegPayload(w, h, content)))
+      .select(col("doc_id"), col("payload"))
   }
 }

@@ -56,14 +56,25 @@ object Similarity {
 
   /** Brute-force top-k cosine neighbors for each query row.
     * `queryPred` selects the query subset (broadcast to every partition).
+    *
+    * @param maxQueryRows hard bound on the query side: it is BROADCAST and
+    *   every corpus row scores against every query, so feeding a large
+    *   query set (e.g. "2% of a 100 TB corpus") silently turns this into
+    *   the O(n²) plan the ANN paths exist to avoid. The require makes that
+    *   misuse loud instead of slow.
     */
   def knnExactQuantized(emb: DataFrame, idCol: String, embCol: String,
-      queryPred: Column, k: Int = 10): DataFrame = {
+      queryPred: Column, k: Int = 10, maxQueryRows: Long = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = emb.select(col(idCol), quantize(col(embCol)).as("qv"))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
     val queries = q.filter(queryPred)
       .select(col(idCol).as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
+    val nQueries = queries.count()
+    require(nQueries <= maxQueryRows,
+      s"knnExactQuantized query side has $nQueries rows (> $maxQueryRows): " +
+        "the query set is broadcast and scored against every corpus row — " +
+        "use annHyperplane/annIvf for large query sets")
     val pairs = q.join(broadcast(queries), col(idCol) =!= col("qid"))
       .withColumn("dot", dotQ(col("qq"), col("qv")))
       .withColumn("cos_r", cosineQ(col("dot"), col("qn"), col("nrm")))
@@ -123,20 +134,30 @@ object Similarity {
     * is broadcast; candidate generation is ONE equality join on
     * (table, bucket), not 2×tables separate joins.
     */
-  def annHyperplane(emb: DataFrame, idCol: String, embCol: String,
-      queryPred: Column, k: Int = 5, tables: Int = 8, planes: Int = 6,
-      probeHamming: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Corpus exploded ONCE into one row per (table, bucket) cell — the shared
+    * candidate-generation table behind [[annHyperplane]] and
+    * [[cosineNearDupBucketed]]: a shuffle-free projection whose only cost is
+    * tables×planes sign projections per row.
+    */
+  private def lshBucketTable(emb: DataFrame, idCol: String, embCol: String,
+      tables: Int, planes: Int): DataFrame = {
     val bucketStructs = (0 until tables).map { t =>
       struct(lit(t).as("t"),
         hyperplaneBucket(col("e"), planes, t * planes).as("b"))
     }
-    val base = emb.select(col(idCol), col(embCol).as("e"))
+    emb.select(col(idCol), col(embCol).as("e"))
       .withColumn("qv", quantize(col("e")))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
       .withColumn("tb", explode(array(bucketStructs: _*)))
       .select(col(idCol), col("qv"), col("nrm"),
         col("tb.t").as("t"), col("tb.b").as("b"))
+  }
+
+  def annHyperplane(emb: DataFrame, idCol: String, embCol: String,
+      queryPred: Column, k: Int = 5, tables: Int = 8, planes: Int = 6,
+      probeHamming: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = lshBucketTable(emb, idCol, embCol, tables, planes)
     val probes = base.filter(queryPred)
       .withColumn("pm", explode(typedlit(hammingMasks(planes, probeHamming))))
       .select(col(idCol).as("qid"), col("qv").as("qq"), col("nrm").as("qn"),
@@ -283,6 +304,47 @@ object Similarity {
     val x = base.select(col(idCol).as("d1"), col("qv").as("v1"), col("nrm").as("n1"))
     val y = base.select(col(idCol).as("d2"), col("qv").as("v2"), col("nrm").as("n2"))
     x.join(broadcast(y), col("d1") < col("d2"))
+      .withColumn("cos_r",
+        cosineQ(dotQ(col("v1"), col("v2")), col("n1"), col("n2")))
+      .filter(col("cos_r") >= threshold)
+      .select("d1", "d2", "cos_r")
+  }
+
+  /** Bucketed cosine near-dup pairs — the 100 TB form of
+    * [[cosineNearDupPairs]]: candidates are pairs sharing ≥1 (table, bucket)
+    * LSH cell (same sign-hyperplane tables as [[annHyperplane]]), deduped,
+    * then verified with the exact integer cosine. No O(n²) join anywhere:
+    * candidate generation is ONE self-equality-join on (table, bucket), and
+    * the verify joins the narrow pair list back to the vectors.
+    *
+    * Completeness is probabilistic per pair: a qualifying pair at cosine t
+    * collides per bit with p = 1 − acos(t)/π, misses ALL tables with
+    * (1 − p^planes)^tables. The defaults (32×4) target the *demo corpus's*
+    * weak structure — its hardest qualifying pairs sit barely above the
+    * 0.45 threshold (p ≈ 0.65, miss ≈ 1e-4 at 48×4); a real near-dup
+    * workload at t ≥ 0.9 (p ≈ 0.86) reaches the same completeness with 8–16
+    * tables, and at corpus scale `planes` grows toward log2(n) to keep
+    * buckets bounded. The registry gates this empirically: s07 must
+    * hash-match the exact all-pairs s03 formulation.
+    */
+  def cosineNearDupBucketed(emb: DataFrame, idCol: String, embCol: String,
+      threshold: Double, tables: Int = 48, planes: Int = 4,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val vecs = scope.cached(
+      emb.select(col(idCol), col(embCol).as("e"))
+        .withColumn("qv", quantize(col("e")))
+        .withColumn("nrm", dotQ(col("qv"), col("qv"))))
+    val buckets = lshBucketTable(vecs, idCol, "e", tables, planes)
+      .select(col(idCol), col("t"), col("b"))
+    // pairs sharing any LSH cell, deduped while still narrow (two ids)
+    val cands = buckets.select(col(idCol).as("d1"), col("t"), col("b"))
+      .join(buckets.select(col(idCol).as("d2"), col("t"), col("b")), Seq("t", "b"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
+      .distinct()
+    cands
+      .join(vecs.select(col(idCol).as("d1"), col("qv").as("v1"), col("nrm").as("n1")), "d1")
+      .join(vecs.select(col(idCol).as("d2"), col("qv").as("v2"), col("nrm").as("n2")), "d2")
       .withColumn("cos_r",
         cosineQ(dotQ(col("v1"), col("v2")), col("n1"), col("n2")))
       .filter(col("cos_r") >= threshold)

@@ -33,6 +33,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // reap reliable checkpoint files (ConnectedComponents per-round
+      // checkpoints) once their RDDs are GC'd — otherwise every superseded
+      // round's files live until the application exits
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
 }

@@ -154,6 +154,40 @@ object StreamOps {
       .withWatermark(tsCol, withinWatermark)
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Streaming near-dup dedup that CLOSES the hamming-≤3 tail in-stream
+    * (r5's deferred item): the 64-bit SimHash splits into four 16-bit bands;
+    * two signatures within hamming distance 3 must agree on ≥1 band
+    * (pigeonhole over 4 bands), so four chained
+    * `dropDuplicatesWithinWatermark` passes — one per band — drop every doc
+    * that repeats ANY band of a doc that survived ahead of it. A 1-bit flip
+    * leaves 3 of 4 bands equal and is dropped at the first shared band.
+    *
+    * State: 4 bounded dedup states (one band value per surviving doc per
+    * horizon) — still watermark-bounded, unlike any join formulation.
+    *
+    * Precision trade (documented, inherent to in-stream banding): band
+    * equality is NECESSARY, not sufficient, for hamming ≤ 3 — two unrelated
+    * docs can chance-share one 16-bit band (p ≈ 4/2^16 per pair), so within
+    * horizons approaching 2^16 distinct docs this over-drops; production
+    * widens the signature (the formulation is width-agnostic) or extends
+    * each band key with a cheap blocking column (lang, length bucket).
+    */
+  def nearDupDedupDocumentStreamBanded(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", withinWatermark: String = "1 hour"): DataFrame = {
+    val sig = withSimhash(docs, textCol, "simhash")
+      .withColumn("band0", col("simhash").bitwiseAND(lit(0xffffL)))
+      .withColumn("band1", shiftrightunsigned(col("simhash"), 16).bitwiseAND(lit(0xffffL)))
+      .withColumn("band2", shiftrightunsigned(col("simhash"), 32).bitwiseAND(lit(0xffffL)))
+      .withColumn("band3", shiftrightunsigned(col("simhash"), 48).bitwiseAND(lit(0xffffL)))
+      .withWatermark(tsCol, withinWatermark)
+    sig
+      .dropDuplicatesWithinWatermark("band0")
+      .dropDuplicatesWithinWatermark("band1")
+      .dropDuplicatesWithinWatermark("band2")
+      .dropDuplicatesWithinWatermark("band3")
+      .drop("band0", "band1", "band2", "band3")
+  }
+
   /** Batch reference computation for the streaming agg (same expressions,
     * same results — used by the equivalence spec).
     */

@@ -187,6 +187,29 @@ class OpsSpec extends SparkSpec {
     assert(ivf >= 0.8, s"IVF recall@5 = $ivf < 0.8")
   }
 
+  test("bucketed cosine near-dup equals the exact all-pairs formulation") {
+    // candidate-completeness of the LSH plan, empirically gated at BOTH test
+    // SFs (the registry's s07-vs-oracle hash match gates sf0.01 again)
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      def pairs(df: DataFrame): Set[(Long, Long)] =
+        df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45))
+      val lsh = pairs(Similarity.cosineNearDupBucketed(emb, "vec_id", "embedding", 0.45))
+      assert(exact.nonEmpty, s"$sf has no qualifying pairs — threshold too high")
+      assert(lsh == exact, s"$sf: LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+    }
+  }
+
+  test("knnExactQuantized rejects an oversized broadcast query side") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnExactQuantized(emb, "vec_id", "embedding", lit(true),
+        k = 1, maxQueryRows = 10)
+    }
+    assert(e.getMessage.contains("query side"))
+  }
+
   test("rolling hash: deterministic, sensitive, codegen-consistent") {
     val df = Seq("abc", "abd", "abc").toDF("s")
       .withColumn("h", RollingHash64.rolling_hash64(col("s")))
@@ -195,11 +218,60 @@ class OpsSpec extends SparkSpec {
     assert(hs(0) == graft.functions.HashKernels.rolling64("abc".getBytes))
   }
 
-  test("multimodal stub: features deterministic and length-derived") {
+  // a real 69-byte 1×1 truecolor PNG (zlib-deflated red pixel, valid CRCs)
+  private val OnePixelPng: Array[Byte] = Array(
+    0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0x00, 0x00, 0x00, 0x0d,
+    0x49, 0x48, 0x44, 0x52, 0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01,
+    0x08, 0x02, 0x00, 0x00, 0x00, 0x90, 0x77, 0x53, 0xde, 0x00, 0x00, 0x00,
+    0x0c, 0x49, 0x44, 0x41, 0x54, 0x78, 0x9c, 0x63, 0xf8, 0xcf, 0xc0, 0x00,
+    0x00, 0x03, 0x01, 0x01, 0x00, 0xc9, 0xfe, 0x92, 0xef, 0x00, 0x00, 0x00,
+    0x00, 0x49, 0x45, 0x4e, 0x44, 0xae, 0x42, 0x60, 0x82).map(_.toByte)
+
+  test("multimodal decode parses a real PNG's IHDR dims and IDAT content") {
+    val hdr = Multimodal.parsePng(OnePixelPng).get
+    assert(hdr.width == 1 && hdr.height == 1)
+    assert(hdr.contentOffset == 41) // sig 8 + IHDR 25 + IDAT len/type 8
+    val feats = Multimodal.decode(9L, OnePixelPng)
+    assert(feats.width == 1 && feats.height == 1 && feats.n_bytes == 69)
+    assert(feats.f0 == 0x78 && feats.f1 == 0x9c) // zlib stream header bytes
+  }
+
+  test("multimodal decode ingests real files through the binaryFile source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    try {
+      java.nio.file.Files.write(dir.resolve("one.png"), OnePixelPng)
+      val files = Multimodal.readMediaDir(spark, dir.toString, "*.png")
+        .withColumn("doc_id", lit(1L))
+      val out = Multimodal.extractFeatures(files, "doc_id", "content").collect().head
+      assert(out.width == 1 && out.height == 1 && out.n_bytes == 69)
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
+  test("multimodal synthetic payloads round-trip the PNG/JPEG builders") {
+    val docs = Seq((4L, "x"), (7L, "y")).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(
+        Multimodal.syntheticMediaTable(docs), "doc_id", "payload")
+      .collect().sortBy(_.doc_id)
+    val png = out(0) // doc 4 → PNG
+    assert(png.width == 16 + 4 && png.height == 16 + 28 && png.n_bytes == 61 + 4)
+    assert(png.f0 == 12 && png.f1 == 20 && png.f2 == 44 && png.f3 == 52)
+    val jpg = out(1) // doc 7 → JPEG
+    assert(jpg.width == 16 + 7 && jpg.height == 16 + 49 && jpg.n_bytes == 21 + 7)
+    assert(jpg.f0 == 21 && jpg.f1 == 35 && jpg.f2 == 77 && jpg.f3 == 91)
+  }
+
+  test("multimodal decode falls back to opaque on unrecognized containers") {
     val df = Seq((1L, "hello world")).toDF("doc_id", "text")
       .withColumn("payload", col("text").cast("binary"))
     val out = Multimodal.extractFeatures(df, "doc_id", "payload").collect().head
-    assert(out.n_bytes == 11 && out.f0 == 'h'.toLong && out.width == 64 + 11)
+    assert(out.width == -1 && out.height == -1)
+    assert(out.n_bytes == 11 && out.f0 == 'h'.toLong)
+    // truncated PNG (signature only) is not a parse
+    assert(Multimodal.parsePng(OnePixelPng.take(20)).isEmpty)
+    assert(Multimodal.parseJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
 
   test("multimodal frame sampler strides the payload") {
@@ -265,6 +337,18 @@ class OpsSpec extends SparkSpec {
       .decontaminate(docs, "id", "text", col("id") >= 100L, n = 3)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L)) // benchmark doc and contaminated doc removed
+  }
+
+  test("decontamination treats a NULL benchmark predicate as corpus, not dropped") {
+    import graft.ops.Decontamination
+    val docs = Seq[(java.lang.Long, String)](
+      (100L, "the quick brown fox jumps"),
+      (null, "some clean null-key doc body here"), // pred id >= 100 is NULL
+      (3L, "completely different tokens here now")).toDF("id", "text")
+    val kept = Decontamination
+      .decontaminate(docs, "id", "text", col("id") >= 100L, n = 3)
+      .select("id").collect().map(r => Option(r.get(0))).toSet
+    assert(kept == Set(None, Some(3L)), s"null-pred row lost: $kept")
   }
 
   test("ngram repetition counters match a hand computation") {

@@ -135,6 +135,66 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == want, "survivor signatures differ from batch distinct")
   }
 
+  test("banded streaming near-dup dedup drops a 1-to-3-bit near-dup in-stream") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // Deterministic pair search: a ~400-token base keeps per-bit vote margins
+    // wide, so appending one token flips only the few bits sitting at a
+    // ±1 margin — some variant in the set lands at hamming 1..3. The search
+    // result is fixed for the fixed xxhash64, so this never flakes.
+    val baseText = (0 until 400).map(i => "tok" + i).mkString(" ")
+    val variantTexts = (0 until 120).map(j => baseText + " xtr" + j)
+    val farTexts = (0 until 40).map(k =>
+      (0 until 60).map(i => "zzz" + k + "w" + i).mkString(" "))
+    val named = (Seq("base" -> baseText) ++
+      variantTexts.zipWithIndex.map { case (t, j) => ("v" + j) -> t } ++
+      farTexts.zipWithIndex.map { case (t, k) => ("f" + k) -> t }).toDF("name", "text")
+    val sigs = StreamOps.withSimhash(named, "text", "sig")
+      .select("name", "sig").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = sigs("base")
+    def bandSet(s: Long): Set[(Int, Long)] =
+      (0 until 4).map(k => k -> ((s >>> (16 * k)) & 0xffffL)).toSet
+    val nearIdx = variantTexts.indices.find { j =>
+      val d = java.lang.Long.bitCount(b ^ sigs("v" + j)); d >= 1 && d <= 3
+    }
+    assert(nearIdx.isDefined, "no 1-3-bit variant in the search set; widen it")
+    // the control doc must chance-share no band with base or the near-dup
+    val nearSig = sigs("v" + nearIdx.get)
+    val farIdx = farTexts.indices.find { k =>
+      (bandSet(sigs("f" + k)) intersect (bandSet(b) ++ bandSet(nearSig))).isEmpty
+    }
+    assert(farIdx.isDefined, "no band-disjoint control doc found; widen it")
+
+    val docs = Seq((1L, baseText), (2L, variantTexts(nearIdx.get)),
+      (3L, farTexts(farIdx.get)))
+    val tmp = Files.createTempDirectory("graft-banded-stream").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = StreamOps.nearDupDedupDocumentStreamBanded(
+        spark.readStream.schema(docSchema).parquet(tmp)
+          .withColumn("ts", timestamp_micros(lit(86400L) * 1000000L)))
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("banded_out")
+      .start()
+    try {
+      // one file + drain per doc: arrival order is the point of the test
+      // (the original must provably precede its near-dup)
+      docs.zipWithIndex.foreach { case ((id, text), i) =>
+        val stage = s"$tmp-stage$i"
+        Seq((id, text)).toDF("doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, Paths.get(s"$tmp/doc$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("banded_out").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L),
+      s"expected the near-dup (doc 2) dropped in-stream, survivors = $got")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) equals batch q29") {
     val tmp = Files.createTempDirectory("graft-sessions").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),

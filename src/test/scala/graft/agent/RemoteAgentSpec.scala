@@ -181,6 +181,22 @@ class RemoteAgentSpec extends AnyFunSuite {
     assert(got(2).asInstanceOf[Array[Byte]].isEmpty)
   }
 
+  test("empty batches round-trip on both agents and across them") {
+    // the remote agent resolves empties client-side (a zero-byte page would
+    // trip the server's empty-plaintext 400); the local agent accepts the
+    // resulting zero-byte payload — interchangeability holds on the edge case
+    val (server, agent, _) = mk()
+    agent.init("email", AppCtx, "k1", StringType)
+    val local = LocalProtectionAgent.init("k1", "email", StringType,
+      CryptoCodec.Xor, "user-7", AppCtx)
+    val remoteBatch = agent.encrypt(Seq.empty)
+    assert(agent.decrypt(remoteBatch) == Seq.empty)
+    assert(local.decrypt(remoteBatch) == Seq.empty)
+    assert(agent.decrypt(local.encrypt(Seq.empty)) == Seq.empty)
+    assert(server.encryptCalls == 0 && server.decryptCalls == 0)
+    assert(remoteBatch.metadata("cell_num_values") == "0")
+  }
+
   test("remote and local agents are interchangeable (same context, same bytes)") {
     val (_, agent, _) = mk(CryptoCodec.AesDet) // service runs AES-SIV
     agent.init("score", AppCtx, "k9", IntegerType, CryptoCodec.AesDet)

@@ -132,7 +132,9 @@ object Similarity {
     * Scale shape: corpus side is exploded once into (table, bucket) rows —
     * one shuffle-free projection; the query side (queries × tables × probes)
     * is broadcast; candidate generation is ONE equality join on
-    * (table, bucket), not 2×tables separate joins.
+    * (table, bucket), not 2×tables separate joins; candidate pairs dedup as
+    * narrow id pairs and the vectors join back only for the exact re-rank
+    * (SCALING.md, r6: the wide form was the one hot task in the 10× run).
     */
   /** Corpus exploded ONCE into one row per (table, bucket) cell — the shared
     * candidate-generation table behind [[annHyperplane]] and
@@ -160,14 +162,24 @@ object Similarity {
     val base = lshBucketTable(emb, idCol, embCol, tables, planes)
     val probes = base.filter(queryPred)
       .withColumn("pm", explode(typedlit(hammingMasks(planes, probeHamming))))
-      .select(col(idCol).as("qid"), col("qv").as("qq"), col("nrm").as("qn"),
-        col("t"), col("b").bitwiseXOR(col("pm")).as("b"))
+      .select(col(idCol).as("qid"), col("t"),
+        col("b").bitwiseXOR(col("pm")).as("b"))
+    // Candidate dedup runs over NARROW (qid, nbr) pairs; vectors join back
+    // afterwards. The wide form (arrays riding through distinct + window)
+    // concentrated a 46 MiB / 11 s hot task in the 10× rehearsal — at 16
+    // bytes/row the same shuffle is ~60× smaller and the per-qid window
+    // ranks narrow rows.
     val cands = base.join(broadcast(probes), Seq("t", "b"))
       .filter(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol).as("nbr"), col("qq"), col("qn"),
-        col("qv"), col("nrm"))
+      .select(col("qid"), col(idCol).as("nbr"))
       .distinct()
+    val vecs = emb.select(col(idCol), quantize(col(embCol)).as("qv"))
+      .withColumn("nrm", dotQ(col("qv"), col("qv")))
+    val queries = vecs.filter(queryPred)
+      .select(col(idCol).as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
     val scored = cands
+      .join(vecs.select(col(idCol).as("nbr"), col("qv"), col("nrm")), "nbr")
+      .join(broadcast(queries), "qid")
       .withColumn("dot", dotQ(col("qq"), col("qv")))
       .withColumn("cos_r", cosineQ(col("dot"), col("qn"), col("nrm")))
     val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nbr"))

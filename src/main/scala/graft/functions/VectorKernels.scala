@@ -43,6 +43,35 @@ object VectorKernels {
     h ^ (h >>> 31)
   }
 
+  /** Sign-LSH bucket over an embedding: bit p of the result is the sign of
+    * the projection onto deterministic ±1 hyperplane (offset + p), each
+    * weight derived per (plane, dim) from [[mix64]] — bit-identical to the
+    * historical literal-array `aggregate(zip_with(...))` formulation (same
+    * weights, same left-to-right FP summation order), but with NO weight
+    * literals in the plan: 48-table × 4-plane bucketing used to ship ~12k
+    * literal doubles and a 1.8 MiB task binary, and allocated a lambda frame
+    * per element.
+    */
+  def hyperplaneSig(a: ArrayData, offset: Int, planes: Int, fromFloat: Boolean): Long = {
+    val n = a.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val seed = (p + offset).toLong * 0x9e37L
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (fromFloat) a.getFloat(d).toDouble else a.getDouble(d)
+        val w = if ((mix64(d.toLong, seed) & 1L) == 0L) 1.0 else -1.0
+        proj += x * w
+        d += 1
+      }
+      if (proj >= 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
   /** Quantize float/double array → fixed-point longs, matching Spark's
     * `round` semantics exactly (BigDecimal HALF_UP on the shortest decimal
     * representation) so results stay oracle-identical.
@@ -149,9 +178,44 @@ case class Mix64(child: Expression, seed: Long) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** hyperplane_sig(array<float|double>, offset, planes) → bigint bucket. */
+case class HyperplaneSig(child: Expression, offset: Int, planes: Int)
+    extends UnaryExpression {
+  require(planes >= 1 && planes <= 62, s"planes out of range: $planes")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_sig"
+
+  private def fromFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig expects ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.hyperplaneSig(a.asInstanceOf[ArrayData], offset, planes, fromFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = VectorKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $kernels.hyperplaneSig($a, $offset, $planes, $fromFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def mix64(c: Column, seed: Long): Column =
     ColumnShim.column(Mix64(ColumnShim.expression(c), seed))
+  def hyperplane_sig(c: Column, offset: Int, planes: Int): Column =
+    ColumnShim.column(HyperplaneSig(ColumnShim.expression(c), offset, planes))
   def dot_q(a: Column, b: Column): Column =
     ColumnShim.column(DotProductQ(ColumnShim.expression(a), ColumnShim.expression(b)))
   def quantize_vec(c: Column, scale: Int = 10000): Column =

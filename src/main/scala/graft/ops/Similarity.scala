@@ -84,24 +84,17 @@ object Similarity {
       .select(col("qid"), col(idCol).as("nbr"), col("rnk"), col("cos_r"))
   }
 
-  /** Deterministic ±1 hyperplane weights, precomputed driver-side (they are
-    * pure constants — deriving them with per-row hash expressions would
-    * re-hash (plane, dim) for every row) and shipped as array literals.
+  /** Sign-bit signature for `planes` hyperplanes → integer bucket id.
+    * Native kernel (`HyperplaneSig`): mix64-derived ±1 weights computed in a
+    * tight loop, bit-identical to the literal-array `aggregate(zip_with)`
+    * form it replaces (same weights, same FP summation order) — the 48-table
+    * s07 bucketing shipped ~12k weight literals and a 1.8 MiB task binary as
+    * column expressions. `dims` is retained for source compatibility; the
+    * kernel always uses the vector's actual length (identical for the dense
+    * equal-width embeddings every caller feeds it).
     */
-  private def planeWeights(plane: Int, dims: Int): Column =
-    typedlit((0 until dims).map { d =>
-      if ((graft.functions.VectorKernels.mix64(d.toLong, plane.toLong * 0x9e37L) & 1L) == 0L)
-        1.0 else -1.0
-    })
-
-  /** Sign-bit signature for `planes` hyperplanes → integer bucket id. */
   def hyperplaneBucket(emb: Column, planes: Int, offset: Int = 0, dims: Int = 64): Column =
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, planeWeights(p + offset, dims), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.VectorFunctions.hyperplane_sig(emb, offset, planes)
 
   /** All XOR masks of hamming weight ≤ h over the low `m` bits (multiprobe
     * neighborhood — driver-side constant, ≤ 1+m+m(m-1)/2 entries).

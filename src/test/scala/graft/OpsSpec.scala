@@ -201,6 +201,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hyperplane_sig: codegen column matches an independent weight-formula loop") {
+    // the s07 completeness gate depends on EXACT bucket reproduction — this
+    // pins the kernel's wiring (seed = (plane+offset)·0x9e37, LSB weight
+    // pick, index-order FP summation, bit p of the bucket) against an
+    // explicit reference loop, so a refactor can't silently re-bucket
+    val vec = Array(0.5f, -1.25f, 3.0f, 0.125f, -0.75f)
+    def ref(offset: Int, planes: Int): Long = {
+      var bucket = 0L
+      for (p <- 0 until planes) {
+        val seed = (p + offset).toLong * 0x9e37L
+        var proj = 0.0
+        for (d <- vec.indices) {
+          val w = if ((graft.functions.VectorKernels.mix64(d.toLong, seed) & 1L) == 0L)
+            1.0 else -1.0
+          proj += vec(d).toDouble * w
+        }
+        if (proj >= 0) bucket |= 1L << p
+      }
+      bucket
+    }
+    for (offset <- Seq(0, 12, 188)) { // table 0, mid, s07's last table
+      val got = Seq(Tuple1(vec.toSeq)).toDF("e")
+        .select(Similarity.hyperplaneBucket(col("e"), planes = 4, offset = offset).as("b"))
+        .head.getLong(0)
+      assert(got == ref(offset, 4), s"bucket diverged at offset $offset")
+    }
+  }
+
   test("knnExactQuantized rejects an oversized broadcast query side") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val e = intercept[IllegalArgumentException] {

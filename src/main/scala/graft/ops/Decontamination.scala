@@ -53,4 +53,52 @@ object Decontamination {
     df.filter(!coalesce(benchmarkPred, lit(false)))
       .join(contaminationHits(df, idCol, textCol, benchmarkPred, n)
         .select(col(idCol)), Seq(idCol), "left_anti")
+
+  // ----------------------------------------------- membership-set variant --
+
+  /** The benchmark split's distinct gram xxhash64 set, serialized sorted —
+    * the plan-constant behind [[decontaminateBySet]]. The eval side is
+    * SMALL by definition (same argument as the broadcast in
+    * [[contaminationHits]]), so collecting its distinct hashes is bounded;
+    * `maxGrams` makes an oversized benchmark loud instead of a silent
+    * driver OOM. 64 bits/gram — the same footprint as a 1e-9-target bloom,
+    * but EXACT: Spark's sketch bloom has a measured ~6e-6 false-positive
+    * floor that over-dropped one clean demo doc per run (see
+    * [[graft.functions.MembershipFunctions]]), while a 64-bit hash set
+    * misfires only on a hash collision (~1e-11 at 10⁶×10¹⁰ gram pairs).
+    */
+  def benchmarkGramSet(df: DataFrame, idCol: String, textCol: String,
+      benchmarkPred: Column, n: Int = 8, maxGrams: Long = 1L << 24): Array[Byte] = {
+    import graft.functions.MembershipFunctions
+    val pred = coalesce(benchmarkPred, lit(false))
+    val hashes = grams(df.filter(pred), idCol, textCol, n)
+      .select(xxhash64(col("shingle")).as("h")).distinct()
+    val items = hashes.count()
+    require(items <= maxGrams,
+      s"benchmark gram set has $items distinct grams (> $maxGrams): " +
+        "this side must stay eval-suite-sized; raise maxGrams only with " +
+        "driver/task memory to hold 8 bytes per gram")
+    MembershipFunctions.encodeLongSet(
+      hashes.collect().map(_.getLong(0)))
+  }
+
+  /** Contamination filter as a stateless membership probe: keep corpus docs
+    * none of whose n-gram hashes are in the benchmark set. No join, no
+    * shuffle, no state — the corpus side is a pure projection, which is
+    * what makes the same predicate usable on an unbounded STREAM
+    * ([[graft.streaming.StreamOps.decontaminateStream]]). Gram construction
+    * matches [[Dedup.shingleSet]] bit-for-bit (same tokenizer, same shingle
+    * join, tokens materialized before the HOF), so results equal
+    * [[decontaminate]] — the d10 oracle asserts exactly that.
+    */
+  def decontaminateBySet(df: DataFrame, gramSet: Array[Byte], textCol: String,
+      benchmarkPred: Column, n: Int = 8): DataFrame = {
+    import graft.functions.MembershipFunctions
+    df.filter(!coalesce(benchmarkPred, lit(false)))
+      .withColumn("_toks", TextOps.tokens(col(textCol)))
+      .withColumn("_sh", array_distinct(TextOps.shingles(col("_toks"), n)))
+      .filter(!exists(col("_sh"),
+        s => MembershipFunctions.long_set_contains(gramSet, xxhash64(s))))
+      .drop("_toks", "_sh")
+  }
 }

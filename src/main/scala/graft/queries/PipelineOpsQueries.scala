@@ -177,6 +177,37 @@ object PipelineOpsQueries {
       WHERE g.doc_id % 10 <> 0
       GROUP BY g.doc_id ORDER BY g.doc_id""")),
 
+    // d09's scale/streaming twin: the SAME decontamination contract
+    // (drop corpus docs sharing any 8-gram with the eval split) as an exact
+    // MEMBERSHIP probe instead of a gram join — the benchmark's distinct
+    // gram xxhash64es ride the plan as a sorted long set, probed by a
+    // codegen'd binary-search expression. Result-identical to the exact
+    // join (the oracle asserts it); the corpus side is a stateless
+    // projection, which is why StreamOps.decontaminateStream can run the
+    // identical predicate over an unbounded stream. (Spark's own bloom
+    // pair was measured at a ~6e-6 FP floor — wrong tool for an
+    // exactness-gated contract; see MembershipFunctions.)
+    ("d10_decontamination_hashset", (s: SparkSession, dir: String) => {
+      val docs = rd(s, dir, "documents")
+      val benchPred = col("doc_id") % 10 === 0
+      val gramSet = Decontamination.benchmarkGramSet(docs, "doc_id", "text",
+        benchPred, n = 8)
+      Decontamination.decontaminateBySet(docs, gramSet, "text", benchPred, n = 8)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                    FROM documents),
+      g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+      bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0),
+      dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (s)
+                WHERE g.doc_id % 10 <> 0)
+      SELECT d.doc_id, d.lang FROM documents d
+      WHERE d.doc_id % 10 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+      ORDER BY d.doc_id""")),
+
     // Near-dup pairs → canonical clusters: distributed connected components
     // (large-star/small-star) over the verified MinHash-LSH pairs, every doc
     // labeled with its component minimum. The oracle recomputes components

@@ -188,6 +188,19 @@ object StreamOps {
       .drop("band0", "band1", "band2", "band3")
   }
 
+  /** Streaming benchmark decontamination: the exact membership form
+    * ([[graft.ops.Decontamination.decontaminateBySet]]) is a stateless
+    * projection — no join, no watermark, NO state — so contaminated docs
+    * drop in-flight at ingest speed. Build the gram-hash set once from the
+    * static benchmark corpus (a batch job), probe every arriving doc. This
+    * is the formulation that survives an unbounded ingest: the exact-join
+    * form would be a stream-static join re-shuffling every micro-batch.
+    */
+  def decontaminateStream(docs: DataFrame, benchmarkGramSet: Array[Byte],
+      textCol: String = "text", n: Int = 8): DataFrame =
+    graft.ops.Decontamination.decontaminateBySet(
+      docs, benchmarkGramSet, textCol, lit(false), n)
+
   /** Batch reference computation for the streaming agg (same expressions,
     * same results — used by the equivalence spec).
     */

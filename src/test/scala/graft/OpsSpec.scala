@@ -379,6 +379,26 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(None, Some(3L)), s"null-pred row lost: $kept")
   }
 
+  test("hash-set decontamination equals the exact join formulation") {
+    import graft.ops.Decontamination
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pred = col("doc_id") % 10 === 0
+    val exact = Decontamination.decontaminate(docs, "doc_id", "text", pred, n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gramSet = Decontamination.benchmarkGramSet(docs, "doc_id", "text", pred, n = 8)
+    val got = Decontamination.decontaminateBySet(docs, gramSet, "text", pred, n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty)
+    assert(got == exact,
+      s"set probe over-dropped ${exact -- got}, under-dropped ${got -- exact}")
+    // the gram-set build enforces its eval-suite-size bound loudly
+    val e = intercept[IllegalArgumentException] {
+      Decontamination.benchmarkGramSet(docs, "doc_id", "text", pred, n = 8,
+        maxGrams = 10)
+    }
+    assert(e.getMessage.contains("benchmark gram set"))
+  }
+
   test("ngram repetition counters match a hand computation") {
     import graft.ops.TextOps
     val df = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("id", "text")

@@ -195,6 +195,35 @@ class StreamingSpec extends SparkSpec {
       s"expected the near-dup (doc 2) dropped in-stream, survivors = $got")
   }
 
+  test("streaming decontamination equals the batch filter, statelessly") {
+    import org.apache.spark.sql.types._
+    import graft.ops.Decontamination
+    val batch = GraftTables.read(spark, "/root/testdata/sf0.001", "documents")
+    val pred = col("doc_id") % 10 === 0
+    val gramSet = Decontamination.benchmarkGramSet(batch, "doc_id", "text", pred, n = 8)
+    val want = Decontamination.decontaminateBySet(batch, gramSet, "text", pred, n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val tmp = Files.createTempDirectory("graft-decon-stream").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      Paths.get(s"$tmp/docs.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docSchema).parquet(tmp)
+      .filter(col("doc_id") % 10 =!= 0) // corpus side only, like the batch op
+    val q = StreamOps.decontaminateStream(stream, gramSet)
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("decon_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("decon_out").collect().map(_.getLong(0)).toSet
+    assert(got == want, "stream survivors diverge from the batch bloom filter")
+    // and the contract is real: contaminated docs existed and were dropped
+    assert(batch.filter(!pred).count() > want.size)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) equals batch q29") {
     val tmp = Files.createTempDirectory("graft-sessions").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),

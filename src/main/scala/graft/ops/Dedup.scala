@@ -49,6 +49,24 @@ object Dedup {
     df.groupBy(keyCol.as("dedup_key"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup — the daily-ingest form every growing corpus
+    * runs: survivors among `incoming` are docs that are (a) first (min id)
+    * within their own batch's key group and (b) absent from the
+    * already-accepted `history`. History contributes only its distinct keys
+    * (narrow rows); the anti-join shuffles both sides on the key — at
+    * corpus scale, bucket the history table by the dedup key so daily runs
+    * co-locate against it with no history re-shuffle. Returns
+    * (dedup_key, idCol, n_dups) like [[exactSurvivors]], where n_dups
+    * counts within-batch copies (history hits simply drop the group).
+    */
+  def incrementalExactSurvivors(history: DataFrame, incoming: DataFrame,
+      idCol: String, keyCol: Column): DataFrame = {
+    val histKeys = history.select(keyCol.as("dedup_key")).distinct()
+    incoming.groupBy(keyCol.as("dedup_key"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .join(histKeys, Seq("dedup_key"), "left_anti")
+  }
+
   /** (id, shingle) pairs — distinct per doc.
     *
     * Tokens are materialized in their own projection BEFORE the shingle

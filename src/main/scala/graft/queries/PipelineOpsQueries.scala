@@ -208,6 +208,30 @@ object PipelineOpsQueries {
         AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
       ORDER BY d.doc_id""")),
 
+    // The daily-ingest dedup: a new batch (doc_id % 3 = 0) deduplicated
+    // against the already-accepted history (the rest). Survivors are
+    // first-in-batch AND absent from history; history contributes only its
+    // distinct fingerprints. The within-batch n_dups count rides along so
+    // the oracle checks both halves of the semantics.
+    ("d11_incremental_dedup", (s: SparkSession, dir: String) => {
+      val docs = rd(s, dir, "documents")
+      Dedup.incrementalExactSurvivors(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", TextOps.fingerprint(col("text")))
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH fp AS (SELECT doc_id,
+          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+        FROM documents),
+      hist AS (SELECT DISTINCT f FROM fp WHERE doc_id % 3 <> 0),
+      inc AS (SELECT f, min(doc_id) AS doc_id, count(*) AS n_dups
+              FROM fp WHERE doc_id % 3 = 0 GROUP BY f)
+      SELECT doc_id, CAST(n_dups AS BIGINT) AS n_dups FROM inc
+      WHERE f NOT IN (SELECT f FROM hist)
+      ORDER BY doc_id""")),
+
     // Near-dup pairs → canonical clusters: distributed connected components
     // (large-star/small-star) over the verified MinHash-LSH pairs, every doc
     // labeled with its component minimum. The oracle recomputes components
@@ -695,6 +719,31 @@ object PipelineOpsQueries {
         CAST(max(c) AS BIGINT) AS top_count,
         CAST(count(*) AS BIGINT) AS n_distinct
       FROM c GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Sketch-based distinct counting — the 100 TB answer to "how many
+    // unique documents per language" (exact distinct of a 100 TB corpus is
+    // a full-width shuffle; HLL is a few KB per group, partial-aggregated
+    // map-side). The oracle gates it s05-style: DuckDB recomputes the EXACT
+    // count and the Spark side must (a) reproduce that exact count and
+    // (b) land the HLL estimate within 5% of it — the gate bit flips the
+    // row red if the sketch drifts.
+    ("t11_approx_distinct", (s: SparkSession, dir: String) => {
+      rd(s, dir, "documents")
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .groupBy("lang")
+        .agg(
+          count_distinct(col("fp")).as("n_exact"),
+          approx_count_distinct(col("fp"), rsd = 0.02).as("n_approx"))
+        .select(col("lang"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double")
+            <= col("n_exact").cast("double") * 0.05)
+            .cast("long").as("approx_ok"))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang,
+        CAST(count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_exact,
+        CAST(1 AS BIGINT) AS approx_ok
+      FROM documents GROUP BY lang ORDER BY lang""")),
 
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {

@@ -29,6 +29,21 @@ class OpsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("incremental dedup: history hits drop, batch dups collapse, novel survive") {
+    import graft.ops.{Dedup, TextOps}
+    val history = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "seen before"),   // exact dup of history → dropped
+      (11L, "fresh content"), // novel → survives
+      (12L, "fresh content"), // within-batch dup → collapsed into 11
+      (13L, "brand new")).toDF("doc_id", "text")
+    val got = Dedup.incrementalExactSurvivors(history, incoming,
+        "doc_id", TextOps.fingerprint(col("text")))
+      .select("doc_id", "n_dups")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(11L -> 2L, 13L -> 1L), s"got $got")
+  }
+
   test("jaccard pairs: identical docs give 1.0, disjoint give none") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5"),

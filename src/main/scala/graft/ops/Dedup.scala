@@ -86,37 +86,62 @@ object Dedup {
       .select(col(idCol),
         explode(array_distinct(TextOps.shingles(col("_toks"), n))).as("shingle"))
 
-  /** Exact pairwise Jaccard over an inverted shingle index (no O(n²) scan:
-    * only docs sharing ≥1 shingle ever meet). Returns (d1, d2, inter, n1, n2,
-    * jaccard) for pairs with jaccard ≥ threshold. Jaccard is computed over
-    * the df-capped shingle space (shingles in > `maxDocFreq` docs are ignored
-    * everywhere — sizes and intersections stay consistent).
+  /** Shared inverted-index overlap table: (d1, d2, inter, n1, n2) for every
+    * doc pair sharing ≥1 shingle (no O(n²) scan — only docs that collide on
+    * a shingle hash ever meet). Sizes and intersections are both computed
+    * over the df-capped shingle space so derived metrics stay consistent.
+    *
+    * Joins/shuffles ride the 64-bit shingle hash instead of the string: same
+    * intersection counts up to a ~n²/2⁶⁵ collision probability (~1e-9 for
+    * 10⁵ distinct shingles), at a fraction of the shuffle bytes. The hashed
+    * table is cached: consumed by sizes + both join sides (3 full recomputes
+    * otherwise — at cluster scale this is the materialized shingle table);
+    * lifetime is the caller's CacheScope.
     */
-  def jaccardPairs(shingles: DataFrame, idCol: String, threshold: Double,
-      maxDocFreq: Long = DefaultMaxDocFreq,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    // join/shuffle on the 64-bit shingle hash instead of the string: same
-    // intersection counts up to a ~n²/2⁶⁵ collision probability (~1e-9 for
-    // 10⁵ distinct shingles), at a fraction of the shuffle bytes. Cached:
-    // consumed by sizes + both join sides (3 full recomputes otherwise —
-    // at cluster scale this is the materialized shingle table); lifetime is
-    // the caller's CacheScope.
+  private def overlapPairs(shingles: DataFrame, idCol: String, maxDf: Long,
+      scope: CacheScope): DataFrame = {
     val hashed = scope.cached(capDocFreq(
       shingles.select(col(idCol), xxhash64(col("shingle")).as("sh")),
-      maxDocFreq))
+      maxDf))
     val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = hashed.select(col(idCol).as("d1"), col("sh"))
     val b = hashed.select(col(idCol).as("d2"), col("sh"))
-    val inter = a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+    a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    val j = inter
       .join(sizes.select(col(idCol).as("d1"), col("sz").as("n1")), "d1")
       .join(sizes.select(col(idCol).as("d2"), col("sz").as("n2")), "d2")
+  }
+
+  /** Exact pairwise Jaccard over an inverted shingle index. Returns (d1, d2,
+    * inter, n1, n2, jaccard) for pairs with jaccard ≥ threshold. Jaccard is
+    * computed over the df-capped shingle space (shingles in > `maxDocFreq`
+    * docs are ignored everywhere — sizes and intersections stay consistent).
+    */
+  def jaccardPairs(shingles: DataFrame, idCol: String, threshold: Double,
+      maxDocFreq: Long = DefaultMaxDocFreq,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    overlapPairs(shingles, idCol, maxDocFreq, scope)
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double"))
-    j.filter(col("jaccard") >= threshold)
-  }
+      .filter(col("jaccard") >= threshold)
+
+  /** Asymmetric containment: |A∩B| / min(|A|,|B|) — catches a short doc
+    * embedded in a long one, where Jaccard stays low because the union is
+    * dominated by the long doc (the dedup literature's standard second
+    * metric next to Jaccard for exactly that blind spot). Same inverted
+    * index and df cap as [[jaccardPairs]]; returns (d1, d2, inter, n1, n2,
+    * containment) at ≥ threshold. The single exact-integer division keeps
+    * the score bit-identical across engines.
+    */
+  def containmentPairs(shingles: DataFrame, idCol: String, threshold: Double,
+      maxDocFreq: Long = DefaultMaxDocFreq,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    overlapPairs(shingles, idCol, maxDocFreq, scope)
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(col("n1"), col("n2")).cast("double"))
+      .filter(col("containment") >= threshold)
 
   /** MinHash signatures: ONE xxhash64 over the shingle string, then k cheap
     * 64-bit finalizer mixes (xor-fold + odd multiply) — hashing the string k

@@ -78,6 +78,32 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = md5(canonicalText(text))
 
+  /** Top-k distinctive terms per doc — the integer core of TF-IDF keyword
+    * extraction, ranked by (tf desc, df asc, term asc) instead of the float
+    * tf·log(N/df) score: the rank order is identical wherever the float
+    * score's log is monotone in df (always), and exact-integer ranking is
+    * reproducible across engines while transcendental log is not.
+    *
+    * Shape at scale: one shuffle to count (doc, term) tf; the document
+    * frequency is a second aggregate OVER the tf table (vocabulary-sized,
+    * not corpus-sized — partial-agg combines per term); the join back rides
+    * the term key; the final top-k window partitions by doc (per-doc
+    * vocabulary partitions — thousands of rows at worst, never hot).
+    */
+  def distinctiveTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("rnk"))
+  }
+
   /** Repetition counters over word n-grams — the integer core of the
     * Gopher-family repetition quality filters (Rae et al. 2021 §A1.1:
     * "fraction of characters in the most common n-gram" etc.), kept as

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.CryptoCodec
 import graft.functions.protect
-import graft.ops.{ConnectedComponents, Decontamination, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{ConnectedComponents, Decontamination, Dedup, Multimodal, Packing, Similarity, TextOps}
 import graft.operators.AsofJoin
 import graft.pipeline.{ColumnPolicy, PerValue, ProtectionPipeline}
 
@@ -231,6 +231,31 @@ object PipelineOpsQueries {
       SELECT doc_id, CAST(n_dups AS BIGINT) AS n_dups FROM inc
       WHERE f NOT IN (SELECT f FROM hist)
       ORDER BY doc_id""")),
+
+    // Asymmetric containment pairs — Jaccard's blind spot is a short doc
+    // embedded in a long one (tiny intersection/union ratio, perfect
+    // containment); this is the standard second dedup metric that catches
+    // quote-and-expand near-dups. Same inverted shingle index as d02.
+    ("d12_containment_pairs", (s: SparkSession, dir: String) => {
+      Dedup.containmentPairs(
+          Dedup.shingleSet(rd(s, dir, "documents"), "doc_id", "text"),
+          "doc_id", 0.9)
+        .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+          col("containment"))
+        .orderBy("d1", "d2")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT d1, d2, i AS inter, na.n AS n1, nb.n AS n2,
+        CAST(i AS DOUBLE) / least(na.n, nb.n) AS containment
+      FROM inter JOIN sz na ON na.doc_id = d1 JOIN sz nb ON nb.doc_id = d2
+      WHERE CAST(i AS DOUBLE) / least(na.n, nb.n) >= 0.9
+      ORDER BY d1, d2""")),
 
     // Near-dup pairs → canonical clusters: distributed connected components
     // (large-star/small-star) over the verified MinHash-LSH pairs, every doc
@@ -744,6 +769,50 @@ object PipelineOpsQueries {
         CAST(count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_exact,
         CAST(1 AS BIGINT) AS approx_ok
       FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // TF-IDF keyword extraction, integer-ranked: (tf desc, df asc, term asc)
+    // orders identically to the float tf·log(N/df) score (log is monotone in
+    // df) and is bit-reproducible across engines. Inverted-index shape: tf
+    // shuffle on (doc, term), df aggregate over the vocabulary-sized tf
+    // table, join back on term, per-doc top-k window.
+    ("t12_tfidf_terms", (s: SparkSession, dir: String) => {
+      TextOps.distinctiveTerms(rd(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk")
+    }, Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+                   FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      r AS (SELECT doc_id, term, tf, df, row_number() OVER
+              (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rnk
+            FROM tf JOIN dfq USING (term))
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        CAST(rnk AS BIGINT) AS rnk
+      FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
+    // Sequence packing: docs laid end-to-end in id order within (lang, shard)
+    // lanes, bin = start offset DIV 2048 — the loader's concat-and-chunk
+    // batch assignment, deterministic and exact-integer end to end. Sharding
+    // keeps every window partition executor-sized at corpus scale.
+    ("t13_sequence_packing", (s: SparkSession, dir: String) => {
+      Packing.assignBins(
+          rd(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              size(TextOps.tokens(col("text"))).cast("long").as("nt")),
+          "doc_id", col("nt"), budget = 2048L, shards = 8,
+          partitionCols = Seq(col("lang")))
+        .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+          col("bin"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+          CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard
+              ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      SELECT doc_id, lang, shard, n_tokens,
+        CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
+      FROM c ORDER BY doc_id""")),
 
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {

@@ -44,6 +44,33 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(11L -> 2L, 13L -> 1L), s"got $got")
   }
 
+  test("containment catches a short doc embedded in a long one that jaccard misses") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "a b c d e"),                   // 3 shingles, all inside doc 2
+      (2L, "a b c d e f g h i j"),         // 8 shingles
+      (3L, "x y z w v")).toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(docs, "doc_id", "text")
+    val cont = Dedup.containmentPairs(sh, "doc_id", 0.9)
+      .select("d1", "d2", "containment").collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 1.0)))
+    // the same pair is invisible to jaccard at any near-dup threshold
+    assert(Dedup.jaccardPairs(sh, "doc_id", 0.8).count() == 0)
+  }
+
+  test("sequence packing: bins are start-offset DIV budget within a shard") {
+    import graft.ops.Packing
+    // shards=1 → one lane; budget 10; token counts 4,4,4,4 → starts 0,4,8,12
+    val docs = Seq((0L, "en", 4L), (1L, "en", 4L), (2L, "en", 4L), (3L, "en", 4L))
+      .toDF("doc_id", "lang", "nt")
+    val got = Packing.assignBins(docs, "doc_id", col("nt"), budget = 10L,
+        shards = 1, partitionCols = Seq(col("lang")))
+      .select("doc_id", "bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L), s"got $got")
+  }
+
   test("jaccard pairs: identical docs give 1.0, disjoint give none") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5"),

@@ -73,32 +73,41 @@ object Decontamination {
     val pred = coalesce(benchmarkPred, lit(false))
     val hashes = grams(df.filter(pred), idCol, textCol, n)
       .select(xxhash64(col("shingle")).as("h")).distinct()
-    val items = hashes.count()
-    require(items <= maxGrams,
-      s"benchmark gram set has $items distinct grams (> $maxGrams): " +
+    // ONE job: collect bounded at maxGrams+1 so an oversized benchmark is
+    // loud (the require below) without a separate count() pass re-shingling
+    // the whole eval split.
+    val collected = hashes.limit(
+      math.min(maxGrams + 1, Int.MaxValue.toLong).toInt).collect()
+    require(collected.length <= maxGrams,
+      s"benchmark gram set exceeds $maxGrams distinct grams: " +
         "this side must stay eval-suite-sized; raise maxGrams only with " +
         "driver/task memory to hold 8 bytes per gram")
-    MembershipFunctions.encodeLongSet(
-      hashes.collect().map(_.getLong(0)))
+    MembershipFunctions.encodeLongSet(collected.map(_.getLong(0)))
   }
 
   /** Contamination filter as a stateless membership probe: keep corpus docs
     * none of whose n-gram hashes are in the benchmark set. No join, no
-    * shuffle, no state — the corpus side is a pure projection, which is
-    * what makes the same predicate usable on an unbounded STREAM
-    * ([[graft.streaming.StreamOps.decontaminateStream]]). Gram construction
-    * matches [[Dedup.shingleSet]] bit-for-bit (same tokenizer, same shingle
-    * join, tokens materialized before the HOF), so results equal
-    * [[decontaminate]] — the d10 oracle asserts exactly that.
+    * shuffle, no state — the corpus side is a pure filter, which is what
+    * makes the same predicate usable on an unbounded STREAM
+    * ([[graft.streaming.StreamOps.decontaminateStream]]).
+    *
+    * The probe is ONE native expression over the token array
+    * ([[graft.functions.GramSetContains]]): gram assembly (concat_ws-" "
+    * semantics), xxhash64 (seed 42) and sorted-set binary search in a tight
+    * early-exit loop. The composed-Column spelling
+    * (`exists(shingles(toks), g => long_set_contains(set, xxhash64(g)))`)
+    * computes the same thing but HOFs are CodegenFallback AND predicate
+    * pushdown inlines the tokenizer `split` into the shingle lambda — one
+    * regex re-run per element access, measured 16 s vs sub-second at sf0.1.
+    * Gram construction matches [[Dedup.shingleSet]] bit-for-bit, so results
+    * equal [[decontaminate]] — the d10 oracle and the OpsSpec equivalence
+    * test assert exactly that.
     */
   def decontaminateBySet(df: DataFrame, gramSet: Array[Byte], textCol: String,
       benchmarkPred: Column, n: Int = 8): DataFrame = {
     import graft.functions.MembershipFunctions
     df.filter(!coalesce(benchmarkPred, lit(false)))
-      .withColumn("_toks", TextOps.tokens(col(textCol)))
-      .withColumn("_sh", array_distinct(TextOps.shingles(col("_toks"), n)))
-      .filter(!exists(col("_sh"),
-        s => MembershipFunctions.long_set_contains(gramSet, xxhash64(s))))
-      .drop("_toks", "_sh")
+      .filter(!MembershipFunctions.any_gram_in_set(
+        gramSet, TextOps.tokens(col(textCol)), n))
   }
 }

@@ -421,6 +421,32 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(None, Some(3L)), s"null-pred row lost: $kept")
   }
 
+  test("membership primitives: scalar probe and gram probe edge cases") {
+    import graft.functions.MembershipFunctions
+    val set = MembershipFunctions.encodeLongSet(Array(42L, -7L, 999L))
+    val scalar = Seq(42L, 5L, -7L).toDF("h")
+      .withColumn("hit", MembershipFunctions.long_set_contains(set, col("h")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(scalar == Map(42L -> true, 5L -> false, -7L -> true))
+
+    // gram probe: xxhash64-compatible by construction ("b c d" planted via
+    // the SQL function itself); sub-n arrays are clean; null tokens are
+    // skipped exactly like concat_ws ("a",null,"c" grams as "a c")
+    val planted = Seq("b c d", "a c").toDF("g")
+      .select(xxhash64(col("g"))).collect().map(_.getLong(0))
+    val gset = MembershipFunctions.encodeLongSet(planted)
+    val docs = Seq(
+      (1L, Seq("a", "b")),                    // shorter than n → false
+      (2L, Seq("x", "b", "c", "d")),          // window "b c d" → true
+      (3L, Seq("a", null, "c")),              // concat_ws null skip → "a c" → true
+      (4L, Seq("c", "b", "a"))).toDF("id", "toks") // no planted gram → false
+    val got = docs
+      .withColumn("hit", MembershipFunctions.any_gram_in_set(gset, col("toks"), 3))
+      .select("id", "hit")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false), s"got $got")
+  }
+
   test("hash-set decontamination equals the exact join formulation") {
     import graft.ops.Decontamination
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

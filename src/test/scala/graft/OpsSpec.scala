@@ -447,6 +447,33 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false), s"got $got")
   }
 
+  test("gram probe fuzz: native expression equals the composed HOF spelling") {
+    import graft.functions.MembershipFunctions
+    import graft.ops.{Dedup, TextOps}
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Vector("aa", "b", "ccc", "dd", "e", "ff", "ggg", "hh")
+    val docs = (0 until 200).map { i =>
+      val m = rnd.nextInt(12)
+      (i.toLong, (0 until m).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    // plant roughly half the real gram space plus never-hit decoys
+    val grams = Dedup.shingleSet(df, "id", "text", 3)
+      .select(xxhash64(col("shingle"))).distinct().collect().map(_.getLong(0))
+    val set = MembershipFunctions.encodeLongSet(
+      grams.filter(_ => rnd.nextBoolean()) ++ Array(123L, -456L))
+    def hits(c: org.apache.spark.sql.DataFrame) =
+      c.select("id", "hit").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val native = hits(df.withColumn("hit",
+      MembershipFunctions.any_gram_in_set(set, TextOps.tokens(col("text")), 3)))
+    val composed = hits(df
+      .withColumn("_toks", TextOps.tokens(col("text")))
+      .withColumn("hit", exists(TextOps.shingles(col("_toks"), 3),
+        g => MembershipFunctions.long_set_contains(set, xxhash64(g)))))
+    assert(native == composed)
+    assert(native.values.count(identity) > 10, "fuzz corpus produced too few hits")
+  }
+
   test("hash-set decontamination equals the exact join formulation") {
     import graft.ops.Decontamination
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -355,4 +355,49 @@ object Similarity {
       .filter(col("cos_r") >= threshold)
       .select("d1", "d2", "cos_r")
   }
+
+  /** Nearest-centroid classification over labeled embeddings — the cheap
+    * supervised baseline every corpus-labeling pipeline runs (assign each
+    * vector to the closest class mean; report it next to the true label).
+    * Returns (idCol, labelCol, pred) with pred = argmin-L2 centroid label,
+    * ties toward the smaller label.
+    *
+    * Everything stays in the exact fixed-point integer space so the result
+    * is bit-reproducible: vectors quantize ×10⁴ ([[quantize]]); each
+    * centroid coordinate is the FLOOR-divided per-label mean
+    * `(sum − pmod(sum, cnt)) DIV cnt` (exact integer floor, identical
+    * across engines regardless of DIV-vs-// truncation semantics because
+    * the adjusted numerator is an exact multiple); squared L2 distance
+    * expands to dot products on the native [[dotQ]] kernel — no interpreted
+    * higher-order functions in the per-pair path (the d10 lesson).
+    *
+    * Scale shape: one explode+groupBy builds the (labels × dims) sum table
+    * (partial-agg, map-side combined); centroids re-pack to `labels` rows
+    * and BROADCAST; assignment is a map-side broadcast join (corpus × labels
+    * rows, never shuffled) followed by a partial-agg argmin per vector —
+    * the corpus itself is shuffled once, by the argmin groupBy on the id.
+    */
+  def nearestCentroid(emb: DataFrame, idCol: String, labelCol: String,
+      embCol: String): DataFrame = {
+    val q = emb.select(col(idCol), col(labelCol).cast("long").as(labelCol),
+      quantize(col(embCol)).as("qv"))
+    val cents = q
+      .select(col(labelCol), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(labelCol, "pos")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("cent", expr("(s - pmod(s, cnt)) DIV cnt"))
+      .groupBy(labelCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cent")))),
+        x => x.getField("cent")).as("cv"))
+      .select(col(labelCol).as("clabel"), col("cv"))
+      .withColumn("cn", dotQ(col("cv"), col("cv")))
+    q.withColumn("qq", dotQ(col("qv"), col("qv")))
+      .join(broadcast(cents), lit(true))
+      // |q − c|² = q·q − 2·q·c + c·c, all exact longs on the native kernel
+      .withColumn("dist",
+        col("qq") - lit(2L) * dotQ(col("qv"), col("cv")) + col("cn"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(min(struct(col("dist"), col("clabel"))).as("m"))
+      .select(col(idCol), col(labelCol), col("m.clabel").as("pred"))
+  }
 }

@@ -608,6 +608,35 @@ object PipelineOpsQueries {
         FROM en a JOIN en b ON a.vec_id < b.vec_id)
       SELECT d1, d2, cos_r FROM pairs WHERE cos_r >= 0.45 ORDER BY d1, d2""")),
 
+    // Nearest-centroid classification: per-label integer centroids (exact
+    // floor-divided means), broadcast to a map-side argmin-L2 assignment —
+    // reported as the label × predicted confusion counts. Exact fixed-point
+    // arithmetic end to end; the squared distance expands to native dot_q
+    // kernels (no interpreted HOFs — the d10 lesson).
+    ("s08_nearest_centroid", (s: SparkSession, dir: String) => {
+      Similarity.nearestCentroid(rd(s, dir, "embeddings"), "vec_id", "label",
+          "embedding")
+        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+    }, Some("""
+      WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS q
+        FROM embeddings),
+      qd AS (SELECT vec_id, label, i AS pos, q[i+1] AS v
+             FROM q, UNNEST(range(0, len(q))) u(i)),
+      cent AS (SELECT label AS clabel, pos,
+          (sum(v) - ((sum(v) % count(*)) + count(*)) % count(*)) // count(*) AS c
+        FROM qd GROUP BY 1, 2),
+      dist AS (SELECT a.vec_id, a.label, c.clabel,
+          sum((a.v - c.c) * (a.v - c.c)) AS dist
+        FROM qd a JOIN cent c ON a.pos = c.pos
+        GROUP BY 1, 2, 3),
+      pred AS (SELECT vec_id, label, clabel,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+        FROM dist)
+      SELECT label, clabel AS pred, CAST(count(*) AS BIGINT) AS n
+      FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, pred""")),
+
     // ------------------------------------------- BPE-ish token counting
     ("t05_token_bpe", (s: SparkSession, dir: String) => {
       // subword-ish tokenization: alnum runs and punctuation runs counted

@@ -447,6 +447,22 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false), s"got $got")
   }
 
+  test("nearest centroid: exact-integer assignment flags the mislabeled vector") {
+    import graft.ops.Similarity
+    val emb = Seq(
+      (1L, 0, Array(0.0f, 0.0f)),
+      (2L, 0, Array(0.2f, 0.0f)),
+      (3L, 1, Array(1.0f, 1.0f)),
+      (4L, 1, Array(0.8f, 1.0f)),
+      (5L, 0, Array(0.9f, 0.9f))) // labeled 0, sits in cluster 1
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.nearestCentroid(emb, "vec_id", "label", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // centroids (floor-divided): c0 = (3666, 3000), c1 = (9000, 10000)
+    assert(got == Set((1L, 0L, 0L), (2L, 0L, 0L), (3L, 1L, 1L),
+      (4L, 1L, 1L), (5L, 0L, 1L)), s"got $got")
+  }
+
   test("gram probe fuzz: native expression equals the composed HOF spelling") {
     import graft.functions.MembershipFunctions
     import graft.ops.{Dedup, TextOps}

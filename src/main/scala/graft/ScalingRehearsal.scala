@@ -107,7 +107,7 @@ object ScalingRehearsal {
     println(s"synthesized 10x tables: $n10 docs, $e10 vectors at $workDir")
 
     val targets = Seq("d03_minhash_lsh", "d06_neardup_clusters", "d07_curation_pipeline",
-      "s02_ann_hyperplane", "s04_ann_ivf")
+      "d10_decontamination_hashset", "s02_ann_hyperplane", "s04_ann_ivf")
     val queries = SparkEntry.queries
 
     def timed(name: String, dir: String): (Double, Long, Long, Long, Long) = {

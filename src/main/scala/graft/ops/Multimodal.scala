@@ -156,11 +156,98 @@ object Multimodal {
       .toDF(idCol, "frames")
   }
 
+  // ------------------------------------------------------------- audio ----
+
+  /** Typed result of the audio decode; −1 dims for unrecognized payloads.
+    * `duration_ms` is exact integer floor division — reproducible.
+    */
+  case class AudioFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      sample_rate: Long,
+      channels: Long,
+      bits: Long,
+      n_samples: Long,
+      duration_ms: Long)
+
+  /** Parsed WAV fmt/data headers. */
+  case class WavHeader(sampleRate: Long, channels: Long, bits: Long, dataLen: Long)
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8)
+
+  /** WAV (RIFF, little-endian): "RIFF" + size + "WAVE", then a chunk walk —
+    * "fmt " carries channels/sampleRate/bitsPerSample at fixed offsets,
+    * "data" carries the sample stream. Chunks pad to even lengths (RIFF
+    * rule). Returns None unless both fmt and data chunks are present in
+    * order — the fallback contract mirrors [[parsePng]]/[[parseJpeg]].
+    */
+  def parseWav(bytes: Array[Byte]): Option[WavHeader] = {
+    if (bytes.length < 44) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F'))
+      return None
+    if (!(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+      return None
+    var i = 12
+    var sr = -1L; var ch = -1L; var bits = -1L
+    while (i + 8 <= bytes.length) {
+      val len = le32(bytes, i + 4)
+      if (len < 0 || len > bytes.length) return None
+      if (bytes(i) == 'f' && bytes(i + 1) == 'm' && bytes(i + 2) == 't' &&
+          bytes(i + 3) == ' ') {
+        if (i + 24 > bytes.length) return None
+        ch = le16(bytes, i + 10)
+        sr = le32(bytes, i + 12)
+        bits = le16(bytes, i + 22)
+      } else if (bytes(i) == 'd' && bytes(i + 1) == 'a' && bytes(i + 2) == 't' &&
+          bytes(i + 3) == 'a') {
+        return if (sr > 0 && ch > 0 && bits > 0) Some(WavHeader(sr, ch, bits, len))
+        else None
+      }
+      i += 8 + len.toInt + (len.toInt & 1) // RIFF chunks pad to even
+    }
+    None
+  }
+
+  /** Audio decode with opaque fallback (−1 metadata, like [[decode]]). */
+  def decodeAudio(id: Long, bytes: Array[Byte]): AudioFeatures =
+    parseWav(bytes) match {
+      case Some(h) =>
+        val blockAlign = h.channels * (h.bits / 8)
+        val nSamples = if (blockAlign > 0) h.dataLen / blockAlign else 0L
+        AudioFeatures(id, bytes.length.toLong, h.sampleRate, h.channels,
+          h.bits, nSamples, nSamples * 1000L / h.sampleRate)
+      case None =>
+        AudioFeatures(id, bytes.length.toLong, -1L, -1L, -1L, -1L, -1L)
+    }
+
+  /** Batch audio feature extraction — same mapPartitions shape as
+    * [[extractFeatures]] (per-partition decoder setup amortization point).
+    */
+  def extractAudioFeatures(df: DataFrame, idCol: String,
+      payloadCol: String): Dataset[AudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeAudio(id, bytes) })
+  }
+
   // ------------------------------------------- synthetic payload builders --
 
   /** Big-endian u32/u16 of a non-negative long, as binary column bytes. */
   private def be32Col(c: Column): Column = unhex(lpad(hex(c.cast("long")), 8, "0"))
   private def be16Col(c: Column): Column = unhex(lpad(hex(c.cast("long")), 4, "0"))
+
+  /** Little-endian bytes of a non-negative long (RIFF/WAV byte order). */
+  private def leCol(c: Column, n: Int): Column =
+    concat((0 until n).map(i =>
+      unhex(lpad(hex(pmod(shiftrightunsigned(c.cast("long"), 8 * i), lit(256L))),
+        2, "0"))): _*)
 
   /** A structurally-valid PNG byte stream built from column expressions:
     * signature, IHDR (8-bit truecolor), one IDAT chunk holding `data`, IEND.
@@ -188,6 +275,42 @@ object Multimodal {
       lit(Array[Byte](1, 1, 0x11, 0)), // 1 component: id, 1×1 sampling, qtable 0
       data,
       lit(Array(0xff, 0xd9).map(_.toByte)))
+
+  /** A genuine PCM WAV byte stream from column expressions: RIFF header,
+    * canonical 16-byte fmt chunk (PCM format 1), data chunk holding `data`.
+    * Every multi-byte field is little-endian, as the container demands.
+    */
+  def wavPayload(sampleRate: Column, channels: Column, bits: Column,
+      data: Column): Column = {
+    val blockAlign = (channels.cast("long") * bits.cast("long") / 8).cast("long")
+    concat(
+      lit("RIFF".getBytes("US-ASCII")), leCol(length(data) + 36L, 4),
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")), leCol(lit(16L), 4),
+      leCol(lit(1L), 2), leCol(channels, 2), leCol(sampleRate, 4),
+      leCol(sampleRate.cast("long") * blockAlign, 4),
+      leCol(blockAlign, 2), leCol(bits, 2),
+      lit("data".getBytes("US-ASCII")), leCol(length(data), 4), data)
+  }
+
+  /** Synthetic audio corpus over a documents table: every doc becomes a
+    * genuine PCM WAV whose rate/channels/depth/length derive from `doc_id`
+    * arithmetic, so [[parseWav]] is exercised against real little-endian
+    * RIFF encodings while a SQL oracle predicts the decode output from
+    * arithmetic alone (same design as [[syntheticMediaTable]]).
+    */
+  def syntheticAudioTable(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val sr = lit(8000L) + (id % 8L) * 1000L
+    val ch = lit(1L) + id % 2L
+    val bits = when(id % 3L === 0L, 16L).otherwise(8L)
+    val nSamples = lit(10L) + id % 200L
+    val dataLen = (nSamples * ch * bits / 8L).cast("int")
+    docs
+      .withColumn("payload", wavPayload(sr, ch, bits,
+        substring(lit(Array.fill[Byte](840)(0)), lit(1), dataLen)))
+      .select(col("doc_id"), col("payload"))
+  }
 
   /** Synthetic media corpus over a documents table: every doc becomes a
     * genuine PNG (even ids) or JPEG (odd ids) payload whose dims, length,

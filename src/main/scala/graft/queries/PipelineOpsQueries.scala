@@ -868,6 +868,27 @@ object PipelineOpsQueries {
         (doc_id * 13) % 256 AS f3
       FROM documents ORDER BY doc_id""")),
 
+    // Audio twin of m01: every doc becomes a genuine PCM WAV (little-endian
+    // RIFF + fmt + data chunks built from expressions), decoded by the real
+    // chunk-walking parser; rate/channels/depth/samples derive from doc_id
+    // arithmetic so the oracle predicts the decode without touching bytes.
+    ("m02_audio_features", (s: SparkSession, dir: String) => {
+      Multimodal.extractAudioFeatures(
+          Multimodal.syntheticAudioTable(rd(s, dir, "documents").select("doc_id")),
+          "doc_id", "payload")
+        .toDF().orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(44 + ((10 + doc_id % 200) * (1 + doc_id % 2) *
+          (CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END)) // 8 AS BIGINT) AS n_bytes,
+        CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+        CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS BIGINT) AS bits,
+        CAST(10 + doc_id % 200 AS BIGINT) AS n_samples,
+        CAST(((10 + doc_id % 200) * 1000) // (8000 + (doc_id % 8) * 1000) AS BIGINT)
+          AS duration_ms
+      FROM documents ORDER BY doc_id""")),
+
     // ------------------------------------------------------ as-of join
     ("q26_asof_join", (s: SparkSession, dir: String) => {
       val events = rd(s, dir, "events")

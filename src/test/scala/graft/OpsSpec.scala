@@ -344,6 +344,21 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.parseJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
 
+  test("wav payload builder round-trips through the chunk-walking parser") {
+    val payload = Seq(7L).toDF("doc_id")
+      .select(Multimodal.wavPayload(lit(16000L), lit(2L), lit(16L),
+        lit(Array.fill[Byte](64)(3))).as("p"))
+      .head.getAs[Array[Byte]](0)
+    assert(Multimodal.parseWav(payload)
+      .contains(Multimodal.WavHeader(16000L, 2L, 16L, 64L)))
+    // 64 B / (2 ch × 2 B) = 16 samples; 16·1000 DIV 16000 = 1 ms
+    assert(Multimodal.decodeAudio(7L, payload) ==
+      Multimodal.AudioFeatures(7L, 108L, 16000L, 2L, 16L, 16L, 1L))
+    // non-RIFF payloads fall back to −1 metadata; truncated RIFF is no parse
+    assert(Multimodal.decodeAudio(1L, Array[Byte](1, 2, 3)).sample_rate == -1L)
+    assert(Multimodal.parseWav("RIFF0000WAVEfmt ".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("multimodal frame sampler strides the payload") {
     val df = Seq((7L, "abcdefghij")).toDF("doc_id", "text")
       .withColumn("payload", col("text").cast("binary"))

@@ -237,6 +237,100 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => decodeAudio(id, bytes) })
   }
 
+  // ------------------------------------------------------------- video ----
+
+  /** Typed result of the video decode; −1 metadata for unrecognized
+    * payloads. Dims are the integer part of tkhd's 16.16 fixed-point.
+    */
+  case class VideoFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      timescale: Long,
+      duration: Long,
+      duration_ms: Long,
+      width: Long,
+      height: Long)
+
+  /** Parsed MP4 movie/track headers. */
+  case class Mp4Header(timescale: Long, duration: Long, width: Long, height: Long)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  private def boxIs(b: Array[Byte], off: Int, t: String): Boolean =
+    b(off + 4) == t.charAt(0) && b(off + 5) == t.charAt(1) &&
+      b(off + 6) == t.charAt(2) && b(off + 7) == t.charAt(3)
+
+  /** MP4 / ISO BMFF (ISO/IEC 14496-12): [u32 size][4cc type] boxes; movie
+    * timescale/duration live in moov→mvhd (version 0: u32s at +20/+24 from
+    * the box start; version 1: u32 timescale at +28, u64 duration at +32),
+    * track dims in moov→trak→tkhd as 16.16 fixed-point at +84/+88 (v0) or
+    * +96/+100 (v1). Largesize (size=1) and to-end (size=0) boxes are
+    * treated as unrecognized — the metadata contract only needs the plain
+    * encoding, and a malformed size must fall back, not over-read.
+    */
+  def parseMp4(bytes: Array[Byte]): Option[Mp4Header] = {
+    if (bytes.length < 16) return None
+    var i = 0
+    var sawFtyp = false
+    var ts = -1L; var dur = -1L; var w = -1L; var h = -1L
+    while (i + 8 <= bytes.length) {
+      val size = be32(bytes, i)
+      if (size < 8 || i + size > bytes.length) return None
+      if (boxIs(bytes, i, "ftyp")) sawFtyp = true
+      else if (boxIs(bytes, i, "moov")) {
+        var j = i + 8
+        while (j + 8 <= i + size.toInt) {
+          val csize = be32(bytes, j)
+          if (csize < 8 || j + csize > i + size) return None
+          if (boxIs(bytes, j, "mvhd")) {
+            if (bytes(j + 8) == 0) { ts = be32(bytes, j + 20); dur = be32(bytes, j + 24) }
+            else { ts = be32(bytes, j + 28); dur = be64(bytes, j + 32) }
+          } else if (boxIs(bytes, j, "trak")) {
+            var k = j + 8
+            while (k + 8 <= j + csize.toInt) {
+              val gsize = be32(bytes, k)
+              if (gsize < 8 || k + gsize > j + csize) return None
+              if (boxIs(bytes, k, "tkhd")) {
+                val off = if (bytes(k + 8) == 0) 84 else 96
+                if (k + off + 8 <= bytes.length) {
+                  w = be32(bytes, k + off) >> 16
+                  h = be32(bytes, k + off + 4) >> 16
+                }
+              }
+              k += gsize.toInt
+            }
+          }
+          j += csize.toInt
+        }
+      }
+      i += size.toInt
+    }
+    if (sawFtyp && ts > 0) Some(Mp4Header(ts, dur, w, h)) else None
+  }
+
+  /** Video decode with opaque fallback (−1 metadata, like [[decode]]). */
+  def decodeVideo(id: Long, bytes: Array[Byte]): VideoFeatures =
+    parseMp4(bytes) match {
+      case Some(m) =>
+        VideoFeatures(id, bytes.length.toLong, m.timescale, m.duration,
+          m.duration * 1000L / m.timescale, m.width, m.height)
+      case None =>
+        VideoFeatures(id, bytes.length.toLong, -1L, -1L, -1L, -1L, -1L)
+    }
+
+  /** Batch video feature extraction — same mapPartitions shape as
+    * [[extractFeatures]].
+    */
+  def extractVideoFeatures(df: DataFrame, idCol: String,
+      payloadCol: String): Dataset[VideoFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeVideo(id, bytes) })
+  }
+
   // ------------------------------------------- synthetic payload builders --
 
   /** Big-endian u32/u16 of a non-negative long, as binary column bytes. */
@@ -309,6 +403,66 @@ object Multimodal {
     docs
       .withColumn("payload", wavPayload(sr, ch, bits,
         substring(lit(Array.fill[Byte](840)(0)), lit(1), dataLen)))
+      .select(col("doc_id"), col("payload"))
+  }
+
+  /** The identity transform matrix every mvhd/tkhd carries (9 big-endian
+    * 16.16/2.30 fixed-point u32s: 1, 0, 0 / 0, 1, 0 / 0, 0, 1).
+    */
+  private val Mp4Matrix: Array[Byte] =
+    Array(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+      .flatMap(v => Array(
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte))
+
+  /** A genuine MP4 byte stream from column expressions: ftyp, moov holding a
+    * version-0 mvhd (timescale/duration) and one trak→tkhd (16.16 dims),
+    * then `data` as an mdat box — every field big-endian per ISO BMFF.
+    */
+  def mp4Payload(timescale: Column, duration: Column, width: Column,
+      height: Column, data: Column): Column = {
+    val zeros = (n: Int) => lit(Array.fill[Byte](n)(0))
+    val mvhd = concat(
+      be32Col(lit(108)), lit("mvhd".getBytes("US-ASCII")),
+      zeros(4),                       // version 0 + flags
+      zeros(8),                       // ctime, mtime
+      be32Col(timescale), be32Col(duration),
+      be32Col(lit(0x00010000L)),      // rate 1.0
+      lit(Array[Byte](0x01, 0)),      // volume 1.0
+      zeros(10),                      // reserved
+      lit(Mp4Matrix), zeros(24),      // matrix, pre_defined
+      be32Col(lit(0)))                // next_track_id
+    val tkhd = concat(
+      be32Col(lit(92)), lit("tkhd".getBytes("US-ASCII")),
+      zeros(4),                       // version 0 + flags
+      zeros(8),                       // ctime, mtime
+      be32Col(lit(1)), zeros(4),      // track_id, reserved
+      be32Col(duration),
+      zeros(16),                      // reserved, layer, alt_group, volume, reserved
+      lit(Mp4Matrix),
+      be32Col(width * 65536L), be32Col(height * 65536L))
+    val trak = concat(be32Col(lit(100)), lit("trak".getBytes("US-ASCII")), tkhd)
+    val moov = concat(be32Col(lit(216)), lit("moov".getBytes("US-ASCII")), mvhd, trak)
+    concat(
+      be32Col(lit(16)), lit("ftyp".getBytes("US-ASCII")),
+      lit("isom".getBytes("US-ASCII")), be32Col(lit(0)),
+      moov,
+      be32Col(length(data) + 8L), lit("mdat".getBytes("US-ASCII")), data)
+  }
+
+  /** Synthetic video corpus over a documents table — the m02/m01 design for
+    * MP4: timescale/duration/dims derive from `doc_id` arithmetic, payloads
+    * are genuine box streams, the oracle predicts the decode arithmetically.
+    */
+  def syntheticVideoTable(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs
+      .withColumn("payload", mp4Payload(
+        lit(1000L) + (id % 10L) * 100L,
+        lit(500L) + id % 5000L,
+        lit(320L) + (id % 16L) * 8L,
+        lit(240L) + (id % 9L) * 8L,
+        substring(lit(Array.fill[Byte](32)(0)), lit(1), (id % 32L).cast("int"))))
       .select(col("doc_id"), col("payload"))
   }
 

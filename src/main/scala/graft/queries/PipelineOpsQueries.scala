@@ -889,6 +889,25 @@ object PipelineOpsQueries {
           AS duration_ms
       FROM documents ORDER BY doc_id""")),
 
+    // Video twin: genuine MP4/ISO-BMFF box streams (ftyp + moov(mvhd, trak/
+    // tkhd) + mdat, big-endian), decoded by the real nested box walk;
+    // every field derives from doc_id arithmetic for the oracle.
+    ("m03_video_features", (s: SparkSession, dir: String) => {
+      Multimodal.extractVideoFeatures(
+          Multimodal.syntheticVideoTable(rd(s, dir, "documents").select("doc_id")),
+          "doc_id", "payload")
+        .toDF().orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(240 + doc_id % 32 AS BIGINT) AS n_bytes,
+        CAST(1000 + (doc_id % 10) * 100 AS BIGINT) AS timescale,
+        CAST(500 + doc_id % 5000 AS BIGINT) AS duration,
+        CAST(((500 + doc_id % 5000) * 1000) // (1000 + (doc_id % 10) * 100) AS BIGINT)
+          AS duration_ms,
+        CAST(320 + (doc_id % 16) * 8 AS BIGINT) AS width,
+        CAST(240 + (doc_id % 9) * 8 AS BIGINT) AS height
+      FROM documents ORDER BY doc_id""")),
+
     // ------------------------------------------------------ as-of join
     ("q26_asof_join", (s: SparkSession, dir: String) => {
       val events = rd(s, dir, "events")

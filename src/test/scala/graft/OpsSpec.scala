@@ -359,6 +359,21 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.parseWav("RIFF0000WAVEfmt ".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("mp4 payload builder round-trips through the nested box walk") {
+    val payload = Seq(1L).toDF("doc_id")
+      .select(Multimodal.mp4Payload(lit(30000L), lit(90000L), lit(640L),
+        lit(480L), lit(Array.fill[Byte](10)(9))).as("p"))
+      .head.getAs[Array[Byte]](0)
+    assert(payload.length == 240 + 10)
+    assert(Multimodal.parseMp4(payload)
+      .contains(Multimodal.Mp4Header(30000L, 90000L, 640L, 480L)))
+    // 90000 ticks at 30000 Hz = 3000 ms
+    assert(Multimodal.decodeVideo(1L, payload).duration_ms == 3000L)
+    // non-MP4 payloads fall back; a box over-running the payload is no parse
+    assert(Multimodal.decodeVideo(2L, Array[Byte](1, 2, 3)).timescale == -1L)
+    assert(Multimodal.parseMp4(payload.take(100)).isEmpty)
+  }
+
   test("multimodal frame sampler strides the payload") {
     val df = Seq((7L, "abcdefghij")).toDF("doc_id", "text")
       .withColumn("payload", col("text").cast("binary"))

@@ -162,17 +162,15 @@ object Dedup {
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: k sigs → `bands` buckets of r = k/bands rows; two docs
-    * collide if any band hashes equal. Returns candidate pairs (d1 < d2).
-    *
-    * Buckets wider than `maxBucket` are dropped before the self-join: a band
-    * bucket holding m docs emits m² rows, and at corpus scale one boilerplate
-    * bucket is a single-reducer hot spot. Near-dups at the target threshold
-    * collide in many bands (j≥0.8 → E[collisions] ≈ 16·0.8⁴ ≈ 6.5 of 16), so
-    * losing one oversized bucket costs ~zero recall.
+  /** (id, band, bh) LSH band-bucket table for signature rows, with buckets
+    * wider than `maxBucket` dropped: a band bucket holding m docs emits m²
+    * join rows, and at corpus scale one boilerplate bucket is a
+    * single-reducer hot spot. Near-dups at the target threshold collide in
+    * many bands (j≥0.8 → E[collisions] ≈ 16·0.8⁴ ≈ 6.5 of 16), so losing
+    * one oversized bucket costs ~zero recall.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String, k: Int = 64, bands: Int = 16,
-      maxBucket: Long = DefaultMaxDocFreq): DataFrame = {
+  def bandBuckets(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+      maxBucket: Long): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands ($bands) must divide k ($k)")
     val bandStructs = (0 until bands).map { b =>
@@ -182,14 +180,22 @@ object Dedup {
     val buckets = sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("e"))
       .select(col(idCol), col("e.band"), col("e.bh"))
-    val capped =
-      if (maxBucket == Long.MaxValue) buckets
-      else {
-        val hot = buckets.groupBy(col("band"), col("bh"))
-          .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
-          .select("band", "bh")
-        buckets.join(broadcast(hot), Seq("band", "bh"), "left_anti")
-      }
+    if (maxBucket == Long.MaxValue) buckets
+    else {
+      val hot = buckets.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+        .select("band", "bh")
+      buckets.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+    }
+  }
+
+  /** LSH banding: k sigs → `bands` buckets of r = k/bands rows; two docs
+    * collide if any band hashes equal. Returns candidate pairs (d1 < d2)
+    * from the self-join of [[bandBuckets]].
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String, k: Int = 64, bands: Int = 16,
+      maxBucket: Long = DefaultMaxDocFreq): DataFrame = {
+    val capped = bandBuckets(sigs, idCol, k, bands, maxBucket)
     capped.as("x").join(capped.as("y"), Seq("band", "bh"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
@@ -228,6 +234,62 @@ object Dedup {
         col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental NEAR-dup dedup — [[incrementalExactSurvivors]]'s fuzzy
+    * sibling, the daily-ingest form of [[minhashLshPairs]]: survivors among
+    * the incoming batch (rows matching `incomingPred`; NULL counts as
+    * history) are docs with no verified-Jaccard ≥ `threshold` partner in
+    * the accepted history NOR among earlier (smaller-id) incoming docs.
+    * Returns the surviving incoming rows' (idCol).
+    *
+    * Scale shape: candidate generation joins the incoming side's band
+    * buckets against ALL buckets — never history×history (the quadratic
+    * mass a union self-join would recompute every day). At corpus scale the
+    * history bucket/shingle tables are written bucketed by (band, bh) /
+    * hash once, so a daily batch co-locates against them with no history
+    * re-shuffle — the same discipline as [[incrementalExactSurvivors]].
+    * Recall is d03's LSH guarantee (P(miss | j≥0.8) < 1e-7 at 64/16).
+    */
+  def incrementalNearDupSurvivors(df: DataFrame, idCol: String, textCol: String,
+      incomingPred: Column, threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
+      maxDocFreq: Long = DefaultMaxDocFreq,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val pred = coalesce(incomingPred, lit(false))
+    val tagged = df.withColumn("_inc", pred)
+    // one shingle table for BOTH sides: sizes and intersections live in the
+    // same df-capped space, so verified Jaccard is consistent everywhere
+    val hashed = scope.cached(capDocFreq(
+      shingleSet(tagged, idCol, textCol)
+        .select(col(idCol), xxhash64(col("shingle")).as("sh")),
+      maxDocFreq))
+    val flags = tagged.select(col(idCol), col("_inc"))
+    val buckets = bandBuckets(
+      minhashSignaturesHashed(hashed, idCol, k), idCol, k, bands,
+      maxBucket = maxDocFreq)
+      .join(flags, idCol)
+    val inc = buckets.filter(col("_inc"))
+      .select(col(idCol).as("d2"), col("band"), col("bh"))
+    // candidates: (any doc, incoming doc) sharing a band cell, minus
+    // history×history by construction; an inc-inc pair only dirties the
+    // LATER doc, a history partner dirties the incoming doc at any id
+    val cands = buckets
+      .select(col(idCol).as("d1"), col("_inc").as("inc1"), col("band"), col("bh"))
+      .join(inc, Seq("band", "bh"))
+      .filter(!col("inc1") || col("d1") < col("d2"))
+      .filter(col("d1") =!= col("d2"))
+      .select("d1", "d2").distinct()
+    val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val dirty = cands
+      .join(hashed.select(col(idCol).as("d1"), col("sh")), "d1")
+      .join(hashed.select(col(idCol).as("d2"), col("sh")), Seq("d2", "sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("d1"), col("sz").as("n1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("sz").as("n2")), "d2")
+      .filter(col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")).cast("double") >= threshold)
+      .select(col("d2").as(idCol)).distinct()
+    df.filter(pred).select(col(idCol)).join(dirty, Seq(idCol), "left_anti")
   }
 
   /** SimHash via bit votes: sig bit b = 1 iff Σ_tokens (bit b of hash ? +1 : -1) > 0.

@@ -257,6 +257,33 @@ object PipelineOpsQueries {
       WHERE CAST(i AS DOUBLE) / least(na.n, nb.n) >= 0.9
       ORDER BY d1, d2""")),
 
+    // d11's fuzzy sibling: the daily batch deduplicated against history by
+    // NEAR-duplicate similarity (MinHash-LSH candidates, exact-Jaccard
+    // verify). A batch doc drops if it near-matches any history doc, or an
+    // earlier doc in its own batch. Candidate generation never joins
+    // history against itself — the quadratic mass a daily job must not pay.
+    ("d13_incremental_neardup", (s: SparkSession, dir: String) => {
+      Dedup.incrementalNearDupSurvivors(rd(s, dir, "documents"), "doc_id",
+          "text", col("doc_id") % 3 === 0, threshold = 0.8)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      pairs AS (SELECT d1, d2 FROM j
+            JOIN sz na ON na.doc_id = d1 JOIN sz nb ON nb.doc_id = d2
+            WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8),
+      dirty AS (SELECT d2 AS doc_id FROM pairs WHERE d2 % 3 = 0
+                UNION
+                SELECT d1 FROM pairs WHERE d1 % 3 = 0 AND d2 % 3 <> 0)
+      SELECT doc_id FROM documents
+      WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+      ORDER BY doc_id""")),
+
     // Near-dup pairs → canonical clusters: distributed connected components
     // (large-star/small-star) over the verified MinHash-LSH pairs, every doc
     // labeled with its component minimum. The oracle recomputes components

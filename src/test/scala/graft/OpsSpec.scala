@@ -44,6 +44,23 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(11L -> 2L, 13L -> 1L), s"got $got")
   }
 
+  test("incremental near-dup: history match drops, earlier-in-batch match drops, novel survives") {
+    import graft.ops.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),                                    // history
+      (2L, "completely different historic words x y z w v u t s r q"),
+      (30L, base + " lambda"),                       // inc: near-dups history 1 → drop
+      (33L, "novel fresh content one two three four five six seven eight"),
+      (36L, "novel fresh content one two three four five six seven nine"), // near-dups 33 → drop
+      (39L, "unrelated survivor text aa bb cc dd ee ff gg hh ii jj"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDupSurvivors(docs, "doc_id", "text",
+        col("doc_id") % 3 === 0, threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(33L, 39L), s"got $got")
+  }
+
   test("containment catches a short doc embedded in a long one that jaccard misses") {
     import graft.ops.Dedup
     val docs = Seq(

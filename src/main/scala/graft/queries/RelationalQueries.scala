@@ -167,6 +167,34 @@ object RelationalQueries {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ) WHERE rn <= 3 ORDER BY o_custkey, rn""")),
 
+    // Distribution window functions: ntile buckets, percent_rank and
+    // cume_dist — both engines define them by the same single-division
+    // formulas ((rank−1)/(n−1), peers≤current/n), so the doubles are
+    // bit-identical. Unique (cents, orderkey) ordering keeps every rank
+    // deterministic; the %-97 pre-filter bounds rows, applied identically
+    // on both sides BEFORE the window.
+    ("q42_window_distribution", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(cents(col("o_totalprice")), col("o_orderkey"))
+      rd(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("quartile"),
+          col("pct_rank"), col("cume"))
+        .orderBy("o_orderkey")
+    }, Some(s"""
+      SELECT o_orderkey, o_orderpriority,
+        CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        PERCENT_RANK() OVER w AS pct_rank,
+        CUME_DIST() OVER w AS cume
+      FROM orders
+      WHERE o_orderkey % 97 = 0
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY ${centsSql("o_totalprice")}, o_orderkey)
+      ORDER BY o_orderkey""")),
+
     // --------------------------------------------------- grouping analytics
     ("q09_rollup", (s: SparkSession, dir: String) => {
       rd(s, dir, "lineitem")

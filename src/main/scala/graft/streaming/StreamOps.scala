@@ -188,6 +188,25 @@ object StreamOps {
       .drop("band0", "band1", "band2", "band3")
   }
 
+  /** Streaming incremental dedup against an accepted HISTORY table — the
+    * streaming form of `Dedup.incrementalExactSurvivors`: within-stream
+    * copies drop via watermark-bounded
+    * `dropDuplicatesWithinWatermark` ([[dedupDocumentStream]]), then a
+    * STREAM-STATIC left-anti join removes docs whose fingerprint is already
+    * accepted. The static side never needs a watermark and re-reads per
+    * micro-batch; at corpus scale, store `historyKeys` bucketed (or as a
+    * broadcast-sized distinct-key table) so each micro-batch joins map-side
+    * — the streaming twin of the daily-ingest d11 contract.
+    *
+    * @param historyKeys STATIC single-column frame of accepted fingerprints
+    *                    (column name `fp`)
+    */
+  def incrementalDedupStream(docs: DataFrame, historyKeys: DataFrame,
+      textCol: String = "text", tsCol: String = "ts",
+      withinWatermark: String = "1 hour"): DataFrame =
+    dedupDocumentStream(docs, textCol, tsCol, withinWatermark)
+      .join(historyKeys, Seq("fp"), "left_anti")
+
   /** Streaming benchmark decontamination: the exact membership form
     * ([[graft.ops.Decontamination.decontaminateBySet]]) is a stateless
     * projection — no join, no watermark, NO state — so contaminated docs

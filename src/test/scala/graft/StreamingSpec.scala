@@ -94,6 +94,54 @@ class StreamingSpec extends SparkSpec {
     assert(gotFps.size <= wantFps.size)
   }
 
+  test("stream-static incremental dedup equals the batch daily-ingest form") {
+    import org.apache.spark.sql.types._
+    import graft.ops.{Dedup, TextOps}
+    import spark.implicits._
+    val history = Seq((1L, "seen before"), (2L, "also seen"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "seen before"),   // history dup → dropped by the static join
+      (11L, "fresh content"), // novel → survives
+      (12L, "fresh content"), // within-batch dup → dropped by stream state
+      (13L, "brand new"))
+    val histKeys = history
+      .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    // batch truth (min-id within batch, absent from history): 11, 13
+    val want = Dedup.incrementalExactSurvivors(history,
+        incoming.toDF("doc_id", "text"), "doc_id",
+        TextOps.fingerprint(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val tmp = Files.createTempDirectory("graft-incdedup-stream").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(docSchema).parquet(tmp)
+      .withColumn("ts", timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+    val q = StreamOps.incrementalDedupStream(stream, histKeys)
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("incdedup_out")
+      .start()
+    try {
+      // one file + drain per doc so arrival order is id order — the batch
+      // min-id winner and the stream first-arrival winner must coincide for
+      // the equivalence to be exact
+      incoming.zipWithIndex.foreach { case ((id, text), i) =>
+        val stage = s"$tmp-stage$i"
+        Seq((id, text)).toDF("doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, Paths.get(s"$tmp/doc$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("incdedup_out").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L, 13L) && got == want,
+      s"stream vs batch: got=$got want=$want")
+  }
+
   test("per-row simhash column equals the batch SimHashAgg signatures") {
     val docs = GraftTables.read(spark, "/root/testdata/sf0.001", "documents")
     val got = StreamOps.withSimhash(docs, "text", "simhash")

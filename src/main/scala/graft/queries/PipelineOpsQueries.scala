@@ -870,6 +870,26 @@ object PipelineOpsQueries {
         CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
       FROM c ORDER BY doc_id""")),
 
+    // t11's sibling for quantiles: the KLL-style sketch percentile (the
+    // 100 TB answer to exact medians, which need a full sort per group) is
+    // gated s05/t11-style — the oracle recomputes the EXACT median and the
+    // row carries a bit asserting the sketch landed within 1% of it.
+    ("t14_approx_percentile", (s: SparkSession, dir: String) => {
+      rd(s, dir, "lineitem")
+        .withColumn("pc", cents(col("l_extendedprice")))
+        .groupBy("l_returnflag")
+        .agg(percentile(col("pc"), lit(0.5)).as("p50_exact"),
+          percentile_approx(col("pc"), lit(0.5), lit(10000)).as("apx"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (abs(col("apx").cast("double") - col("p50_exact"))
+            <= col("p50_exact") * lit(0.01)).cast("long").as("approx_ok"))
+        .orderBy("l_returnflag")
+    }, Some(s"""
+      SELECT l_returnflag,
+        quantile_cont(${centsSql("l_extendedprice")}, 0.5) AS p50_exact,
+        CAST(1 AS BIGINT) AS approx_ok
+      FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {
       // REAL container decode (r5 verdict gap #1): every doc becomes a

@@ -284,16 +284,21 @@ object Multimodal {
           val csize = be32(bytes, j)
           if (csize < 8 || j + csize > i + size) return None
           if (boxIs(bytes, j, "mvhd")) {
-            if (bytes(j + 8) == 0) { ts = be32(bytes, j + 20); dur = be32(bytes, j + 24) }
-            else { ts = be32(bytes, j + 28); dur = be64(bytes, j + 32) }
+            // field reads stay inside the box: v0 needs 28 bytes, v1 40 —
+            // a shorter (malformed) mvhd falls back instead of over-reading
+            if (csize >= 28 && bytes(j + 8) == 0) {
+              ts = be32(bytes, j + 20); dur = be32(bytes, j + 24)
+            } else if (csize >= 40 && bytes(j + 8) != 0) {
+              ts = be32(bytes, j + 28); dur = be64(bytes, j + 32)
+            }
           } else if (boxIs(bytes, j, "trak")) {
             var k = j + 8
             while (k + 8 <= j + csize.toInt) {
               val gsize = be32(bytes, k)
               if (gsize < 8 || k + gsize > j + csize) return None
-              if (boxIs(bytes, k, "tkhd")) {
+              if (boxIs(bytes, k, "tkhd") && gsize >= 12) {
                 val off = if (bytes(k + 8) == 0) 84 else 96
-                if (k + off + 8 <= bytes.length) {
+                if (off + 8 <= gsize) { // dims inside the box, not just the array
                   w = be32(bytes, k + off) >> 16
                   h = be32(bytes, k + off + 4) >> 16
                 }

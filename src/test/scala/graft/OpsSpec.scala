@@ -391,6 +391,35 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.parseMp4(payload.take(100)).isEmpty)
   }
 
+  test("container parsers are total: garbage, truncations and bit flips never throw") {
+    val rnd = new scala.util.Random(0x6d656469L)
+    val valid: Seq[Array[Byte]] = Seq(
+      Seq(5L).toDF("doc_id").select(Multimodal.wavPayload(lit(8000L), lit(1L),
+        lit(8L), lit(Array.fill[Byte](16)(1))).as("p")).head.getAs[Array[Byte]](0),
+      Seq(5L).toDF("doc_id").select(Multimodal.mp4Payload(lit(1000L), lit(500L),
+        lit(320L), lit(240L), lit(Array.fill[Byte](8)(2))).as("p"))
+        .head.getAs[Array[Byte]](0),
+      OnePixelPng)
+    val cases =
+      (0 until 300).map(_ => { // pure garbage, varied sizes
+        val b = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(b); b
+      }) ++
+      valid.flatMap(v => (0 until 100).map { _ => // truncations + bit flips
+        val cut = v.take(1 + rnd.nextInt(v.length))
+        if (cut.nonEmpty && rnd.nextBoolean()) {
+          val i = rnd.nextInt(cut.length)
+          cut(i) = (cut(i) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        cut
+      })
+    cases.foreach { b => // must return, never throw
+      Multimodal.parsePng(b); Multimodal.parseJpeg(b)
+      Multimodal.parseWav(b); Multimodal.parseMp4(b)
+      Multimodal.decode(0L, b); Multimodal.decodeAudio(0L, b)
+      Multimodal.decodeVideo(0L, b)
+    }
+  }
+
   test("multimodal frame sampler strides the payload") {
     val df = Seq((7L, "abcdefghij")).toDF("doc_id", "text")
       .withColumn("payload", col("text").cast("binary"))

@@ -8,12 +8,17 @@ import graft.queries.GraftSession
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Driver contract: (sfDir, outDir). Optional third arg (dev loop only):
+    // comma-separated name prefixes — dump only matching queries.
+    val Array(sfDir, outDir) = args.take(2)
+    val only: String => Boolean =
+      if (args.length > 2) { val ps = args(2).split(','); n => ps.exists(n.startsWith) }
+      else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -143,6 +143,53 @@ object Dedup {
           least(col("n1"), col("n2")).cast("double"))
       .filter(col("containment") >= threshold)
 
+  /** Source-priority exact dedup — cross-source corpora keep the COPY FROM
+    * THE BEST SOURCE, not the lowest id (curated dump beats CommonCrawl for
+    * the same page — the RefinedWeb/Dolma convention). Survivor per
+    * identical key = arg-min (priority, id); same single-shuffle
+    * partial-agg shape as [[exactSurvivors]] (min(struct) combines
+    * map-side — no window, no second pass). Returns
+    * (idCol, priority, n_dups) per surviving row.
+    */
+  def prioritySurvivors(df: DataFrame, idCol: String, keyCol: Column,
+      priority: Column): DataFrame =
+    df.groupBy(keyCol.as("dedup_key"))
+      .agg(min(struct(priority.as("priority"), col(idCol).as(idCol))).as("m"),
+        count(lit(1)).as("n_dups"))
+      .select(col("m." + idCol).as(idCol), col("m.priority").as("priority"),
+        col("n_dups"))
+
+  /** Edit-distance-verified near-dup pairs — the fuzzy-dedup second stage
+    * (à la NeMo Curator / Gyawali et al.): shingle-overlap candidate
+    * generation (same inverted index + df cap as [[jaccardPairs]]) followed
+    * by an exact Levenshtein verify on the candidate pairs only. Character
+    * edit distance catches in-place typo/small-patch duplicates that
+    * set-semantics Jaccard scores low when the edit lands in many shingles.
+    *
+    * Returns (d1, d2, inter, edit_dist) for candidates sharing ≥ `minInter`
+    * shingles with edit_dist ≤ `maxDist`. Scale shape: candidates are a
+    * narrow id-pair list ≪ n²; the two text joins ride the id keys;
+    * Levenshtein runs once per CANDIDATE, never per corpus pair. The
+    * `minInter` floor keeps the verify set tight (a pair with one shared
+    * shingle is never an edit-distance near-dup unless docs are tiny).
+    */
+  def editNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, minInter: Long = 2,
+      maxDocFreq: Long = DefaultMaxDocFreq,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val cands = overlapPairs(shingleSet(docs, idCol, textCol), idCol,
+        maxDocFreq, scope)
+      .filter(col("inter") >= minInter)
+      .select("d1", "d2", "inter")
+    val t = docs.select(col(idCol), col(textCol))
+    cands
+      .join(t.select(col(idCol).as("d1"), col(textCol).as("_t1")), "d1")
+      .join(t.select(col(idCol).as("d2"), col(textCol).as("_t2")), "d2")
+      .withColumn("edit_dist", levenshtein(col("_t1"), col("_t2")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select("d1", "d2", "inter", "edit_dist")
+  }
+
   /** MinHash signatures: ONE xxhash64 over the shingle string, then k cheap
     * 64-bit finalizer mixes (xor-fold + odd multiply) — hashing the string k
     * times costs k× the string bytes; mixing the long costs 3 ALU ops. One

@@ -50,4 +50,49 @@ object Sampling {
     df.filter(hashBucket32(key) <
       element_at(typedlit(thresholds), stratum.cast("string")))
   }
+
+  /** Temperature-weighted domain mixture (the α = 1/T up-/down-sampling of
+    * multilingual pretraining, Conneau & Lample 2019 / XLM-R): domain s with
+    * nₛ rows gets a target share ∝ nₛ^0.5, i.e. rate per row
+    * min(1, T·wₛ / (Σw · nₛ)) for a total budget of ~T rows — small domains
+    * are boosted relative to their share, huge ones suppressed. Rows are then
+    * kept by the same deterministic [[hashSample]] bucket rule, keyed on the
+    * row id, so the mixture is reproducible on any engine or partitioning.
+    *
+    * Every number on the way to the per-domain bucket threshold is exact:
+    * wₛ = ⌊√nₛ · 2²⁰⌋ (IEEE sqrt is correctly rounded — bit-identical in any
+    * engine), Σw is an integer sum, and the rate is ONE double division of
+    * exact integers followed by one multiply and a floor — no float-sum
+    * ordering anywhere (the [[TextOps.qualityScore]] lesson: a chain of
+    * float ops diverges from an oracle by an ulp; a single division never
+    * does).
+    *
+    * Scale shape: one tiny groupBy(domain) for the counts (partial-agg), a
+    * windowed integer sum over the #domains-row table, a broadcast join of
+    * the thresholds, and a map-side filter — the corpus itself is never
+    * shuffled and never windowed.
+    */
+  def temperatureSample(df: DataFrame, key: Column, domain: Column,
+      totalTarget: Long): DataFrame = {
+    require(totalTarget > 0, s"totalTarget must be positive: $totalTarget")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val thresholds = df.groupBy(domain.as("_dom"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_w",
+        floor(sqrt(col("_n").cast("double")) * lit(1048576.0)).cast("long"))
+      .withColumn("_ws", sum(col("_w")).over(wAll))
+      // products in double (exact-long multiply can overflow at corpus
+      // scale); each step is one deterministic IEEE op, same spelling as
+      // the oracle SQL — no ordering-dependent accumulation anywhere
+      .withColumn("_thr", floor(least(lit(1.0),
+        lit(totalTarget.toDouble) * col("_w").cast("double") /
+          (col("_ws").cast("double") * col("_n").cast("double"))) *
+        lit(Two32)).cast("long"))
+      .select(col("_dom"), col("_thr"))
+    df.withColumn("_dom", domain)
+      .join(broadcast(thresholds), "_dom")
+      .filter(hashBucket32(key) < col("_thr"))
+      .drop("_dom", "_thr")
+  }
 }

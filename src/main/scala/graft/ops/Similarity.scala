@@ -356,6 +356,54 @@ object Similarity {
       .select("d1", "d2", "cos_r")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * by clustering embeddings and pruning within-cluster near-identical
+    * pairs — the quadratic is bounded per cluster, which is the entire point
+    * of the paper (k-means first, pairwise cosine only inside a cluster).
+    *
+    * This implementation keeps every step deterministic and oracle-able:
+    * centroids are the embeddings selected by `centroidPred` (a real
+    * pipeline trains k-means — [[annIvf]] has that machinery — but trained
+    * centroids are float-iteration-order-dependent, so the *verifiable*
+    * operator takes fixed ones); assignment is argmax cosine in the exact
+    * fixed-point space (ties toward the higher centroid id, matching
+    * [[annIvf]]); a vector is pruned iff some smaller-id vector in the SAME
+    * cluster has cosine ≥ `threshold` with it. Returns the survivors
+    * (idCol, cid).
+    *
+    * Scale shape: assignment = broadcast(centroids) + map-side argmax
+    * partial-agg (corpus shuffles once, on the id); the within-cluster
+    * self-join shuffles on cid — cluster sizes are corpus/k, so the
+    * quadratic verify is n²/k per cluster, the SemDeDup cost model. At
+    * 100 TB, k grows with the corpus (the paper runs 50k clusters on
+    * LAION) keeping each cluster's pair block executor-sized.
+    */
+  def semDedup(emb: DataFrame, idCol: String, embCol: String,
+      centroidPred: Column, threshold: Double,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val base = emb.select(col(idCol), quantize(col(embCol)).as("qv"))
+      .withColumn("nrm", dotQ(col("qv"), col("qv")))
+    val cents = base.filter(centroidPred)
+      .select(col(idCol).as("cid"), col("qv").as("cv"), col("nrm").as("cn"))
+    val assigned = scope.cached(base.join(broadcast(cents), lit(true))
+      .withColumn("ccos",
+        cosineQ(dotQ(col("qv"), col("cv")), col("nrm"), col("cn")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("ccos"), col("cid"))).as("best"),
+        first(col("qv")).as("qv"), first(col("nrm")).as("nrm"))
+      .select(col(idCol), col("best.cid").as("cid"), col("qv"), col("nrm")))
+    val a = assigned.select(col("cid"), col(idCol).as("d1"),
+      col("qv").as("v1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cid"), col(idCol).as("d2"),
+      col("qv").as("v2"), col("nrm").as("n2"))
+    val pruned = a.join(b, Seq("cid")).filter(col("d1") < col("d2"))
+      .filter(cosineQ(dotQ(col("v1"), col("v2")), col("n1"), col("n2"))
+        >= lit(threshold))
+      .select(col("d2").as(idCol)).distinct()
+    assigned.join(pruned, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cid"))
+  }
+
   /** Nearest-centroid classification over labeled embeddings — the cheap
     * supervised baseline every corpus-labeling pipeline runs (assign each
     * vector to the closest class mean; report it next to the true label).

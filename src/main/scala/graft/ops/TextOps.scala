@@ -104,6 +104,36 @@ object TextOps {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rnk"))
   }
 
+  /** Overlapping token-window chunking — the step between a curated corpus
+    * and a context-length-bounded consumer (embedding models, RAG indexing,
+    * long-doc training): each doc becomes ⌈n/stride⌉ chunks of ≤ `window`
+    * tokens whose starts are 0, stride, 2·stride, … < n, so consecutive
+    * chunks overlap by window − stride tokens.
+    *
+    * Returns (idCol, chunk_idx, n_toks, n_chunk_tokens, chunk_text). Pure
+    * per-row expressions — sequence + slice + explode, zero shuffle, fans
+    * out map-side; at 100 TB this pushes through the scan like any
+    * projection (the explode multiplies rows ~n/stride, which is the
+    * output's inherent size, not a plan artifact).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window]: $stride")
+    df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("n_toks", size(col("_toks")).cast("long"))
+      .withColumn("_starts",
+        sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)), lit(stride)))
+      .select(col(idCol), col("n_toks"), col("_toks"),
+        posexplode(col("_starts")).as(Seq("chunk_idx", "_st")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("n_toks"),
+        least(lit(window.toLong), col("n_toks") - col("_st")).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("_toks"), col("_st") + 1, lit(window)))
+          .as("chunk_text"))
+  }
+
   /** Repetition counters over word n-grams — the integer core of the
     * Gopher-family repetition quality filters (Rae et al. 2021 §A1.1:
     * "fraction of characters in the most common n-gram" etc.), kept as

@@ -284,6 +284,84 @@ object PipelineOpsQueries {
       WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
       ORDER BY doc_id""")),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup = cluster embeddings,
+    // prune within-cluster cosine near-identicals — the quadratic bounded
+    // per cluster. Deterministic centroid set (vec_id % 100 = 0) stands in
+    // for trained k-means so every assignment and prune decision is exactly
+    // recomputable in SQL; all similarity math rides the fixed-point
+    // integer space (s01's oracle recipe).
+    ("d14_semdedup", (s: SparkSession, dir: String) => {
+      Similarity.semDedup(rd(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 100 === 0, threshold = 0.4)
+        .orderBy("vec_id")
+    }, Some("""
+      WITH e AS (SELECT vec_id,
+          list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS q
+        FROM embeddings),
+      en AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS nrm FROM e),
+      c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM en WHERE vec_id % 100 = 0),
+      asg0 AS (SELECT vec_id, cid,
+          CAST(list_dot_product(q, cq) AS DOUBLE) /
+            (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        FROM en CROSS JOIN c),
+      asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS rn
+          FROM asg0) WHERE rn = 1),
+      j AS (SELECT en.vec_id, asg.cid, en.q, en.nrm
+            FROM en JOIN asg USING (vec_id)),
+      pruned AS (SELECT DISTINCT b.vec_id
+        FROM j a JOIN j b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+          (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.4)
+      SELECT j.vec_id, j.cid FROM j LEFT JOIN pruned p ON j.vec_id = p.vec_id
+      WHERE p.vec_id IS NULL ORDER BY j.vec_id""")),
+
+    // Cross-source priority dedup: for identical content keep the copy from
+    // the most trusted source (curated > web dump — the RefinedWeb/Dolma
+    // convention), not the lowest id. Same one-shuffle min(struct) shape as
+    // d01.
+    ("d15_priority_dedup", (s: SparkSession, dir: String) => {
+      val prio = coalesce(element_at(
+        typedlit(Map("src7" -> 0L, "src3" -> 1L, "src11" -> 2L)),
+        col("source")), lit(9L))
+      Dedup.prioritySurvivors(rd(s, dir, "documents"), "doc_id",
+          TextOps.fingerprint(col("text")), prio)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH p AS (SELECT doc_id,
+          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+          CASE source WHEN 'src7' THEN 0 WHEN 'src3' THEN 1
+                      WHEN 'src11' THEN 2 ELSE 9 END AS prio
+        FROM documents),
+      r AS (SELECT doc_id, CAST(prio AS BIGINT) AS priority,
+          count(*) OVER (PARTITION BY fp) AS n_dups,
+          row_number() OVER (PARTITION BY fp ORDER BY prio, doc_id) AS rn
+        FROM p)
+      SELECT doc_id, priority, n_dups FROM r WHERE rn = 1 ORDER BY doc_id""")),
+
+    // Fuzzy-dedup second stage: shingle-overlap candidates verified by exact
+    // Levenshtein — catches in-place small-patch duplicates whose set
+    // Jaccard is depressed because one edit breaks n shingles. maxDist=50
+    // isolates the planted near-dup pairs from the ~1.1k candidate pairs.
+    ("d16_edit_neardup", (s: SparkSession, dir: String) => {
+      Dedup.editNearDupPairs(rd(s, dir, "documents"), "doc_id", "text",
+          maxDist = 50)
+        .orderBy("d1", "d2")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT d1, d2, i AS inter,
+        CAST(levenshtein(t1.text, t2.text) AS BIGINT) AS edit_dist
+      FROM inter JOIN documents t1 ON t1.doc_id = d1
+                 JOIN documents t2 ON t2.doc_id = d2
+      WHERE i >= 2 AND levenshtein(t1.text, t2.text) <= 50
+      ORDER BY d1, d2""")),
+
     // Near-dup pairs → canonical clusters: distributed connected components
     // (large-star/small-star) over the verified MinHash-LSH pairs, every doc
     // labeled with its component minimum. The oracle recomputes components
@@ -889,6 +967,59 @@ object PipelineOpsQueries {
         quantile_cont(${centsSql("l_extendedprice")}, 0.5) AS p50_exact,
         CAST(1 AS BIGINT) AS approx_ok
       FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // Overlapping token-window chunking (context-length-bounded consumers:
+    // embedding models, RAG indexing). window=32/stride=24 → 8-token
+    // overlap; every chunk's text is value-checked cross-engine.
+    ("t15_chunking", (s: SparkSession, dir: String) => {
+      TextOps.chunkDocuments(rd(s, dir, "documents"), "doc_id", "text",
+          window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      st AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks, t,
+               CAST(u.i AS BIGINT) AS st
+             FROM toks, UNNEST(range(0, greatest(len(t), 1), 24)) AS u(i))
+      SELECT doc_id, st // 24 AS chunk_idx, n_toks,
+        least(32, n_toks - st) AS n_chunk_tokens,
+        array_to_string(t[st+1 : st+32], ' ') AS chunk_text
+      FROM st ORDER BY doc_id, chunk_idx""")),
+
+    // Temperature-weighted domain mixture (α=0.5 up-/down-sampling of
+    // multilingual pretraining): en (218 docs) is suppressed relative to
+    // its share, fr/de (64/70) boosted. Thresholds derive from exact
+    // integers (⌊√n·2²⁰⌋, integer Σ) through ONE double division, so the
+    // per-row keep decision is bit-identical in the oracle.
+    ("t16_domain_mixture", (s: SparkSession, dir: String) => {
+      import graft.ops.Sampling
+      Sampling.temperatureSample(rd(s, dir, "documents"), col("doc_id"),
+          col("lang"), totalTarget = 200L)
+        .select(col("doc_id"), col("lang"),
+          Sampling.hashBucket32(col("doc_id")).as("bucket"))
+        .orderBy("doc_id")
+    }, Some {
+      val bucket = (1 to 8).map { i =>
+        val w = 1L << (4 * (8 - i))
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      w AS (SELECT lang, n,
+          CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS w
+        FROM c),
+      ws AS (SELECT lang, n, w, sum(w) OVER () AS ws FROM w),
+      thr AS (SELECT lang,
+          CAST(floor(least(1.0,
+            CAST(200 AS DOUBLE) * CAST(w AS DOUBLE) /
+              (CAST(ws AS DOUBLE) * CAST(n AS DOUBLE))) * 4294967296.0)
+            AS BIGINT) AS thr
+        FROM ws),
+      h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents),
+      b AS (SELECT doc_id, lang, CAST($bucket AS BIGINT) AS bucket FROM h)
+      SELECT b.doc_id, b.lang, b.bucket FROM b JOIN thr USING (lang)
+      WHERE bucket < thr ORDER BY doc_id"""
+    }),
 
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {

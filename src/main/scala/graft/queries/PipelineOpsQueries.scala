@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.CryptoCodec
 import graft.functions.protect
-import graft.ops.{ConnectedComponents, Decontamination, Dedup, Multimodal, Packing, Similarity, TextOps}
+import graft.ops.{CacheScope, ConnectedComponents, Decontamination, Dedup, Multimodal, Packing, Similarity, TextOps}
 import graft.operators.AsofJoin
 import graft.pipeline.{ColumnPolicy, PerValue, ProtectionPipeline}
 
@@ -354,12 +354,16 @@ object PipelineOpsQueries {
              FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
       inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
+                GROUP BY 1, 2),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
       SELECT d1, d2, i AS inter,
         CAST(levenshtein(t1.text, t2.text) AS BIGINT) AS edit_dist
       FROM inter JOIN documents t1 ON t1.doc_id = d1
                  JOIN documents t2 ON t2.doc_id = d2
-      WHERE i >= 2 AND levenshtein(t1.text, t2.text) <= 50
+                 JOIN sz na ON na.doc_id = d1
+                 JOIN sz nb ON nb.doc_id = d2
+      WHERE i >= 2 AND i * 100 >= 25 * least(na.n, nb.n)
+        AND levenshtein(t1.text, t2.text) <= 50
       ORDER BY d1, d2""")),
 
     // Near-dup pairs → canonical clusters: distributed connected components
@@ -741,6 +745,46 @@ object PipelineOpsQueries {
         FROM dist)
       SELECT label, clabel AS pred, CAST(count(*) AS BIGINT) AS n
       FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, pred""")),
+
+    // Distributed Lloyd's k-means (2 rounds): init centroids = vec_id%100=0,
+    // argmax-cosine assignment, exact-integer floor-mean centroid update —
+    // the oracle replays the full trajectory (assign → update → assign) in
+    // SQL. Every init centroid contains at least itself (cos=1 with itself
+    // beats any distinct vector), so the empty-cluster fallback never fires
+    // on this corpus and the oracle can omit it.
+    ("s09_kmeans", (s: SparkSession, dir: String) => {
+      // unmanaged scope: the returned frame executes after this fn returns,
+      // so the cache must outlive it (ContextCleaner reaps with the plan)
+      Similarity.kmeansAssign(rd(s, dir, "embeddings"), "vec_id",
+          "embedding", col("vec_id") % 100 === 0, iters = 2,
+          scope = CacheScope.unmanaged)
+        .orderBy("vec_id")
+    }, Some {
+      def asgSql(cents: String): String = s"""(
+        SELECT vec_id, cid FROM (
+          SELECT en.vec_id, c.cid,
+            row_number() OVER (PARTITION BY en.vec_id ORDER BY
+              CAST(list_dot_product(en.q, c.cv) AS DOUBLE) /
+                (sqrt(CAST(en.nrm AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE)))
+              DESC, c.cid DESC) AS rn
+          FROM en CROSS JOIN $cents c) WHERE rn = 1)"""
+      s"""
+      WITH e AS (SELECT vec_id,
+          list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS q
+        FROM embeddings),
+      en AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS nrm FROM e),
+      c0 AS (SELECT vec_id AS cid, q AS cv, nrm AS cn FROM en WHERE vec_id % 100 = 0),
+      a1 AS ${asgSql("c0")},
+      qd AS (SELECT a1.cid, u.i AS pos, en.q[u.i+1] AS v
+             FROM en JOIN a1 USING (vec_id), UNNEST(range(0, len(en.q))) u(i)),
+      m AS (SELECT cid, pos,
+          (sum(v) - ((sum(v) % count(*)) + count(*)) % count(*)) // count(*) AS mv
+        FROM qd GROUP BY 1, 2),
+      c1 AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM m GROUP BY cid),
+      c1n AS (SELECT cid, cv, CAST(list_dot_product(cv, cv) AS BIGINT) AS cn FROM c1),
+      a2 AS ${asgSql("c1n")}
+      SELECT vec_id, cid FROM a2 ORDER BY vec_id"""
+    }),
 
     // ------------------------------------------- BPE-ish token counting
     ("t05_token_bpe", (s: SparkSession, dir: String) => {

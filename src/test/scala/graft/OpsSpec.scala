@@ -676,5 +676,25 @@ class OpsSpec extends SparkSpec {
     assert(!wide.contains((1L, 3L)) && !wide.contains((3L, 1L)), s"got $wide")
   }
 
+  test("distributed kmeans: assignments converge to the planted clusters") {
+    val rows = Seq(
+      (0L, Array(0.80f, 0.60f)),  // init centroid A — off-center on purpose
+      (1L, Array(0.00f, 1.00f)),  // init centroid B
+      (10L, Array(1.00f, 0.05f)), (11L, Array(0.95f, -0.05f)),
+      (12L, Array(0.90f, 0.10f)), // x-cluster
+      (20L, Array(0.05f, 1.00f)), (21L, Array(-0.05f, 0.95f)),
+      (22L, Array(0.10f, 0.90f))) // y-cluster
+      .toDF("vec_id", "embedding")
+    def run() = Similarity.kmeansAssign(rows, "vec_id", "embedding",
+        col("vec_id") <= 1, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run()
+    assert(got == run(), "must be deterministic")
+    assert(Set(10L, 11L, 12L).map(got) == Set(0L), s"x-cluster: $got")
+    assert(Set(20L, 21L, 22L).map(got) == Set(1L), s"y-cluster: $got")
+    // the off-center init still captures its own cluster after the update
+    assert(got(0L) == 0L && got(1L) == 1L)
+  }
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 }

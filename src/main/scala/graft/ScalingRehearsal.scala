@@ -107,7 +107,9 @@ object ScalingRehearsal {
     println(s"synthesized 10x tables: $n10 docs, $e10 vectors at $workDir")
 
     val targets = Seq("d03_minhash_lsh", "d06_neardup_clusters", "d07_curation_pipeline",
-      "d10_decontamination_hashset", "s02_ann_hyperplane", "s04_ann_ivf")
+      "d10_decontamination_hashset", "d14_semdedup", "d16_edit_neardup",
+      "d17_edit_neardup_lsh", "s02_ann_hyperplane", "s04_ann_ivf",
+      "s09_kmeans")
     val queries = SparkEntry.queries
 
     def timed(name: String, dir: String): (Double, Long, Long, Long, Long) = {

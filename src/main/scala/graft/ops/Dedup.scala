@@ -193,11 +193,56 @@ object Dedup {
     cands
       .join(t.select(col(idCol).as("d1"), col(textCol).as("_t1")), "d1")
       .join(t.select(col(idCol).as("d2"), col(textCol).as("_t2")), "d2")
+      // explicit round-robin exchange before the verify: the candidate
+      // stream is BYTE-small but COMPUTE-heavy (O(len·maxDist) per row), so
+      // AQE's byte-based coalescing merges the (d1,d2) aggregate's reduce
+      // side into ~one partition and every Levenshtein serializes on a
+      // single core — the 10× rehearsal measured a 15.5 s single task.
+      // Round-robin specifically: a hash repartition on (d1, d2) is elided
+      // by EnsureRequirements (the stream is already hash-partitioned on
+      // those keys by the candidate aggregate), which re-creates the
+      // coalesced stage; RoundRobinPartitioning never satisfies an
+      // existing distribution and a user REPARTITION_BY_NUM is exempt from
+      // AQE coalescing. The extra shuffle moves only the candidate texts.
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       // banded Levenshtein: -1 when the distance exceeds maxDist
       .withColumn("edit_dist",
         levenshtein(col("_t1"), col("_t2"), maxDist).cast("long"))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select("d1", "d2", "inter", "edit_dist")
+  }
+
+  /** LSH-bounded fuzzy-dedup verify — the 100 TB form of
+    * [[editNearDupPairs]] (the NeMo-Curator fuzzy-dedup shape: MinHash-LSH
+    * candidates → exact verify): candidates come from [[minhashLshPairs]]'s
+    * banding (cost bounded by band-bucket collisions), never from the full
+    * inverted-index self-join, whose Σm² blowup is quadratic in near-dup
+    * CLUSTER SIZE — on a dup-dense corpus (the 10× rehearsal plants
+    * 5-member clusters on every doc) the exact form measured 20-40 s where
+    * this one rides the d03 cost envelope. Completeness: a pair at
+    * Jaccard ≥ threshold is recalled by ≥1 of 16 bands with
+    * P(miss) < 1e-7 (k=64); an edit-dist ≤ maxDist pair on non-tiny docs
+    * is far above the Jaccard threshold (each char edit breaks ≤ shingle-n
+    * shingles), so the candidate bound loses nothing the verify would keep.
+    * Returns (d1, d2, edit_dist).
+    */
+  def editNearDupPairsLsh(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
+      maxDocFreq: Long = DefaultMaxDocFreq,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val cands = minhashLshPairs(docs, idCol, textCol, threshold, k, bands,
+        maxDocFreq, scope)
+      .select("d1", "d2")
+    val t = docs.select(col(idCol), col(textCol))
+    cands
+      .join(t.select(col(idCol).as("d1"), col(textCol).as("_t1")), "d1")
+      .join(t.select(col(idCol).as("d2"), col(textCol).as("_t2")), "d2")
+      // same round-robin discipline as editNearDupPairs (see there)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .withColumn("edit_dist",
+        levenshtein(col("_t1"), col("_t2"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .select("d1", "d2", "edit_dist")
   }
 
   /** MinHash signatures: ONE xxhash64 over the shingle string, then k cheap

@@ -366,6 +366,33 @@ object PipelineOpsQueries {
         AND levenshtein(t1.text, t2.text) <= 50
       ORDER BY d1, d2""")),
 
+    // The 100 TB form of d16: MinHash-LSH candidates → banded-Levenshtein
+    // verify (the NeMo fuzzy-dedup shape). Oracle = brute-force Jaccard
+    // pairs + the same edit filter (LSH recall argument as d03); on this
+    // corpus both forms emit the identical 25 pairs (sym-diff 0, verified
+    // at build time in DuckDB).
+    ("d17_edit_neardup_lsh", (s: SparkSession, dir: String) => {
+      Dedup.editNearDupPairsLsh(rd(s, dir, "documents"), "doc_id", "text",
+          maxDist = 50)
+        .orderBy("d1", "d2")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT d1, d2 FROM inter
+            JOIN sz na ON na.doc_id = d1 JOIN sz nb ON nb.doc_id = d2
+            WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8)
+      SELECT d1, d2,
+        CAST(levenshtein(t1.text, t2.text) AS BIGINT) AS edit_dist
+      FROM pairs JOIN documents t1 ON t1.doc_id = d1
+                 JOIN documents t2 ON t2.doc_id = d2
+      WHERE levenshtein(t1.text, t2.text) <= 50
+      ORDER BY d1, d2""")),
+
     // Near-dup pairs → canonical clusters: distributed connected components
     // (large-star/small-star) over the verified MinHash-LSH pairs, every doc
     // labeled with its component minimum. The oracle recomputes components
@@ -1064,6 +1091,36 @@ object PipelineOpsQueries {
       SELECT b.doc_id, b.lang, b.bucket FROM b JOIN thr USING (lang)
       WHERE bucket < thr ORDER BY doc_id"""
     }),
+
+    // Chunk-level dedup — the RAG/pretraining composite: chunk every doc
+    // (t15's chunker), fingerprint each chunk, keep the first copy. Catches
+    // repeated boilerplate SPANS across documents that doc-level dedup
+    // can't see (here: the planted one-token-edit near-dups share all
+    // chunks past the edited token). Same one-shuffle min(struct) shape as
+    // d01, over the chunk stream.
+    ("t17_chunk_dedup", (s: SparkSession, dir: String) => {
+      TextOps.chunkDocuments(rd(s, dir, "documents"), "doc_id", "text",
+          window = 32, stride = 24)
+        .groupBy(md5(col("chunk_text")).as("fp"))
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("m"),
+          count(lit(1)).as("n_dups"))
+        .select(col("m.doc_id").as("doc_id"),
+          col("m.chunk_idx").as("chunk_idx"), col("n_dups"))
+        .orderBy("doc_id", "chunk_idx")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      st AS (SELECT doc_id, t, CAST(u.i AS BIGINT) AS st
+             FROM toks, UNNEST(range(0, greatest(len(t), 1), 24)) AS u(i)),
+      ch AS (SELECT doc_id, st // 24 AS chunk_idx,
+               array_to_string(t[st+1 : st+32], ' ') AS chunk_text
+             FROM st),
+      r AS (SELECT doc_id, chunk_idx,
+              count(*) OVER (PARTITION BY md5(chunk_text)) AS n_dups,
+              row_number() OVER (PARTITION BY md5(chunk_text)
+                                 ORDER BY doc_id, chunk_idx) AS rn
+            FROM ch)
+      SELECT doc_id, chunk_idx, n_dups FROM r WHERE rn = 1
+      ORDER BY doc_id, chunk_idx""")),
 
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {

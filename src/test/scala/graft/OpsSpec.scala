@@ -676,6 +676,17 @@ class OpsSpec extends SparkSpec {
     assert(!wide.contains((1L, 3L)) && !wide.contains((3L, 1L)), s"got $wide")
   }
 
+  test("LSH-bounded edit verify equals the exact inverted-index form on sf0.01") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def norm(df: DataFrame) = df.select("d1", "d2", "edit_dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = norm(Dedup.editNearDupPairs(docs, "doc_id", "text", maxDist = 50))
+    val lsh = norm(Dedup.editNearDupPairsLsh(docs, "doc_id", "text", maxDist = 50))
+    assert(exact.nonEmpty)
+    assert(lsh == exact,
+      s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
   test("distributed kmeans: assignments converge to the planted clusters") {
     val rows = Seq(
       (0L, Array(0.80f, 0.60f)),  // init centroid A — off-center on purpose

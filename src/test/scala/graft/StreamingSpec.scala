@@ -298,4 +298,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got == want)
   }
+
+  test("streaming chunking equals the batch chunker, statelessly") {
+    import org.apache.spark.sql.types._
+    import graft.ops.TextOps
+    val batch = GraftTables.read(spark, "/root/testdata/sf0.001", "documents")
+    val want = TextOps.chunkDocuments(batch, "doc_id", "text", 32, 24)
+      .select("doc_id", "chunk_idx", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    val tmp = Files.createTempDirectory("graft-chunk-stream").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      Paths.get(s"$tmp/docs.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // chunkDocuments is pure projection+explode — it applies to a streaming
+    // frame unchanged (no watermark, no state)
+    val stream = spark.readStream.schema(docSchema).parquet(tmp)
+    val q = TextOps.chunkDocuments(stream, "doc_id", "text", 32, 24)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .writeStream.outputMode("append").format("memory").queryName("chunk_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("chunk_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want)
+  }
 }

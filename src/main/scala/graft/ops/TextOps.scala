@@ -134,6 +134,52 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** Rare-n-gram novelty — the corpus-frequency face of quality filtering
+    * (a doc whose n-grams are mostly unseen elsewhere is either novel
+    * content or noise; both ends of the distribution get human review in
+    * real pipelines). Per doc: total distinct n-grams, how many are RARE
+    * (corpus document-frequency ≤ `maxDf`), kept as exact counts so the
+    * novelty ratio is reproducible.
+    *
+    * Scale shape: one explode+groupBy builds the (gram, df) table
+    * (vocabulary-sized, partial-agg combined); the join back rides the gram
+    * key; the per-doc rollup shuffles narrow (id, flag) rows. The gram
+    * table is the same map-side-distinct shingle stream as the dedup ops —
+    * no quadratic anything.
+    */
+  def rareNgramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, maxDf: Long = 1): DataFrame = {
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(array_distinct(shingles(col("_toks"), n))).as("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_rare"))
+  }
+
+  /** Linear quality classifier in exact-integer logit space — the shape of
+    * a fastText/logistic quality model (w·f + b over cheap text features)
+    * with every number an exact integer: no sigmoid (monotone — thresholding
+    * the logit IS thresholding the probability), no float weights (the
+    * trained model is scaled to integers, standard quantized inference), so
+    * the SQL oracle reproduces every score bit-for-bit. Features: token
+    * count (capped 200), distinct tokens, en-stopword hits, digit-token
+    * count. Pure per-row expressions — zero shuffle, pushes through scans.
+    */
+  def qualityLogit(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = least(size(toks), lit(200)).cast("long")
+    val nDis = size(array_distinct(toks)).cast("long")
+    val stop = stopwordHits(toks, stopwords.toMap.apply("en"))
+    val digit = size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("long")
+    // weights ×100 (two-decimal fixed point): 0.25·cap + 1.5·distinct +
+    // 2·stop − 3·digit − 40 bias
+    nTok * lit(25L) + nDis * lit(150L) + stop * lit(200L) -
+      digit * lit(300L) - lit(4000L)
+  }
+
   /** Repetition counters over word n-grams — the integer core of the
     * Gopher-family repetition quality filters (Rae et al. 2021 §A1.1:
     * "fraction of characters in the most common n-gram" etc.), kept as

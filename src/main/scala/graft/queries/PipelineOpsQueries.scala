@@ -1122,6 +1122,50 @@ object PipelineOpsQueries {
       SELECT doc_id, chunk_idx, n_dups FROM r WHERE rn = 1
       ORDER BY doc_id, chunk_idx""")),
 
+    // Rare-bigram novelty: distinct bigrams per doc + how many are corpus-
+    // rare (df <= 1) — both ends of the novelty distribution are curation
+    // signals. Vocabulary-sized df table, gram-keyed join back.
+    ("t18_rare_ngram_novelty", (s: SparkSession, dir: String) => {
+      TextOps.rareNgramNovelty(rd(s, dir, "documents"), "doc_id", "text",
+          n = 2, maxDf = 1)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      g AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g
+            FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+      f AS (SELECT g, count(*) AS df FROM g GROUP BY g)
+      SELECT doc_id, count(*) AS n_grams,
+        CAST(sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      FROM g JOIN f USING (g) GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Linear quality classifier in exact-integer logit space (quantized
+    // fastText-shape inference): every feature and weight is an integer, so
+    // thresholding the logit is thresholding the probability and the oracle
+    // reproduces each score bit-for-bit. Zero-shuffle map-side scoring.
+    ("t19_quality_classifier", (s: SparkSession, dir: String) => {
+      rd(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityLogit(col("text")).as("logit"))
+        .withColumn("keep", (col("logit") >= 0L).cast("long"))
+        .orderBy("doc_id")
+    }, Some {
+      val stops = TextOps.stopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+      f AS (SELECT doc_id,
+          least(len(t), 200) AS n_tok,
+          len(list_distinct(t)) AS n_dis,
+          len(list_filter(t, x -> list_contains($stops, x))) AS stop,
+          len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$$'))) AS digit
+        FROM t)
+      SELECT doc_id,
+        CAST(n_tok * 25 + n_dis * 150 + stop * 200 - digit * 300 - 4000
+          AS BIGINT) AS logit,
+        CAST(CASE WHEN n_tok * 25 + n_dis * 150 + stop * 200 - digit * 300
+          - 4000 >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM f ORDER BY doc_id"""
+    }),
+
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {
       // REAL container decode (r5 verdict gap #1): every doc becomes a

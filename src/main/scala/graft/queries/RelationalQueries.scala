@@ -221,6 +221,27 @@ object RelationalQueries {
         CAST(list_max(qv) - list_min(qv) AS BIGINT) AS range_q
       FROM q ORDER BY vec_id""")),
 
+    // Consecutive-duplicate collapse (state-change log compression): per
+    // user, keep an event only when its type differs from the previous
+    // event's — the lag-window dedup every event pipeline runs before
+    // sessionization. One shuffle on the window key.
+    ("q44_dedup_consecutive", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      rd(s, dir, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH w AS (SELECT event_id, user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pt
+        FROM events)
+      SELECT event_id, user_id, event_type FROM w
+      WHERE pt IS NULL OR pt <> event_type
+      ORDER BY event_id""")),
+
     // --------------------------------------------------- grouping analytics
     ("q09_rollup", (s: SparkSession, dir: String) => {
       rd(s, dir, "lineitem")

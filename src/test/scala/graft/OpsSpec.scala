@@ -707,5 +707,24 @@ class OpsSpec extends SparkSpec {
     assert(got(0L) == 0L && got(1L) == 1L)
   }
 
+  test("rare-ngram novelty counts distinct bigrams and corpus-rare ones") {
+    val df = Seq(
+      (1L, "a b c"),     // bigrams: "a b", "b c"
+      (2L, "a b d"),     // bigrams: "a b", "b d"
+      (3L, "x")).toDF("doc_id", "text") // too short → absent
+    val got = TextOps.rareNgramNovelty(df, "doc_id", "text", n = 2, maxDf = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // "a b" has df=2 (not rare); "b c"/"b d" have df=1 (rare)
+    assert(got.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 1L)), s"got ${got.toSeq}")
+  }
+
+  test("quality logit matches a hand computation") {
+    // "the the 42": 3 tokens, 2 distinct, 2 stopword hits (dups count), 1 digit
+    val got = Seq(Tuple1("the the 42")).toDF("text")
+      .select(TextOps.qualityLogit(col("text"))).head.getLong(0)
+    assert(got == 3 * 25 + 2 * 150 + 2 * 200 - 1 * 300 - 4000, s"got $got")
+  }
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 }

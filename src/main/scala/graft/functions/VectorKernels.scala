@@ -220,4 +220,52 @@ object VectorFunctions {
     ColumnShim.column(DotProductQ(ColumnShim.expression(a), ColumnShim.expression(b)))
   def quantize_vec(c: Column, scale: Int = 10000): Column =
     ColumnShim.column(QuantizeVec(ColumnShim.expression(c), scale))
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  private def litInt(e: Expression, what: String, default: => Int): Int =
+    e match {
+      case Literal(i: Int, IntegerType) => i
+      case Literal(l: Long, LongType) => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+
+  /** SQL surface for the native kernels — mirrors `protect.register`:
+    *  - `graft_quantize_vec(arr[, scale])`   float array → fixed-point longs
+    *  - `graft_dot_q(a, b)`                  exact integer dot product
+    *  - `graft_mix64(h, seed)`               64-bit finalizer mix
+    *  - `graft_hyperplane_sig(qv, off, planes)`  sign-LSH bucket
+    *  - `graft_rolling_hash(text)`           base-257 rolling fingerprint
+    *  - `graft_simhash(hash)` (aggregate)    60-bit SimHash over token hashes
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_quantize_vec", { args =>
+      QuantizeVec(args.head,
+        if (args.size > 1) litInt(args(1), "scale", 10000) else 10000)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot_q",
+      args => DotProductQ(args.head, args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_mix64", { args =>
+      args(1) match {
+        case Literal(l: Long, LongType) => Mix64(args.head, l)
+        case Literal(i: Int, IntegerType) => Mix64(args.head, i.toLong)
+        case other => throw new IllegalArgumentException(
+          s"seed must be an integer literal, got $other")
+      }
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hyperplane_sig", { args =>
+      HyperplaneSig(args.head, litInt(args(1), "offset", 0),
+        litInt(args(2), "planes", 6))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_rolling_hash",
+      args => RollingHash64(args.head), "scala_udf")
+    // returning the AggregateFunction directly: the analyzer wraps it into
+    // an AggregateExpression, so `SELECT graft_simhash(h) ... GROUP BY` works
+    reg.createOrReplaceTempFunction("graft_simhash",
+      args => SimHashAgg(args.head), "scala_udf")
+  }
 }

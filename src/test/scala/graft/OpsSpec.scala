@@ -726,5 +726,37 @@ class OpsSpec extends SparkSpec {
     assert(got == 3 * 25 + 2 * 150 + 2 * 200 - 1 * 300 - 4000, s"got $got")
   }
 
+  test("SQL-registered native kernels match the Column API") {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Seq((1L, Array(0.1f, -0.2f, 0.7f)), (2L, Array(0.3f, 0.4f, -0.9f)))
+      .toDF("id", "emb")
+    emb.createOrReplaceTempView("v_emb")
+    val viaSql = spark.sql("""
+      SELECT id,
+        graft_dot_q(graft_quantize_vec(emb), graft_quantize_vec(emb)) AS nrm,
+        graft_hyperplane_sig(emb, 0, 6) AS sig
+      FROM v_emb ORDER BY id""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val q = Similarity.quantize(col("emb"))
+    val viaApi = emb.select(col("id"), Similarity.dotQ(q, q).as("nrm"),
+        graft.functions.VectorFunctions.hyperplane_sig(col("emb"), 0, 6).as("sig"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaSql.toSeq == viaApi.toSeq)
+
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("v_docs")
+    val simSql = spark.sql("""
+      SELECT doc_id, graft_simhash(xxhash64(tok)) AS simhash,
+        min(graft_rolling_hash(tok)) AS rh
+      FROM (SELECT doc_id, explode(split(text, '\\s+')) AS tok FROM v_docs)
+      GROUP BY doc_id ORDER BY doc_id""").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val simApi = Dedup.simhashAggregate(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(simSql.toSeq == simApi.toSeq)
+  }
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 }

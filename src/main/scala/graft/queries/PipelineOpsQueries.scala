@@ -1166,6 +1166,29 @@ object PipelineOpsQueries {
       FROM f ORDER BY doc_id"""
     }),
 
+    // Fixed-SIZE deterministic sample (eval-set selection): the N docs with
+    // the smallest (md5-bucket, id) rank — rate-based sampling (t08/t16)
+    // yields a fixed RATE, this yields exactly N rows, reproducibly, via
+    // TakeOrderedAndProject (per-partition top-N, then merge — no global
+    // sort at scale).
+    ("t20_fixed_sample", (s: SparkSession, dir: String) => {
+      import graft.ops.Sampling
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          Sampling.hashBucket32(col("doc_id")).as("bucket"))
+        .orderBy("bucket", "doc_id")
+        .limit(100)
+    }, Some {
+      val bucket = (1 to 8).map { i =>
+        val w = 1L << (4 * (8 - i))
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"""
+      WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+      SELECT doc_id, CAST($bucket AS BIGINT) AS bucket FROM h
+      ORDER BY bucket, doc_id LIMIT 100"""
+    }),
+
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {
       // REAL container decode (r5 verdict gap #1): every doc becomes a

@@ -393,6 +393,93 @@ object PipelineOpsQueries {
       WHERE levenshtein(t1.text, t2.text) <= 50
       ORDER BY d1, d2""")),
 
+    // THE capstone composite: a complete training-data pipeline in one
+    // declarative query — decontaminate (d10's native gram probe) →
+    // quality-filter (t19's integer logit) → exact-dedup (d01) →
+    // temperature mixture (t16) → sequence packing (t13) — every stage a
+    // library op, every intermediate value recomputed by the oracle. One
+    // Catalyst plan end to end: the scans fuse, the only shuffles are the
+    // dedup groupBy, the tiny per-lang count, and the packing window.
+    ("d18_training_pipeline", (s: SparkSession, dir: String) => {
+      import graft.ops.Sampling
+      val docs = rd(s, dir, "documents")
+      val benchPred = col("doc_id") % 10 === 0
+      val gramSet = Decontamination.benchmarkGramSet(docs, "doc_id", "text",
+        benchPred, n = 8)
+      val clean = Decontamination.decontaminateBySet(docs, gramSet, "text",
+        benchPred, n = 8)
+      val quality = clean.filter(TextOps.qualityLogit(col("text")) >= 0L)
+      val survivors = Dedup.exactSurvivors(quality, "doc_id",
+        TextOps.fingerprint(col("text"))).select(col("doc_id"))
+      val kept = quality.join(survivors, "doc_id")
+      val mixed = Sampling.temperatureSample(kept, col("doc_id"), col("lang"),
+        totalTarget = 150L)
+      Packing.assignBins(
+          mixed.select(col("doc_id"), col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt")),
+          "doc_id", col("nt"), budget = 512L, shards = 4,
+          partitionCols = Seq(col("lang")))
+        .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+          col("bin"))
+        .orderBy("doc_id")
+    }, Some {
+      val stops = TextOps.stopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val bucket = (1 to 8).map { i =>
+        val w = 1L << (4 * (8 - i))
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+                    FROM documents),
+      g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+      bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0),
+      dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (s)
+                WHERE g.doc_id % 10 <> 0),
+      clean AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+                WHERE d.doc_id % 10 <> 0
+                  AND d.doc_id NOT IN (SELECT doc_id FROM dirty)),
+      feat AS (SELECT doc_id, lang, text,
+                 string_split_regex(text, '\\s+') AS t FROM clean),
+      qual AS (SELECT doc_id, lang, text FROM feat
+               WHERE least(len(t), 200) * 25 + len(list_distinct(t)) * 150
+                 + len(list_filter(t, x -> list_contains($stops, x))) * 200
+                 - len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$$'))) * 300
+                 - 4000 >= 0),
+      fp AS (SELECT doc_id, lang, text,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+             FROM qual),
+      surv AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+      kept AS (SELECT fp.doc_id, fp.lang, fp.text
+               FROM fp JOIN surv ON fp.doc_id = surv.doc_id),
+      c AS (SELECT lang, count(*) AS n FROM kept GROUP BY lang),
+      w AS (SELECT lang, n,
+              CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS w
+            FROM c),
+      ws AS (SELECT lang, n, w, sum(w) OVER () AS ws FROM w),
+      thr AS (SELECT lang,
+                CAST(floor(least(1.0,
+                  CAST(150 AS DOUBLE) * CAST(w AS DOUBLE) /
+                    (CAST(ws AS DOUBLE) * CAST(n AS DOUBLE))) * 4294967296.0)
+                  AS BIGINT) AS thr
+              FROM ws),
+      h AS (SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM kept),
+      b AS (SELECT doc_id, lang, text, CAST($bucket AS BIGINT) AS bucket
+            FROM h),
+      mix AS (SELECT b.doc_id, b.lang, b.text FROM b JOIN thr USING (lang)
+              WHERE bucket < thr),
+      tt AS (SELECT doc_id, lang, doc_id % 4 AS shard,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+             FROM mix),
+      cm AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM tt)
+      SELECT doc_id, lang, shard, n_tokens,
+        CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
+      FROM cm ORDER BY doc_id"""
+    }),
+
     // Near-dup pairs → canonical clusters: distributed connected components
     // (large-star/small-star) over the verified MinHash-LSH pairs, every doc
     // labeled with its component minimum. The oracle recomputes components

@@ -480,6 +480,45 @@ object PipelineOpsQueries {
       FROM cm ORDER BY doc_id"""
     }),
 
+    // ------------------------------------------------------------- graphs
+    // Iterative graph rank: 3 damped fixed-point PageRank rounds over the
+    // co-purchase graph (parts linked when one order contains both — the
+    // self-join-on-container edge build every item-graph pipeline runs).
+    // All rank math is integral (ppm units, truncating div), so the oracle
+    // replays the full 3-round trajectory with chained CTEs bit-for-bit —
+    // the s09 k-means replay pattern applied to graph iteration.
+    ("g01_pagerank", (s: SparkSession, dir: String) => {
+      val li = rd(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e0 = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+      val edges = e0.unionAll(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.PageRank.run(edges, rounds = 3)
+        .select(col("node"), col("deg"), col("pr"))
+        .orderBy("node")
+    }, Some {
+      val prRounds = (1 to 3).map { r =>
+        s"""      c$r AS (SELECT e.dst AS node, SUM(p.pr // p.deg) AS s
+             FROM edges e JOIN p${r - 1} p ON e.src = p.node GROUP BY e.dst),
+      p$r AS (SELECT p.node, p.deg,
+               CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+             FROM p${r - 1} p LEFT JOIN c$r c ON p.node = c.node)"""
+      }.mkString(",\n")
+      s"""
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+                  WHERE l_orderkey % 20 = 0),
+      e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+      p0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS pr FROM deg),
+$prRounds
+      SELECT node, deg, pr FROM p3 ORDER BY node"""
+    }),
+
     // Near-dup pairs → canonical clusters: distributed connected components
     // (large-star/small-star) over the verified MinHash-LSH pairs, every doc
     // labeled with its component minimum. The oracle recomputes components

@@ -242,6 +242,135 @@ object RelationalQueries {
       WHERE pt IS NULL OR pt <> event_type
       ORDER BY event_id""")),
 
+    // CDC MERGE/upsert without a table format: apply a change batch (latest
+    // change per key wins, deterministic via the orderkey tie-break) to a
+    // target dimension with a FULL OUTER join, emitting the merge delta
+    // tagged insert/update. Scale shape: an upsert into an unbucketed
+    // target inherently shuffles both sides on the key — bucketing the
+    // target by key on a real cluster removes its sort+shuffle; the change
+    // batch is small and AQE picks its side accordingly.
+    ("q45_merge_upsert", (s: SparkSession, dir: String) => {
+      val target = rd(s, dir, "customer").select(
+        col("c_custkey").as("key_t"), cents(col("c_acctbal")).as("bal_cents"),
+        lit(1).as("t_mark"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey").desc)
+      val latest = rd(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey").as("key_c"),
+          cents(col("o_totalprice")).as("new_bal"))
+      // updates for existing keys + synthetic inserts at key+10M (a key
+      // range the dimension does not occupy)
+      val changes = latest.unionAll(
+          latest.select(col("key_c") + lit(10000000L), col("new_bal")))
+        .withColumn("c_mark", lit(1))
+      target.join(changes, col("key_t") === col("key_c"), "full_outer")
+        .select(coalesce(col("key_t"), col("key_c")).as("key"),
+          coalesce(col("new_bal"), col("bal_cents")).as("bal_cents"),
+          when(col("t_mark").isNull, "insert")
+            .when(col("c_mark").isNull, "keep").otherwise("update")
+            .as("action"))
+        .filter(col("action") =!= "keep")
+        .orderBy("key")
+    }, Some(s"""
+      WITH latest AS (
+        SELECT key_c, new_bal FROM (
+          SELECT o_custkey AS key_c,
+            ${centsSql("o_totalprice")} AS new_bal,
+            row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderkey DESC) AS rn
+          FROM orders WHERE o_orderkey % 50 = 0) WHERE rn = 1),
+      changes AS (
+        SELECT key_c, new_bal, 1 AS c_mark FROM latest
+        UNION ALL SELECT key_c + 10000000, new_bal, 1 FROM latest),
+      target AS (SELECT c_custkey AS key_t,
+          ${centsSql("c_acctbal")} AS bal_cents, 1 AS t_mark
+        FROM customer)
+      SELECT * FROM (
+        SELECT COALESCE(t.key_t, c.key_c) AS key,
+          COALESCE(c.new_bal, t.bal_cents) AS bal_cents,
+          CASE WHEN t.t_mark IS NULL THEN 'insert'
+               WHEN c.c_mark IS NULL THEN 'keep' ELSE 'update' END AS action
+        FROM target t FULL OUTER JOIN changes c ON t.key_t = c.key_c)
+      WHERE action <> 'keep' ORDER BY key""")),
+
+    // SCD2 history build: collapse the per-user event-type log to state
+    // CHANGES, then stamp each state with [valid_from, valid_to) validity
+    // micros and an is_current flag — the slowly-changing-dimension shape
+    // every warehouse derives from a change stream. Both windows share the
+    // user_id partitioning (filter preserves it), so the whole query is ONE
+    // shuffle.
+    ("q46_scd2_history", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = rd(s, dir, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_micros(col("ts")).as("valid_from_us"), col("event_id"))
+      val w2 = Window.partitionBy("user_id")
+        .orderBy(col("valid_from_us"), col("event_id"))
+      changes
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w2))
+        .withColumn("is_current", col("valid_to_us").isNull.cast("long"))
+        .orderBy("user_id", "valid_from_us", "event_id")
+    }, Some("""
+      WITH c AS (
+        SELECT user_id, event_type AS state, epoch_us(ts) AS valid_from_us,
+          event_id,
+          lag(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pt
+        FROM events),
+      s AS (SELECT user_id, state, valid_from_us, event_id FROM c
+            WHERE pt IS NULL OR pt <> state)
+      SELECT user_id, state, valid_from_us, event_id,
+        lead(valid_from_us) OVER w2 AS valid_to_us,
+        CAST(CASE WHEN lead(valid_from_us) OVER w2 IS NULL
+             THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      FROM s
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)
+      ORDER BY user_id, valid_from_us, event_id""")),
+
+    // Ordered conversion funnel: users who signed up, then clicked within
+    // 24 h, then purchased within 24 h of that click. Each stage is a
+    // per-user MIN over the prior stage's survivors — all three groupBys
+    // and both joins key on user_id, so the exchange is planned once and
+    // reused; counts are the only rows that leave the executors.
+    ("q47_funnel", (s: SparkSession, dir: String) => {
+      val winUs = 86400000000L // 24 h conversion window, micros
+      val ev = rd(s, dir, "events").select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("tus")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("tus") > col("t1") && col("tus") <= col("t1") + winUs)
+        .groupBy("user_id").agg(min(col("tus")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("tus") > col("t2") && col("tus") <= col("t2") + winUs)
+        .groupBy("user_id").agg(min(col("tus")).as("t3"))
+      s1.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_signup").as("stage"), col("n_users"))
+        .unionAll(s2.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionAll(s3.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy("stage")
+    }, Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      s1 AS (SELECT user_id, min(tus) AS t1 FROM ev
+             WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(tus) AS t2 FROM ev e JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND tus > t1
+               AND tus <= t1 + 86400000000 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(tus) AS t3 FROM ev e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND tus > t2
+               AND tus <= t2 + 86400000000 GROUP BY e.user_id)
+      SELECT stage, n_users FROM (
+        SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+        UNION ALL SELECT '2_click', count(*) FROM s2
+        UNION ALL SELECT '3_purchase', count(*) FROM s3)
+      ORDER BY stage""")),
+
     // --------------------------------------------------- grouping analytics
     ("q09_rollup", (s: SparkSession, dir: String) => {
       rd(s, dir, "lineitem")

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.PageRank
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference fixed-point iteration, same integer arithmetic as the op. */
+  private def expected(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var pr = deg.keys.map(_ -> 1000000L).toMap
+    (1 to rounds).foreach { _ =>
+      val sums = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = pr.keys.map(n => n -> (150000L + 85L * sums.getOrElse(n, 0L) / 100L)).toMap
+    }
+    pr
+  }
+
+  // path graph 1-2-3 plus pendant 4 off the hub 2, symmetrized
+  private val star = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 2L -> 4L, 4L -> 2L)
+
+  test("pagerank matches the hand fixed-point iteration on a star") {
+    val edges = star.toDF("src", "dst")
+    val got = PageRank.run(edges, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected(star, 3))
+    // the hub out-ranks every leaf
+    assert(got(2L) > got(1L) && got(2L) > got(3L) && got(2L) > got(4L))
+  }
+
+  test("pagerank on a symmetric clique is uniform and rank mass is conserved") {
+    val nodes = (1L to 5L)
+    val clique = for (a <- nodes; b <- nodes if a != b) yield (a, b)
+    val got = PageRank.run(clique.toDF("src", "dst"), rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.values.toSet.size == 1, s"clique ranks must be uniform: $got")
+    // every round maps scale -> ~scale for a regular graph (up to div floors)
+    assert(math.abs(got(1L) - 1000000L) <= 5)
+  }
+
+  test("pagerank rejects an unbounded round count") {
+    val edges = star.toDF("src", "dst")
+    intercept[IllegalArgumentException](PageRank.run(edges, rounds = 0))
+    intercept[IllegalArgumentException](PageRank.run(edges, rounds = 99))
+  }
+}

@@ -72,6 +72,13 @@ object Bench {
     // per query: (median, min, max) of the post-warmup iterations — the
     // spread separates steady-state cost from machine-load noise.
     val stats = SparkEntry.queries.map { case (name, fn) =>
+      // Drop previous queries' unmanaged caches first: a 100+-query sweep
+      // accumulates every pipeline's shingle/embedding caches, and the
+      // storage-memory pressure contaminates later medians (d08 measured
+      // 26 s in-sweep vs 7.6 s isolated, d12 47 s vs 1.9 s). A query's OWN
+      // iterations still share its cache, as a real multi-consumer job
+      // would.
+      spark.catalog.clearCache()
       val times = (0 until QueryWarmup + QueryIters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -225,6 +232,14 @@ object Bench {
       ("v2_plain_snappy", PageCodec.Snappy, snappyBytes, v2Attrs(true)),
       ("v1_rle_dict_fallback", PageCodec.Uncompressed, valueBytes,
         v1Attrs("RLE_DICTIONARY")))
+    // Untimed full-grid warm lap: the grids now run FIRST (the r5 load-gate
+    // advice), so without this the first scenario absorbs the whole page
+    // path's cold-JIT cost (measured 0.52M values/s cold vs 5.1M warm).
+    scenarios.foreach { case (_, compression, payload, attrs) =>
+      val a = LocalProtectionAgent.initPage("bench-key", "v", "BYTE_ARRAY",
+        None, compression)
+      (0 until 2).foreach(_ => a.encryptPage(payload, attrs))
+    }
     val out = scenarios.map { case (name, compression, payload, attrs) =>
       val agent = LocalProtectionAgent.initPage("bench-key", "v", "BYTE_ARRAY",
         None, compression)

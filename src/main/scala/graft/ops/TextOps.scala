@@ -197,4 +197,38 @@ object TextOps {
       .agg(sum(col("c")).as("n_grams"),
         max(col("c")).as("top_count"),
         count(lit(1)).as("n_distinct"))
+
+  /** Corpus bigram-LM predictability score — the integer core of the
+    * perplexity filter every public LLM pipeline runs (CCNet/RefinedWeb
+    * train a small LM on the corpus and drop its least-predictable tail;
+    * the standard lowercase-KenLM caveats apply to the real thing too).
+    * Pass 1 trains the LM: conditional probability of each bigram in ppm,
+    * p(w₂|w₁) = ⌊c(w₁w₂)·10⁶ / c(w₁·)⌋ — prefix counts summed over the
+    * bigram table itself, so the model is self-consistent. Pass 2 scores
+    * each doc with the mean bigram probability (occurrence-weighted,
+    * integer-floored). Every step is exact-integer, so the SQL oracle
+    * replays both passes bit-for-bit. Docs with < 2 tokens have no bigrams
+    * and drop out (the caller's length filter runs first in practice).
+    *
+    * Scale shape: the LM build is one explode + groupBy (vocabulary²-bounded,
+    * partial-agg combined map-side); the prefix rollup aggregates the LM
+    * table, not the corpus; scoring joins the bigram STREAM to the LM on the
+    * bigram key — at 100 TB that join is the cost, and it shuffles
+    * vocabulary-sized bytes per partition, not document text (a top-K-LM
+    * broadcast variant trades exactness for zero shuffle; kept exact here).
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val bg = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(shingles(col("_toks"), 2)).as("bg"))
+    val lm = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val prefix = lm.groupBy("w1").agg(sum(col("c_bg")).as("c_w1"))
+    val probs = lm.join(prefix, "w1")
+      .select(col("bg"), expr(s"(c_bg * ${scale}L) div c_w1").as("p_ppm"))
+    bg.join(probs, "bg")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("avg_p_ppm"))
+  }
 }

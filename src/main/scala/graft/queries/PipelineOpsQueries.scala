@@ -519,6 +519,40 @@ $prRounds
       SELECT node, deg, pr FROM p3 ORDER BY node"""
     }),
 
+    // Per-node triangle counts on the same co-purchase graph — local
+    // clustering structure via degree-ordered orientation (max out-degree
+    // O(√m) after orienting, so the wedge join's worst key is bounded even
+    // on power-law graphs; each triangle counted exactly once).
+    ("g02_triangles", (s: SparkSession, dir: String) => {
+      val li = rd(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e0 = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      graft.ops.Triangles.perNode(e0).orderBy("node")
+    }, Some("""
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+                  WHERE l_orderkey % 20 = 0),
+      e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a
+             JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY u),
+      o AS (SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v)
+                        THEN e0.u ELSE e0.v END AS s,
+                   CASE WHEN (du.d, e0.u) < (dv.d, e0.v)
+                        THEN e0.v ELSE e0.u END AS t
+            FROM e0 JOIN deg du ON du.node = e0.u
+                    JOIN deg dv ON dv.node = e0.v),
+      tri AS (SELECT a.s AS x, a.t AS y, b.t AS z
+              FROM o a JOIN o b ON a.t = b.s
+              JOIN o c ON c.s = a.s AND c.t = b.t),
+      cnt AS (SELECT node, count(*) AS n FROM (
+                SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri) GROUP BY node)
+      SELECT d.node, COALESCE(c.n, 0) AS n_triangles
+      FROM deg d LEFT JOIN cnt c USING (node) ORDER BY node""")),
+
     // Near-dup pairs → canonical clusters: distributed connected components
     // (large-star/small-star) over the verified MinHash-LSH pairs, every doc
     // labeled with its component minimum. The oracle recomputes components
@@ -1314,6 +1348,28 @@ $prRounds
       SELECT doc_id, CAST($bucket AS BIGINT) AS bucket FROM h
       ORDER BY bucket, doc_id LIMIT 100"""
     }),
+
+    // Corpus bigram-LM predictability — the integer core of the perplexity
+    // filter (CCNet/RefinedWeb shape): pass 1 trains conditional bigram
+    // probabilities in ppm over the corpus itself, pass 2 scores each doc
+    // with its occurrence-weighted mean. All-integer, so the oracle replays
+    // both passes exactly.
+    ("t21_bigram_lm", (s: SparkSession, dir: String) => {
+      TextOps.bigramLmScore(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                    FROM documents),
+      bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+             FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+      lm AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+      lm2 AS (SELECT bg, c_bg, split_part(bg, ' ', 1) AS w1 FROM lm),
+      pre AS (SELECT w1, sum(c_bg) AS c_w1 FROM lm2 GROUP BY w1),
+      p AS (SELECT bg, (c_bg * 1000000) // c_w1 AS p_ppm
+            FROM lm2 JOIN pre USING (w1))
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(sum(p_ppm) // count(*) AS BIGINT) AS avg_p_ppm
+      FROM bg JOIN p USING (bg) GROUP BY doc_id ORDER BY doc_id""")),
 
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {

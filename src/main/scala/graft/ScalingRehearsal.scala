@@ -94,6 +94,27 @@ object ScalingRehearsal {
     spark.read.parquet(s"$outDir/embeddings.parquet").count()
   }
 
+  /** 10× lineitem projection for the graph-section rehearsal: 10 DISJOINT
+    * copies of the co-purchase graph (both orderkey and partkey offset per
+    * copy), so node count and edge count scale 10× at constant density —
+    * the corpus-growth regime, with per-copy triangle/rank structure
+    * identical to 1× for an eyeball check. The orderkey offset is rounded
+    * to a multiple of 20 so each copy keeps exactly the same
+    * `l_orderkey % 20 = 0` subsample the graph queries select.
+    */
+  def synthesize10xLineitem(spark: SparkSession, sfDir: String, outDir: String): Long = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val okOff = (li.agg(max(col("l_orderkey"))).head.getLong(0) / 20L + 1L) * 20L
+    val pkOff = li.agg(max(col("l_partkey"))).head.getLong(0) + 1L
+    li.crossJoin(spark.range(10).toDF("copy"))
+      .select((col("l_orderkey") + col("copy") * okOff).as("l_orderkey"),
+        (col("l_partkey") + col("copy") * pkOff).as("l_partkey"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/lineitem.parquet")
+    spark.read.parquet(s"$outDir/lineitem.parquet").count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_scale10x")
@@ -104,12 +125,13 @@ object ScalingRehearsal {
 
     val n10 = synthesize10x(spark, sfDir, workDir)
     val e10 = synthesize10xEmbeddings(spark, sfDir, workDir)
-    println(s"synthesized 10x tables: $n10 docs, $e10 vectors at $workDir")
+    val l10 = synthesize10xLineitem(spark, sfDir, workDir)
+    println(s"synthesized 10x tables: $n10 docs, $e10 vectors, $l10 lineitems at $workDir")
 
     val targets = Seq("d03_minhash_lsh", "d06_neardup_clusters", "d07_curation_pipeline",
       "d10_decontamination_hashset", "d14_semdedup", "d16_edit_neardup",
       "d17_edit_neardup_lsh", "s02_ann_hyperplane", "s04_ann_ivf",
-      "s09_kmeans")
+      "s09_kmeans", "g01_pagerank", "g02_triangles")
     val queries = SparkEntry.queries
 
     def timed(name: String, dir: String): (Double, Long, Long, Long, Long) = {

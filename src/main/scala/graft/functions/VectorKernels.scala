@@ -72,6 +72,77 @@ object VectorKernels {
     bucket
   }
 
+  /** Index of the max-cosine centroid for `qv` — the kernel form of the
+    * n×k broadcast-join + `max(struct(ccos, cid))` assignment shape used by
+    * annIvf/semDedup/kmeans (one output row per vector instead of n×k join
+    * rows; at SemDeDup's k = 50k the join form materializes 50 000 rows per
+    * vector before the partial-agg argmax).
+    *
+    * Bit-identical to the join form: ccos = dot / (sqrt(nrm)·sqrt(cn)) with
+    * the same Math.sqrt/IEEE-divide sequence, and ties (including the
+    * all-NaN zero-vector case) resolve to the HIGHEST index exactly as
+    * `max(struct(ccos, cid))` resolves to the highest cid — callers pass
+    * centroids sorted ascending by cid. NaN ordering follows Spark's double
+    * ordering (NaN greatest, NaN == NaN) via Double.compare.
+    */
+  def argmaxCos(qv: ArrayData, cents: Array[Array[Long]], sqrtCn: Array[Double]): Int = {
+    val n = qv.numElements()
+    var nrm = 0L
+    var i = 0
+    while (i < n) { val v = qv.getLong(i); nrm += v * v; i += 1 }
+    val sqrtNrm = math.sqrt(nrm.toDouble)
+    var best = -1
+    var bestCos = 0.0
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      if (cv.length != n)
+        throw new graft.core.GraftInvalidInputException(
+          s"argmax_cos_centroid dimension mismatch: $n vs ${cv.length}")
+      var dot = 0L
+      var d = 0
+      while (d < n) { dot += qv.getLong(d) * cv(d); d += 1 }
+      val cos = dot.toDouble / (sqrtNrm * sqrtCn(c))
+      // tie → later (higher) index, mirroring max(struct(ccos, cid));
+      // cos == bestCos handles ±0.0 like Spark (equal), Double.compare
+      // handles NaN (greatest, equal to itself)
+      if (best < 0 ||
+          (if (cos == bestCos) 0 else java.lang.Double.compare(cos, bestCos)) >= 0) {
+        best = c; bestCos = cos
+      }
+      c += 1
+    }
+    best
+  }
+
+  /** Index of the min-squared-L2 centroid for `qv` in exact long arithmetic
+    * (|q−c|² = q·q − 2 q·c + c·c) — the kernel form of nearestCentroid's
+    * broadcast-join + `min(struct(dist, clabel))`. Ties resolve to the
+    * LOWEST index, matching min-struct with labels sorted ascending.
+    */
+  def argminL2(qv: ArrayData, cents: Array[Array[Long]], cn: Array[Long]): Int = {
+    val n = qv.numElements()
+    var qq = 0L
+    var i = 0
+    while (i < n) { val v = qv.getLong(i); qq += v * v; i += 1 }
+    var best = -1
+    var bestDist = 0L
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      if (cv.length != n)
+        throw new graft.core.GraftInvalidInputException(
+          s"argmin_l2_centroid dimension mismatch: $n vs ${cv.length}")
+      var dot = 0L
+      var d = 0
+      while (d < n) { dot += qv.getLong(d) * cv(d); d += 1 }
+      val dist = qq - 2L * dot + cn(c)
+      if (best < 0 || dist < bestDist) { best = c; bestDist = dist }
+      c += 1
+    }
+    best
+  }
+
   /** Quantize float/double array → fixed-point longs, matching Spark's
     * `round` semantics exactly (BigDecimal HALF_UP on the shortest decimal
     * representation) so results stay oracle-identical.
@@ -211,6 +282,90 @@ case class HyperplaneSig(child: Expression, offset: Int, planes: Int)
     copy(child = newChild)
 }
 
+/** Shared shape of the centroid-assignment kernels: left = quantized vector
+  * (array<bigint>), right = FOLDABLE centroid matrix (array<array<bigint>>,
+  * rows sorted ascending by the caller's centroid id). The matrix and its
+  * per-centroid norms are extracted ONCE per task from the literal (lazily,
+  * on both driver and executors) so the per-row loop touches only
+  * `long[][]` — no ArrayData re-walks, no join rows.
+  */
+abstract class CentroidAssignExpr extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _)) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName centroid matrix must be foldable (a literal)")
+        else TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (ARRAY<BIGINT>, ARRAY<ARRAY<BIGINT>>), got $other")
+    }
+
+  @transient protected final lazy val matrix: Array[Array[Long]] = {
+    val ad = right.eval(null).asInstanceOf[ArrayData]
+    require(ad != null && ad.numElements() > 0,
+      s"$prettyName centroid matrix is null/empty")
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toLongArray())
+  }
+}
+
+/** argmax_cos_centroid(qv, cents) → int index of the nearest-by-cosine
+  * centroid (ties → highest index; see [[VectorKernels.argmaxCos]]).
+  */
+case class ArgmaxCosCentroid(left: Expression, right: Expression)
+    extends CentroidAssignExpr {
+  override def prettyName: String = "argmax_cos_centroid"
+
+  @transient private lazy val sqrtCn: Array[Double] =
+    matrix.map(cv => math.sqrt(VectorKernels.dotQ(
+      new GenericArrayData(cv), new GenericArrayData(cv)).toDouble))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.argmaxCos(a.asInstanceOf[ArrayData], matrix, sqrtCn)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = VectorKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val m = ctx.addReferenceObj("centMatrix", matrix, "long[][]")
+    val s = ctx.addReferenceObj("centSqrtCn", sqrtCn, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = $kernels.argmaxCos($a, $m, $s);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgmaxCosCentroid =
+    copy(left = newLeft, right = newRight)
+}
+
+/** argmin_l2_centroid(qv, cents) → int index of the nearest-by-L2 centroid
+  * (exact long arithmetic; ties → lowest index; see [[VectorKernels.argminL2]]).
+  */
+case class ArgminL2Centroid(left: Expression, right: Expression)
+    extends CentroidAssignExpr {
+  override def prettyName: String = "argmin_l2_centroid"
+
+  @transient private lazy val cn: Array[Long] =
+    matrix.map(cv => VectorKernels.dotQ(
+      new GenericArrayData(cv), new GenericArrayData(cv)))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.argminL2(a.asInstanceOf[ArrayData], matrix, cn)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = VectorKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val m = ctx.addReferenceObj("centMatrix", matrix, "long[][]")
+    val n = ctx.addReferenceObj("centCn", cn, "long[]")
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = $kernels.argminL2($a, $m, $n);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgminL2Centroid =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   def mix64(c: Column, seed: Long): Column =
     ColumnShim.column(Mix64(ColumnShim.expression(c), seed))
@@ -220,6 +375,13 @@ object VectorFunctions {
     ColumnShim.column(DotProductQ(ColumnShim.expression(a), ColumnShim.expression(b)))
   def quantize_vec(c: Column, scale: Int = 10000): Column =
     ColumnShim.column(QuantizeVec(ColumnShim.expression(c), scale))
+  /** `cents` rows must be sorted ascending by the caller's centroid id. */
+  def argmax_cos_centroid(v: Column, cents: Seq[Seq[Long]]): Column =
+    ColumnShim.column(ArgmaxCosCentroid(ColumnShim.expression(v),
+      ColumnShim.expression(org.apache.spark.sql.functions.typedlit(cents))))
+  def argmin_l2_centroid(v: Column, cents: Seq[Seq[Long]]): Column =
+    ColumnShim.column(ArgminL2Centroid(ColumnShim.expression(v),
+      ColumnShim.expression(org.apache.spark.sql.functions.typedlit(cents))))
 
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
@@ -261,6 +423,10 @@ object VectorFunctions {
       HyperplaneSig(args.head, litInt(args(1), "offset", 0),
         litInt(args(2), "planes", 6))
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_argmax_cos_centroid",
+      args => ArgmaxCosCentroid(args.head, args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_argmin_l2_centroid",
+      args => ArgminL2Centroid(args.head, args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_rolling_hash",
       args => RollingHash64(args.head), "scala_udf")
     // returning the AggregateFunction directly: the analyzer wraps it into

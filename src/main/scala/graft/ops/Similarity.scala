@@ -262,15 +262,14 @@ object Similarity {
       .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
       .toDF("cid", "cv")
       .withColumn("cn", dotQ(col("cv"), col("cv")))
-    // assign every vector to its nearest centroid — argmax as a partial
-    // aggregate (map-side combined: shuffle carries ~n rows, not n×nlist;
-    // ties break toward the higher cid via struct ordering)
-    val assigned = base.join(broadcast(centroids), lit(true))
-      .withColumn("ccos", cosineQ(dotQ(col("qv"), col("cv")), col("nrm"), col("cn")))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("ccos"), col("cid"))).as("best"),
-        first(col("qv")).as("qv"), first(col("nrm")).as("nrm"))
-      .select(col(idCol), col("qv"), col("nrm"), col("best.cid").as("cid"))
+    // assign every vector to its nearest centroid — native argmax kernel:
+    // one output row per vector, NO n×nlist join rows and no groupBy
+    // shuffle (the r6 join+partial-agg form is pinned equal in OpsSpec;
+    // ties break toward the higher cid exactly like max(struct(ccos, cid)))
+    val assigned = base.withColumn("cid",
+        graft.functions.VectorFunctions.argmax_cos_centroid(
+          col("qv"), cvs.map(_.toSeq).toSeq))
+      .select(col(idCol), col("qv"), col("nrm"), col("cid"))
     // queries probe their nprobe nearest centroid lists (query set is tiny)
     val queries = base.filter(queryPred)
       .select(col(idCol).as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
@@ -371,27 +370,48 @@ object Similarity {
     * cluster has cosine ≥ `threshold` with it. Returns the survivors
     * (idCol, cid).
     *
-    * Scale shape: assignment = broadcast(centroids) + map-side argmax
-    * partial-agg (corpus shuffles once, on the id); the within-cluster
-    * self-join shuffles on cid — cluster sizes are corpus/k, so the
-    * quadratic verify is n²/k per cluster, the SemDeDup cost model. At
-    * 100 TB, k grows with the corpus (the paper runs 50k clusters on
-    * LAION) keeping each cluster's pair block executor-sized.
+    * Scale shape: assignment is the native [[graft.functions.ArgmaxCosCentroid]]
+    * kernel — a pure projection emitting n rows (the r6 broadcast-join form
+    * materialized n×k rows before its partial-agg argmax; at the paper's
+    * k = 50k that shape dominates). The k centroid vectors cross the driver
+    * once (bounded, loud — same contract as [[annIvf]]'s training sample);
+    * the within-cluster self-join shuffles on cid — cluster sizes are
+    * corpus/k, so the quadratic verify is n²/k per cluster, the SemDeDup
+    * cost model. At 100 TB, k grows with the corpus (the paper runs 50k
+    * clusters on LAION) keeping each cluster's pair block executor-sized.
     */
   def semDedup(emb: DataFrame, idCol: String, embCol: String,
       centroidPred: Column, threshold: Double,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      maxCentroids: Int = 200000): DataFrame = {
     val base = emb.select(col(idCol), quantize(col(embCol)).as("qv"))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
-    val cents = base.filter(centroidPred)
-      .select(col(idCol).as("cid"), col("qv").as("cv"), col("nrm").as("cn"))
-    val assigned = scope.cached(base.join(broadcast(cents), lit(true))
-      .withColumn("ccos",
-        cosineQ(dotQ(col("qv"), col("cv")), col("nrm"), col("cn")))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("ccos"), col("cid"))).as("best"),
-        first(col("qv")).as("qv"), first(col("nrm")).as("nrm"))
-      .select(col(idCol), col("best.cid").as("cid"), col("qv"), col("nrm")))
+    // centroids to the driver, sorted ascending by cid so the kernel's
+    // tie-toward-higher-index matches max(struct(ccos, cid))'s higher-cid
+    val centRows = base.filter(centroidPred)
+      .select(col(idCol).cast("long").as("cid"), col("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    require(centRows.nonEmpty, "semDedup: centroidPred selected no centroids")
+    require(centRows.length <= maxCentroids,
+      s"semDedup: ${centRows.length} centroids (> $maxCentroids): the " +
+        "centroid matrix rides the task binary — raise maxCentroids only " +
+        "with the task-broadcast cost in mind")
+    semDedupCore(base, idCol, centRows, threshold, scope)
+  }
+
+  /** Shared SemDeDup prune: kernel-assign every vector to its nearest
+    * centroid (ties → higher cid), prune within-cluster cosine near-dups
+    * (smaller id survives), return (idCol, cid) survivors. `centRows` must
+    * be sorted ascending by cid.
+    */
+  private def semDedupCore(base: DataFrame, idCol: String,
+      centRows: Seq[(Long, Seq[Long])], threshold: Double,
+      scope: CacheScope): DataFrame = {
+    val assigned = scope.cached(base
+      .withColumn("cid", element_at(typedlit(centRows.map(_._1).toSeq),
+        graft.functions.VectorFunctions.argmax_cos_centroid(
+          col("qv"), centRows.map(_._2).toSeq) + 1))
+      .select(col(idCol), col("cid"), col("qv"), col("nrm")))
     val a = assigned.select(col("cid"), col(idCol).as("d1"),
       col("qv").as("v1"), col("nrm").as("n1"))
     val b = assigned.select(col("cid"), col(idCol).as("d2"),
@@ -402,6 +422,25 @@ object Similarity {
       .select(col("d2").as(idCol)).distinct()
     assigned.join(pruned, Seq(idCol), "left_anti")
       .select(col(idCol), col("cid"))
+  }
+
+  /** SemDeDup fed by TRAINED centroids — the full pipeline the paper
+    * describes (k-means first, then within-cluster prune), wiring
+    * [[kmeansAssign]]'s distributed Lloyd's loop in as the centroid source.
+    * [[semDedup]] with a fixed centroid set stays the oracle twin (d14,
+    * the d05-gating pattern): every step HERE is also deterministic
+    * (exact-integer floor-mean updates, deterministic init), but the
+    * iterative centroid trajectory is not one SQL expression. Returns
+    * (idCol, cid) survivors with cid = the initial centroid's row id.
+    */
+  def semDedupTrained(emb: DataFrame, idCol: String, embCol: String,
+      initPred: Column, threshold: Double, kmIters: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val base = scope.cached(
+      emb.select(col(idCol).cast("long").as(idCol), quantize(col(embCol)).as("qv"))
+        .withColumn("nrm", dotQ(col("qv"), col("qv"))))
+    val cents = kmeansLoop(base, idCol, initPred, kmIters)
+    semDedupCore(base, idCol, cents, threshold, scope)
   }
 
   /** Fully-distributed Lloyd's k-means in the exact fixed-point space —
@@ -428,30 +467,39 @@ object Similarity {
   def kmeansAssign(emb: DataFrame, idCol: String, embCol: String,
       initPred: Column, iters: Int = 2,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1: $iters")
-    val spark = emb.sparkSession
-    import spark.implicits._
     val base = scope.cached(
       emb.select(col(idCol).cast("long").as(idCol), quantize(col(embCol)).as("qv"))
         .withColumn("nrm", dotQ(col("qv"), col("qv"))))
-    // centroids live on the driver between rounds (k·dims longs — the
-    // MLlib-KMeans pattern; the CORPUS never leaves the cluster)
+    val cents = kmeansLoop(base, idCol, initPred, iters)
+    assignKernel(base, idCol, cents).select(col(idCol), col("cid"))
+  }
+
+  /** Kernel assignment of every `base` row to its nearest centroid —
+    * n output rows, no n×k join rows, no groupBy shuffle. `cents` must be
+    * sorted ascending by cid so the kernel's tie-toward-higher-index
+    * replicates `max(struct(ccos, cid))`'s higher-cid preference.
+    */
+  private def assignKernel(base: DataFrame, idCol: String,
+      cents: Seq[(Long, Seq[Long])]): DataFrame =
+    base.withColumn("cid", element_at(typedlit(cents.map(_._1)),
+        graft.functions.VectorFunctions.argmax_cos_centroid(
+          col("qv"), cents.map(_._2)) + 1))
+      .select(col(idCol), col("cid"), col("qv"))
+
+  /** Distributed Lloyd's iterations (see [[kmeansAssign]] scaladoc): returns
+    * the final centroids after `iters` rounds, sorted ascending by cid.
+    * Centroids live on the driver between rounds (k·dims longs — the
+    * MLlib-KMeans pattern; the CORPUS never leaves the cluster).
+    */
+  private def kmeansLoop(base: DataFrame, idCol: String,
+      initPred: Column, iters: Int): Seq[(Long, Seq[Long])] = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
     var cents: Seq[(Long, Seq[Long])] = base.filter(initPred)
       .select(col(idCol), col("qv")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
-    def assign(): DataFrame =
-      base.join(
-          broadcast(cents.toDF("cid", "cv")
-            .withColumn("cn", dotQ(col("cv"), col("cv")))),
-          lit(true))
-        .withColumn("ccos",
-          cosineQ(dotQ(col("qv"), col("cv")), col("nrm"), col("cn")))
-        .groupBy(col(idCol))
-        .agg(max(struct(col("ccos"), col("cid"))).as("best"),
-          first(col("qv")).as("qv"))
-        .select(col(idCol), col("best.cid").as("cid"), col("qv"))
+    require(cents.nonEmpty, "kmeans: initPred selected no centroids")
     for (_ <- 1 until iters) {
-      val updated = assign()
+      val updated = assignKernel(base, idCol, cents)
         .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
@@ -463,7 +511,7 @@ object Similarity {
       // empty clusters keep their previous centroid
       cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
     }
-    assign().select(col(idCol), col("cid"))
+    cents
   }
 
   /** Nearest-centroid classification over labeled embeddings — the cheap
@@ -482,10 +530,11 @@ object Similarity {
     * higher-order functions in the per-pair path (the d10 lesson).
     *
     * Scale shape: one explode+groupBy builds the (labels × dims) sum table
-    * (partial-agg, map-side combined); centroids re-pack to `labels` rows
-    * and BROADCAST; assignment is a map-side broadcast join (corpus × labels
-    * rows, never shuffled) followed by a partial-agg argmin per vector —
-    * the corpus itself is shuffled once, by the argmin groupBy on the id.
+    * (partial-agg, map-side combined); the `labels` centroid rows cross the
+    * driver once (bounded by the label cardinality); assignment is the
+    * native [[graft.functions.ArgminL2Centroid]] kernel — a pure projection
+    * emitting n rows (the r6 broadcast-join form materialized n×labels rows
+    * before its partial-agg argmin), so the corpus never shuffles at all.
     */
   def nearestCentroid(emb: DataFrame, idCol: String, labelCol: String,
       embCol: String): DataFrame = {
@@ -500,14 +549,16 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cent")))),
         x => x.getField("cent")).as("cv"))
       .select(col(labelCol).as("clabel"), col("cv"))
-      .withColumn("cn", dotQ(col("cv"), col("cv")))
-    q.withColumn("qq", dotQ(col("qv"), col("qv")))
-      .join(broadcast(cents), lit(true))
-      // |q − c|² = q·q − 2·q·c + c·c, all exact longs on the native kernel
-      .withColumn("dist",
-        col("qq") - lit(2L) * dotQ(col("qv"), col("cv")) + col("cn"))
-      .groupBy(col(idCol), col(labelCol))
-      .agg(min(struct(col("dist"), col("clabel"))).as("m"))
-      .select(col(idCol), col(labelCol), col("m.clabel").as("pred"))
+    // label centroids to the driver, ascending by label: the kernel's
+    // tie-toward-lowest-index replicates min(struct(dist, clabel))'s
+    // smaller-label preference
+    val centRows = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    require(centRows.nonEmpty, "nearestCentroid: no labeled rows")
+    // |q − c|² = q·q − 2·q·c + c·c, all exact longs inside the kernel
+    q.withColumn("pred", element_at(typedlit(centRows.map(_._1).toSeq),
+        graft.functions.VectorFunctions.argmin_l2_centroid(
+          col("qv"), centRows.map(_._2).toSeq) + 1))
+      .select(col(idCol), col(labelCol), col("pred"))
   }
 }

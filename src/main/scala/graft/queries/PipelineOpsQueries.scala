@@ -480,6 +480,20 @@ object PipelineOpsQueries {
       FROM cm ORDER BY doc_id"""
     }),
 
+    // SemDeDup with TRAINED centroids — the paper's full pipeline (k-means
+    // then within-cluster prune), d14's fixed-centroid form staying the
+    // oracle twin (d05-gating pattern: same code path, the only delta is
+    // the centroid source, and d14 is hash-green). Rows-only by design:
+    // the 2-round Lloyd trajectory is deterministic but not one SQL
+    // expression. Same init set and threshold as d14/s09 so the three
+    // results triangulate.
+    ("d19_semdedup_trained", (s: SparkSession, dir: String) => {
+      Similarity.semDedupTrained(rd(s, dir, "embeddings"), "vec_id",
+          "embedding", col("vec_id") % 100 === 0, threshold = 0.4,
+          kmIters = 2)
+        .orderBy("vec_id")
+    }, None),
+
     // ------------------------------------------------------------- graphs
     // Iterative graph rank: 3 damped fixed-point PageRank rounds over the
     // co-purchase graph (parts linked when one order contains both — the

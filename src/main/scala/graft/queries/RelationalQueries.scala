@@ -371,6 +371,71 @@ object RelationalQueries {
         UNION ALL SELECT '3_purchase', count(*) FROM s3)
       ORDER BY stage""")),
 
+    // Salted skew join (SURVEY §8 → registry, r6 ask #5): the manual remedy
+    // for a hot key that AQE's skew split can't fix — large side salted by
+    // a deterministic row-hash, small side replicated factor×. Output must
+    // equal the PLAIN inner join exactly, which is precisely what the
+    // oracle pins (the salt is an execution detail, invisible in the
+    // result).
+    ("q48_skew_salted_join", (s: SparkSession, dir: String) => {
+      import graft.operators.SkewJoin
+      val li = rd(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      val supp = rd(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      SkewJoin.saltedInner(li, supp, "l_suppkey", "s_suppkey", factor = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
+        .orderBy("s_nationkey")
+    }, Some(s"""
+      SELECT s_nationkey, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // Bucketed co-located join (SURVEY §8 → registry, r6 ask #5): both
+    // sides written bucketed+sorted on the join key, so the sort-merge join
+    // runs with NO shuffle exchange (ScaleOpsSpec pins the plan shape;
+    // broadcast is disabled here so the bucketed path is actually planned).
+    // The oracle pins the result over the raw parquet — bucketing is
+    // storage layout, invisible in the output.
+    ("q49_bucketed_join", (s: SparkSession, dir: String) => {
+      def bucketize(df: DataFrame, key: String, tbl: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        // the in-memory catalog forgets tables across JVMs but their files
+        // remain — clear the managed location or saveAsTable refuses
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val p = java.nio.file.Paths.get(wh, tbl)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+        df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(tbl)
+      }
+      bucketize(rd(s, dir, "orders")
+        .select("o_custkey", "o_totalprice"), "o_custkey", "q49_orders")
+      bucketize(rd(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment"), "c_custkey", "q49_customer")
+      // MERGE hint (not a session-conf toggle, which a lazy DataFrame would
+      // outlive): forces the sort-merge plan so the bucketed layout — not a
+      // broadcast — is what executes; with both sides bucketed+sorted on
+      // the key it runs exchange-free
+      s.table("q49_orders").hint("merge")
+        .join(s.table("q49_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("c_mktsegment")
+    }, Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n,
+        CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // --------------------------------------------------- grouping analytics
     ("q09_rollup", (s: SparkSession, dir: String) => {
       rd(s, dir, "lineitem")

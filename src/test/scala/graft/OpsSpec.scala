@@ -617,6 +617,103 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) == 1L && got(6L) == 2L && got(10L) == 1L && got(20L) == 2L)
   }
 
+  test("semDedupTrained: 1 k-means iter reduces to fixed-centroid semDedup; 2 iters deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("vec_id") % 50 === 0
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // kmIters=1 → zero Lloyd updates → trained centroids ARE the init
+    // vectors → must equal the d14 fixed-centroid operator exactly
+    val fixed = collectPairs(
+      Similarity.semDedup(emb, "vec_id", "embedding", pred, threshold = 0.4))
+    val trained1 = collectPairs(Similarity.semDedupTrained(
+      emb, "vec_id", "embedding", pred, threshold = 0.4, kmIters = 1))
+    assert(trained1 == fixed)
+    // kmIters=2 is exactly reproducible (integer floor-mean trajectory)
+    val t2a = collectPairs(Similarity.semDedupTrained(
+      emb, "vec_id", "embedding", pred, threshold = 0.4, kmIters = 2))
+    val t2b = collectPairs(Similarity.semDedupTrained(
+      emb, "vec_id", "embedding", pred, threshold = 0.4, kmIters = 2))
+    assert(t2a == t2b)
+    assert(t2a.nonEmpty)
+  }
+
+  test("centroid-assignment kernels match the broadcast-join forms at k=100") {
+    import graft.functions.VectorFunctions.{argmax_cos_centroid, argmin_l2_centroid, dot_q}
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", dot_q(col("qv"), col("qv"))).cache()
+    val centRows = base.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    assert(centRows.length == 100)
+    // historical r6 join + max(struct) argmax form
+    val cents = base.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nrm").as("cn"))
+    val joinForm = base.join(broadcast(cents), lit(true))
+      .withColumn("ccos", Similarity.cosineQ(
+        dot_q(col("qv"), col("cv")), col("nrm"), col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernelForm = base.withColumn("cid",
+        element_at(typedlit(centRows.map(_._1).toSeq),
+          argmax_cos_centroid(col("qv"), centRows.map(_._2).toSeq) + 1))
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernelForm == joinForm)
+    // argmin-L2 vs the r6 min(struct(dist, clabel)) form over the labels
+    val lbase = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val lcents = lbase.groupBy(col("label").as("clabel"))
+      .agg(min(struct(col("vec_id"), col("qv"))).as("m")) // deterministic rep
+      .select(col("clabel"), col("m.qv").as("cv"))
+      .withColumn("cn", dot_q(col("cv"), col("cv")))
+    val lCentRows = lcents.select(col("clabel"), col("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val minJoin = lbase.withColumn("qq", dot_q(col("qv"), col("qv")))
+      .join(broadcast(lcents), lit(true))
+      .withColumn("dist",
+        col("qq") - lit(2L) * dot_q(col("qv"), col("cv")) + col("cn"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("clabel"))).as("m"))
+      .select(col("vec_id"), col("m.clabel").as("pred"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minKernel = lbase.withColumn("pred",
+        element_at(typedlit(lCentRows.map(_._1).toSeq),
+          argmin_l2_centroid(col("qv"), lCentRows.map(_._2).toSeq) + 1))
+      .select(col("vec_id"), col("pred"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(minKernel == minJoin)
+    base.unpersist()
+  }
+
+  test("centroid-assignment kernels: tie and zero-vector edge cases") {
+    import graft.functions.VectorFunctions.{argmax_cos_centroid, argmin_l2_centroid}
+    // centroid 0 = [10000,0], centroid 1 = [20000,0] (same direction):
+    // cosine ties exactly → higher index wins (max(struct(ccos,cid)) rule);
+    // zero vector → all-NaN cosines → still the highest index, like Spark's
+    // NaN-greatest double ordering
+    val m = Seq(Seq(10000L, 0L), Seq(20000L, 0L))
+    val df = Seq((1L, Seq(5000L, 0L)), (2L, Seq(0L, 0L)), (3L, Seq(0L, 7L)))
+      .toDF("id", "qv")
+    val got = df.withColumn("i", argmax_cos_centroid(col("qv"), m))
+      .select("id", "i")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1),
+      s"ties/NaN must pick the highest index: $got")
+    // L2 tie: q=[10000,0] equidistant from [0,0] and [20000,0] → LOWEST
+    // index wins (min(struct(dist,label)) rule)
+    val gotMin = Seq((1L, Seq(10000L, 0L))).toDF("id", "qv")
+      .withColumn("i", argmin_l2_centroid(col("qv"),
+        Seq(Seq(0L, 0L), Seq(20000L, 0L))))
+      .select("i")
+      .collect().map(r => r.getInt(0)).head
+    assert(gotMin == 0)
+  }
+
   test("chunkDocuments: starts/overlap/tail sizes and lossless reconstruction") {
     val toks = (0 until 10).map(i => s"t$i")
     val df = Seq((7L, toks.mkString(" "))).toDF("doc_id", "text")

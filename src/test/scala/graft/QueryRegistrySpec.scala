@@ -7,7 +7,7 @@ package graft
 class QueryRegistrySpec extends SparkSpec {
 
   private val knownRowsOnly = Set("d04_simhash_pairs", "s02_ann_hyperplane",
-    "s04_ann_ivf", "t06_rolling_fingerprint")
+    "s04_ann_ivf", "t06_rolling_fingerprint", "d19_semdedup_trained")
   // queries whose sf0.001 result may legitimately be empty (no near-dup
   // pairs / above-threshold rows in the tiny sample)
   private val mayBeEmpty = Set("d02_jaccard_pairs", "d03_minhash_lsh",

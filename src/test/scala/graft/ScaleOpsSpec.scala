@@ -60,6 +60,19 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q49 registry query: bucketed merge join plans exchange-free") {
+    // run the registry entry (writes the q49_* bucketed tables), then pin
+    // that the hinted merge join over them has no shuffle exchange under it
+    val q49 = SparkEntry.queries("q49_bucketed_join")
+    assert(q49(spark, "/root/testdata/sf0.001").count() > 0)
+    val joined = spark.table("q49_orders").hint("merge")
+      .join(spark.table("q49_customer"), col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SortMergeJoin:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed q49 join must not shuffle:\n$plan")
+  }
+
   test("partitioned write enables partition pruning at the scan") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     GraftTables.read(spark, "/root/testdata/sf0.001", "events")

@@ -32,13 +32,15 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** Run `rounds` damped PageRank iterations over a DIRECTED edge list
-    * (symmetrize before calling for an undirected graph). Nodes are the
-    * distinct `src` values; every node must appear as a src (true for
-    * symmetrized graphs — a node with in-edges only would be dangling and
-    * is out of scope, as in the classic simplified formulation).
+    * (symmetrize before calling for an undirected graph — the g01 pattern,
+    * `e0 UNION ALL reverse(e0)`). Nodes are the distinct endpoints of
+    * `edges`; a node appearing only as a dst is dangling (deg 0): it
+    * accumulates teleport + damped in-mass but distributes nothing, and —
+    * as in the classic simplified formulation — its mass is NOT
+    * redistributed to the rest of the graph.
     *
-    * pr₀ = scale;  prₜ₊₁ = (d_num·scale) div d_den
-    *               + ((100−d_num) · Σ_{(v,u)∈E} (prₜ(v) div deg(v))) div 100
+    * pr₀ = scale;  prₜ₊₁ = ((100−d_num)·scale) div 100
+    *               + (d_num · Σ_{(v,u)∈E} (prₜ(v) div deg(v))) div 100
     * with the damping factor d = d_num/100 (default 85/100 = 0.85).
     *
     * @return (node, deg, pr) with pr in integer `scale` units
@@ -52,8 +54,16 @@ object PageRank {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val p0 = deg.select(col("src").as("node"), col("deg"),
-      lit(scale).as("pr"))
+    // node set = ALL endpoints, so dst-only (dangling) nodes are ranked
+    // too instead of silently dropped; for a symmetrized graph the
+    // endpoint distinct coincides with the src set and adds one
+    // edge-list-sized distinct next to the deg groupBy
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val p0 = nodes
+      .join(deg.select(col("src").as("node"), col("deg")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+        lit(scale).as("pr"))
     val teleport = scale * (100L - dampingPct) / 100L
     (1 to rounds).foldLeft(p0) { (state, _) =>
       val contrib = e.join(state, e("src") === state("node"))

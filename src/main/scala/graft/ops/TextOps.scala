@@ -218,9 +218,14 @@ object TextOps {
     * broadcast variant trades exactness for zero shuffle; kept exact here).
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
-      scale: Long = 1000000L): DataFrame = {
-    val bg = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
-      .select(col(idCol), explode(shingles(col("_toks"), 2)).as("bg"))
+      scale: Long = 1000000L,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // cached: BOTH passes (LM build and scoring) consume the exploded
+    // bigram stream — uncached, the corpus tokenize+explode runs twice
+    // (r6 ADVICE; same discipline as the shingle streams in Dedup)
+    val bg = scope.cached(
+      df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+        .select(col(idCol), explode(shingles(col("_toks"), 2)).as("bg")))
     val lm = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val prefix = lm.groupBy("w1").agg(sum(col("c_bg")).as("c_w1"))

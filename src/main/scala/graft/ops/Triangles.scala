@@ -26,14 +26,23 @@ object Triangles {
 
   /** Per-node triangle participation counts.
     *
-    * @param edges undirected edge list, one row per edge as (u, v) with
-    *              u ≠ v, no duplicates in either direction (canonicalize
-    *              with u < v upstream)
+    * Input is canonicalized internally (self-loops dropped, reversed rows
+    * folded, duplicates collapsed — a wrong count would be SILENT, unlike
+    * PageRank's loud require, so the guard is built in). Already-canonical
+    * input (the common case, e.g. g02's `DISTINCT u < v` edge build) pays
+    * one redundant edge-list distinct, the same shuffle shape as the deg
+    * groupBy next to it.
+    *
+    * @param edges undirected edge list, one row per edge as (u, v)
     * @return (node, n_triangles) for every node in `edges`, zeros included
     */
   def perNode(edges: DataFrame): DataFrame = {
     val e0 = edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
     val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
     val o = e0

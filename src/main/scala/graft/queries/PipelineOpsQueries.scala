@@ -25,6 +25,13 @@ object PipelineOpsQueries {
     */
   private val RecallGate = 0.8
 
+  /** g01 PageRank parameters — one set of vals feeds BOTH the Spark call
+    * and the string-interpolated SQL oracle, so they cannot diverge.
+    */
+  private val G01Rounds = 3
+  private val G01Scale = 1000000L
+  private val G01DampingPct = 85
+
   /** Per-language sampling rates for t08 — fixed-order Vector (not a Map) so
     * the generated oracle CASE arms are deterministic across builds.
     */
@@ -510,15 +517,20 @@ object PipelineOpsQueries {
         .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
       val edges = e0.unionAll(
         e0.select(col("dst").as("src"), col("src").as("dst")))
-      graft.ops.PageRank.run(edges, rounds = 3)
+      graft.ops.PageRank.run(edges, rounds = G01Rounds, scale = G01Scale,
+          dampingPct = G01DampingPct)
         .select(col("node"), col("deg"), col("pr"))
         .orderBy("node")
     }, Some {
-      val prRounds = (1 to 3).map { r =>
+      // SQL constants derived from the SAME G01* vals the Spark call uses
+      // (r6 ADVICE: a literal-constant oracle silently diverges if the
+      // Spark-side arguments ever change)
+      val teleport = G01Scale * (100L - G01DampingPct) / 100L
+      val prRounds = (1 to G01Rounds).map { r =>
         s"""      c$r AS (SELECT e.dst AS node, SUM(p.pr // p.deg) AS s
              FROM edges e JOIN p${r - 1} p ON e.src = p.node GROUP BY e.dst),
       p$r AS (SELECT p.node, p.deg,
-               CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+               CAST($teleport + ($G01DampingPct * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
              FROM p${r - 1} p LEFT JOIN c$r c ON p.node = c.node)"""
       }.mkString(",\n")
       s"""
@@ -528,9 +540,9 @@ object PipelineOpsQueries {
              FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
       edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
       deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
-      p0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS pr FROM deg),
+      p0 AS (SELECT node, deg, CAST($G01Scale AS BIGINT) AS pr FROM deg),
 $prRounds
-      SELECT node, deg, pr FROM p3 ORDER BY node"""
+      SELECT node, deg, pr FROM p${G01Rounds} ORDER BY node"""
     }),
 
     // Per-node triangle counts on the same co-purchase graph — local

@@ -42,6 +42,20 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(got(1L) - 1000000L) <= 5)
   }
 
+  test("dst-only (dangling) nodes are ranked with deg 0, not dropped") {
+    // 1→2→3 directed chain: 3 never appears as a src
+    val g = Seq(1L -> 2L, 2L -> 3L)
+    val got = PageRank.run(g.toDF("src", "dst"), rounds = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(3L)._1 == 0L) // dangling: no out-edges
+    // round 1: pr(3) = 150000 + 85*(1000000/1)/100; round 2 feeds from
+    // pr(2) after round 1 = 150000 + 850000 = 1000000 → same again
+    assert(got(3L)._2 == 150000L + 85L * 1000000L / 100L)
+    // node 1 receives nothing: teleport only
+    assert(got(1L)._2 == 150000L)
+  }
+
   test("pagerank rejects an unbounded round count") {
     val edges = star.toDF("src", "dst")
     intercept[IllegalArgumentException](PageRank.run(edges, rounds = 0))

@@ -29,4 +29,11 @@ class TrianglesSpec extends SparkSpec {
     val star = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L)
     assert(counts(star).values.forall(_ == 0L))
   }
+
+  test("dirty input (dups, reversed rows, self-loops) canonicalizes to the same counts") {
+    val clean = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L)
+    val dirty = Seq(1L -> 2L, 2L -> 1L, 1L -> 3L, 1L -> 3L, 3L -> 2L,
+      2L -> 3L, 3L -> 4L, 4L -> 4L, 2L -> 2L)
+    assert(counts(dirty) == counts(clean))
+  }
 }

@@ -202,7 +202,7 @@ object HttpPooledTransport {
     * use so pool bookkeeping (which counts connections, not sockets) matches
     * the reference's create-outside-the-lock behavior.
     */
-  private final class PooledConnection(host: String, port: Int, config: PoolConfig) {
+  private[agent] final class PooledConnection(host: String, port: Int, config: PoolConfig) {
     private var socket: Socket = _
     private var in: BufferedInputStream = _
     private var out: BufferedOutputStream = _

@@ -19,7 +19,7 @@ import graft.pipeline.ProtectionPipeline
 final class LocalProtectionAgent private (
     ctx: ProtectionContext,
     codecName: String,
-    dataType: DataType) {
+    dataType: DataType) extends ProtectionAgent {
 
   private val codec: CryptoCodec = CryptoCodec(codecName, ctx)
   private val fixedWidth: Option[Int] = ValueSerde.fixedWidth(dataType)

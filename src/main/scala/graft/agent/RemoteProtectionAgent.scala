@@ -51,7 +51,8 @@ import graft.service.JsonEnvelope.{DecryptResponse, EncryptResponse, ProtectRequ
 final class RemoteProtectionAgent(
     transport: ProtectionTransport,
     credentials: Map[String, String] = Map("client_id" -> "graft"),
-    clock: () => Long = () => System.currentTimeMillis() / 1000L) {
+    clock: () => Long = () => System.currentTimeMillis() / 1000L)
+    extends ProtectionAgent {
 
   import RemoteProtectionAgent._
 

@@ -13,6 +13,52 @@ import graft.streaming.StreamOps
   */
 class StreamingSpec extends SparkSpec {
 
+  test("stateful dedup survives a checkpoint restart: no dropped, no duplicated survivors") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-restart").toString
+    val (src, out, chk) = (s"$root/src", s"$root/out", s"$root/chk")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+    def startQuery() = {
+      val stream = spark.readStream.schema(docSchema).parquet(src)
+        // event times minutes apart, all inside the 1 h dedup horizon
+        .withColumn("ts", timestamp_micros(lit(1700000000L * 1000000L) +
+          col("doc_id") * 60L * 1000000L))
+      StreamOps.dedupDocumentStream(stream, "text", "ts", "1 hour")
+        .select("doc_id", "text", "fp")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    }
+    // run 1: a batch with an in-batch duplicate, then KILL the query
+    writeBatch(Seq((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text")))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2 from the SAME checkpoint: a cross-restart duplicate (must be
+    // dropped — proves the dedup state was restored, not rebuilt empty)
+    // and a novel doc (must survive — proves nothing is over-dropped)
+    writeBatch(Seq((10L, "alpha text"), (11L, "gamma text")))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    val byFp = got.groupBy(_._2)
+    assert(byFp.values.forall(_.size == 1),
+      s"a fingerprint was emitted twice across the restart: $got")
+    assert(byFp.size == 3, s"expected alpha/beta/gamma survivors, got $got")
+    // the alpha survivor must be a run-1 copy (1 or 3), never the
+    // post-restart dup 10 — that would mean the state came back empty
+    assert(!got.exists(_._1 == 10L),
+      s"history dup 10 must be dropped by restored state: $got")
+    assert(got.exists(_._1 == 11L), s"novel doc 11 must survive: $got")
+  }
+
   test("streaming protected hourly agg equals batch reference") {
     val tmp = Files.createTempDirectory("graft-stream").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),

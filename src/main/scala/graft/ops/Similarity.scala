@@ -323,22 +323,37 @@ object Similarity {
     *
     * Completeness is probabilistic per pair: a qualifying pair at cosine t
     * collides per bit with p = 1 − acos(t)/π, misses ALL tables with
-    * (1 − p^planes)^tables. The defaults (32×4) target the *demo corpus's*
+    * (1 − p^planes)^tables. The defaults target the *demo corpus's*
     * weak structure — its hardest qualifying pairs sit barely above the
     * 0.45 threshold (p ≈ 0.65, miss ≈ 1e-4 at 48×4); a real near-dup
     * workload at t ≥ 0.9 (p ≈ 0.86) reaches the same completeness with 8–16
-    * tables, and at corpus scale `planes` grows toward log2(n) to keep
-    * buckets bounded. The registry gates this empirically: s07 must
-    * hash-match the exact all-pairs s03 formulation.
+    * tables. The registry gates this empirically: s07 must hash-match the
+    * exact all-pairs s03 formulation.
+    *
+    * `planes <= 0` (the default) = AUTO: max(4, ⌈log₂(n/256)⌉), capped at
+    * 16 — the scaladoc's "planes grows toward log₂(n)" rule made real. The
+    * candidate mass of the cell self-join is Σ_cells m² ≈ tables·n·(n/2^planes),
+    * so FIXED planes turn a 10× corpus into a 100× pair mass: the r7 bench's
+    * 10× row measured a 56 s hot task at planes=4 (200k vectors → 12.5k-row
+    * buckets) that auto-planes collapse. At the gated test SFs (≤ 2k
+    * vectors) auto resolves to exactly the historical 4, so completeness
+    * gates and oracles are unchanged.
     */
   def cosineNearDupBucketed(emb: DataFrame, idCol: String, embCol: String,
-      threshold: Double, tables: Int = 48, planes: Int = 4,
+      threshold: Double, tables: Int = 48, planes: Int = 0,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val vecs = scope.cached(
       emb.select(col(idCol), col(embCol).as("e"))
         .withColumn("qv", quantize(col("e")))
         .withColumn("nrm", dotQ(col("qv"), col("qv"))))
-    val buckets = lshBucketTable(vecs, idCol, "e", tables, planes)
+    val p =
+      if (planes > 0) planes
+      else {
+        val n = vecs.count() // cache-materializing count, reused downstream
+        math.max(4, math.min(16,
+          math.ceil(math.log(math.max(1.0, n / 256.0)) / math.log(2.0)).toInt))
+      }
+    val buckets = lshBucketTable(vecs, idCol, "e", tables, p)
       .select(col(idCol), col("t"), col("b"))
     // pairs sharing any LSH cell, deduped while still narrow (two ids)
     val cands = buckets.select(col(idCol).as("d1"), col("t"), col("b"))

@@ -385,7 +385,10 @@ object Bench {
         if (s2 / a2 < sd / avg) { times = t2; avg = a2; sd = s2 }
         retried = true
       }
-      f""""$name":{"avg_ms":$avg%.1f,"min_ms":${times.min}%.1f,"max_ms":${times.max}%.1f,"stdev_ms":$sd%.1f,"rows_per_s":${rows / (avg / 1000)}%.0f,"load":"$load","retried":$retried}"""
+      // rows_per_s follows the reference protocol (avg); rows_per_s_best is
+      // the best-iteration figure — robust to ambient noise on the fast
+      // scenarios, where a few slow iterations can move the avg 30-50%
+      f""""$name":{"avg_ms":$avg%.1f,"min_ms":${times.min}%.1f,"max_ms":${times.max}%.1f,"stdev_ms":$sd%.1f,"rows_per_s":${rows / (avg / 1000)}%.0f,"rows_per_s_best":${rows / (times.min / 1000)}%.0f,"load":"$load","retried":$retried}"""
     }
 
     val scenarios = for {

@@ -17,6 +17,66 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Repeated-substring span statistics — the token-window form of exact
+    * substring dedup (Lee et al. 2021, arXiv:2107.06499: dedup TRAINING
+    * SPANS, not whole documents; their suffix array finds char-level repeats,
+    * this finds token-window repeats, the Spark-native granularity). A
+    * window of `k` consecutive tokens is "duplicated" when its exact text
+    * occurs more than once in the corpus (anywhere — other docs or the same
+    * doc); per doc the duplicated windows are unioned into maximal SPANS and
+    * reported as exact counts, ready for a span-removal or doc-drop policy.
+    *
+    * Returns one row per input doc: (idCol, n_tokens, dup_windows, n_spans,
+    * covered_tokens, covered_ppm) — covered_ppm = ⌊covered·10⁶/n_tokens⌋,
+    * exact integer.
+    *
+    * Scale shape: ONE groupBy on window text (partial-agg, map-side
+    * combined) + one join back (both shuffle on the window key — at corpus
+    * scale swap the string key for xxhash64(g), kept textual here so the
+    * DuckDB oracle replays byte-for-byte); the interval union is
+    * gaps-and-islands over DUPLICATED windows only (running max(end), one
+    * window-function pass over a stream that is usually a small fraction of
+    * the corpus) — never a per-token explode, never interval arrays on the
+    * driver.
+    */
+  def repeatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"window must span >= 2 tokens: $k")
+    val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+    val wins = scope.cached(toks
+      .select(col(idCol), posexplode(TextOps.shingles(col("_toks"), k))
+        .as(Seq("pos", "g"))))
+    val repeated = wins.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("g")
+    val dup = wins.join(repeated, "g")
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        (col("pos") + k).cast("long").as("e"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val prevMaxEnd = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val perDoc = dup
+      .withColumn("ni",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e2"),
+        count(lit(1)).as("wc"))
+      .groupBy(idCol)
+      .agg(sum(col("e2") - col("s")).as("covered_tokens"),
+        count(lit(1)).as("n_spans"), sum(col("wc")).as("dup_windows"))
+    toks.select(col(idCol), col("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("covered_ppm",
+        expr("(covered_tokens * 1000000) div greatest(n_tokens, 1)"))
+  }
+
   /** Default document-frequency cap for candidate-generation joins. A shingle
     * (or band bucket) shared by m docs emits m² join rows — boilerplate text
     * ("terms and conditions apply") in a web-scale corpus is a single-reducer

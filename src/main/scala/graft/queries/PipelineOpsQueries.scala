@@ -501,6 +501,48 @@ object PipelineOpsQueries {
         .orderBy("vec_id")
     }, None),
 
+    // Exact repeated-substring spans (Lee et al. 2021: dedup training
+    // SPANS, not just whole documents) — token 8-gram windows whose text
+    // repeats anywhere in the corpus, unioned per doc into maximal spans
+    // via gaps-and-islands. All counts exact integers; the span-union
+    // window arithmetic replays in SQL verbatim.
+    ("d20_repeated_spans", (s: SparkSession, dir: String) => {
+      Dedup.repeatedSpanStats(rd(s, dir, "documents"), "doc_id", "text",
+          k = 8)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                    FROM documents),
+      base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+      w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+              array_to_string(t[i:i+7], ' ') AS g
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+      rep AS (SELECT g FROM w GROUP BY g HAVING count(*) > 1),
+      d AS (SELECT w.doc_id, w.pos, w.pos + 8 AS e FROM w JOIN rep USING (g)),
+      isl AS (SELECT doc_id, pos, e,
+              CASE WHEN pos > COALESCE(max(e) OVER (PARTITION BY doc_id
+                     ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+              FROM d),
+      isl2 AS (SELECT doc_id, pos, e,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+               FROM isl),
+      sp AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e2,
+               count(*) AS wc
+             FROM isl2 GROUP BY doc_id, island),
+      per AS (SELECT doc_id, CAST(sum(e2 - s) AS BIGINT) AS covered_tokens,
+                CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(wc) AS BIGINT) AS dup_windows
+              FROM sp GROUP BY doc_id)
+      SELECT b.doc_id, b.n_tokens,
+        COALESCE(p.dup_windows, 0) AS dup_windows,
+        COALESCE(p.n_spans, 0) AS n_spans,
+        COALESCE(p.covered_tokens, 0) AS covered_tokens,
+        COALESCE(p.covered_tokens, 0) * 1000000 // greatest(b.n_tokens, 1)
+          AS covered_ppm
+      FROM base b LEFT JOIN per p USING (doc_id) ORDER BY b.doc_id""")),
+
     // ------------------------------------------------------------- graphs
     // Iterative graph rank: 3 damped fixed-point PageRank rounds over the
     // co-purchase graph (parts linked when one order contains both — the

@@ -617,6 +617,26 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) == 1L && got(6L) == 2L && got(10L) == 1L && got(20L) == 2L)
   }
 
+  test("repeatedSpanStats: window repeats union into maximal spans; short docs zero") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),      // w0 shared with doc 2 → span [0,8)
+      (2L, "a b c d e f g h x y"),      // w0 shared with doc 1
+      (3L, "q w e r t"),                // < 8 tokens → no windows
+      (4L, "m n o p q r s t u v w x"),  // w0..w2 shared with doc 5 → [0,10)
+      (5L, "m n o p q r s t u v"))      // all its windows live in doc 4
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.repeatedSpanStats(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got(0) == ((1L, 10L, 1L, 1L, 8L, 800000L)))
+    assert(got(1) == ((2L, 10L, 1L, 1L, 8L, 800000L)))
+    assert(got(2) == ((3L, 5L, 0L, 0L, 0L, 0L)))
+    // doc 4: dup windows at pos 0,1,2 merge into ONE span [0,10) of 12 tokens
+    assert(got(3) == ((4L, 12L, 3L, 1L, 10L, 833333L)))
+    assert(got(4) == ((5L, 10L, 3L, 1L, 10L, 1000000L)))
+  }
+
   test("semDedupTrained: 1 k-means iter reduces to fixed-centroid semDedup; 2 iters deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pred = col("vec_id") % 50 === 0
@@ -688,6 +708,52 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(minKernel == minJoin)
     base.unpersist()
+  }
+
+  test("centroid-assignment kernel fuzz: random vectors + duplicate centroids match the struct-agg forms") {
+    import graft.functions.VectorFunctions.{argmax_cos_centroid, argmin_l2_centroid, dot_q}
+    val rnd = new scala.util.Random(20260813L)
+    // small value range forces frequent exact ties; duplicated centroid rows
+    // force ties at EVERY scale. Zero vectors are EXCLUDED here because the
+    // r6 join form is undefined on them under ANSI (0/0 double division
+    // throws DIVIDE_BY_ZERO — this fuzz found that); the kernel's
+    // zero-vector semantics (NaN-greatest → highest index) are pinned by
+    // the edge-case test below instead.
+    val dims = 4
+    def vec(): Seq[Long] = {
+      val v = Seq.fill(dims)((rnd.nextInt(5) - 2).toLong * 10000L)
+      if (v.forall(_ == 0L)) Seq.fill(dims - 1)(0L) :+ 10000L else v
+    }
+    val centsBase = Seq.fill(6)(vec())
+    val cents = (centsBase ++ centsBase).sortBy(_.mkString(",")) // dup rows
+    val rows = (0 until 300).map(i => (i.toLong, vec()))
+    val df = rows.toDF("id", "qv").cache()
+    val centDf = cents.zipWithIndex
+      .map { case (cv, i) => (i, cv) }.toDF("cid", "cv")
+      .withColumn("cn", dot_q(col("cv"), col("cv")))
+    val joinMax = df.withColumn("nrm", dot_q(col("qv"), col("qv")))
+      .join(broadcast(centDf), lit(true))
+      .withColumn("ccos", graft.ops.Similarity.cosineQ(
+        dot_q(col("qv"), col("cv")), col("nrm"), col("cn")))
+      .groupBy("id").agg(max(struct(col("ccos"), col("cid"))).as("b"))
+      .select(col("id"), col("b.cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kernelMax = df.withColumn("i", argmax_cos_centroid(col("qv"), cents))
+      .select("id", "i")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kernelMax == joinMax)
+    val joinMin = df.withColumn("qq", dot_q(col("qv"), col("qv")))
+      .join(broadcast(centDf), lit(true))
+      .withColumn("dist",
+        col("qq") - lit(2L) * dot_q(col("qv"), col("cv")) + col("cn"))
+      .groupBy("id").agg(min(struct(col("dist"), col("cid"))).as("b"))
+      .select(col("id"), col("b.cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kernelMin = df.withColumn("i", argmin_l2_centroid(col("qv"), cents))
+      .select("id", "i")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kernelMin == joinMin)
+    df.unpersist()
   }
 
   test("centroid-assignment kernels: tie and zero-vector edge cases") {

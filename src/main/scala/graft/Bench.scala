@@ -104,8 +104,10 @@ object Bench {
   /** One query measurement: warmup + iters wall times plus telemetry. */
   private final case class QueryStat(
       med: Double, min: Double, max: Double, load: String, gcSec: Double,
-      taskSec: Double, maxTaskMs: Long, retried: Boolean,
-      isolated: Double = -1.0) {
+      taskSec: Double, taskGcSec: Double, maxTaskMs: Long, retried: Boolean,
+      errors: Int = 0, isolated: Double = -1.0) {
+    /** All timed iterations threw: there is no legitimate time to publish. */
+    def failed: Boolean = med < 0
     /** Published value: the in-sweep median unless an isolated re-run
       * measured lower (then the sweep number was contamination, not cost).
       */
@@ -141,14 +143,24 @@ object Bench {
     val load = loadavgStr()
     val gc0 = gcMs()
     listener.reset()
-    val times = (0 until QueryWarmup + QueryIters).map { _ =>
+    // A failed run is recorded as an ERROR, never as a time: timing the
+    // exception path published a near-zero "median" for a query that never
+    // ran (ADVICE r7) — with telemetry attached, a convincing-looking lie.
+    var errors = 0
+    val times = (0 until QueryWarmup + QueryIters).flatMap { i =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
-    }.drop(QueryWarmup).sorted
-    QueryStat(times(times.size / 2), times.head, times.last, load,
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => errors += 1; false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (ok && i >= QueryWarmup) Some(sec) else None
+    }.sorted
+    val (med, mn, mx) =
+      if (times.nonEmpty) (times(times.size / 2), times.head, times.last)
+      else (-1.0, -1.0, -1.0)
+    QueryStat(med, mn, mx, load,
       (gcMs() - gc0) / 1e3, listener.taskMs.get() / 1e3,
-      listener.maxTaskMs.get(), retried = false)
+      listener.taskGcMs.get() / 1e3, listener.maxTaskMs.get(),
+      retried = false, errors = errors)
   }
 
   def main(args: Array[String]): Unit = {
@@ -187,11 +199,13 @@ object Bench {
       section.foreach { name =>
         var s = measure(spark, listener, fns(name), sfDir)
         // inconsistent iterations (median ≫ best) = a load spike mid-query:
-        // re-run once behind the quiet gate and keep the better set
-        if (s.med > 3 * s.min && s.med - s.min > 0.5) {
+        // re-run once behind the quiet gate and keep the better set. A run
+        // with errors also retries once — transient vs genuine failure.
+        if ((s.med > 3 * s.min && s.med - s.min > 0.5) || s.errors > 0) {
           waitForQuiet(2.5, 90)
           val r = measure(spark, listener, fns(name), sfDir)
-          s = (if (r.med < s.med) r else s).copy(retried = true)
+          s = (if (s.failed || (!r.failed && r.med < s.med)) r else s)
+            .copy(retried = true)
         }
         stats(name) = s
       }
@@ -200,13 +214,20 @@ object Bench {
     // ---- isolated re-runs for still-suspicious medians (r6 ask #1 "done"
     // bar: published medians must reconcile with isolated runs). Suspicion =
     // the median is both large and far above the query's own best OR its
-    // iterations burned way more wall than task time could explain.
+    // iterations burned way more wall than GC-corrected task time could
+    // explain OR the section carried heavy GC while this query ran. The GC
+    // correction matters (VERDICT r7 #2): GC time inflates task time too, so
+    // a GC-poisoned query inflated its own perRunIdeal and escaped the
+    // re-run (d07: med 11.8 s in-sweep, 3.9 s isolated, gc_s 47.6).
     val suspicious = stats.filter { case (_, s) =>
+      val runs = QueryWarmup + QueryIters
       // taskSec spans all warmup+iter runs; per-run ideal wall = share/cpus.
-      // A median far above both its own best AND the compute the tasks did
-      // means the wall went somewhere else (external load, GC, scheduling).
-      val perRunIdeal = s.taskSec / (QueryWarmup + QueryIters) / cpus.toInt
-      s.med > 3.0 && (s.med > 3 * s.min || s.med > 4 * perRunIdeal + 1.0)
+      val computeSec = math.max(0.0, s.taskSec - s.taskGcSec)
+      val perRunIdeal = computeSec / runs / cpus.toInt
+      val gcPerRun = s.gcSec / runs
+      !s.failed && s.med > 3.0 &&
+        (s.med > 3 * s.min || s.med > 4 * perRunIdeal + 1.0 ||
+          gcPerRun > 0.2 * s.med)
     }.keys.toVector.sortBy(n => -stats(n).med).take(8)
     suspicious.foreach { name =>
       spark.stop()
@@ -219,26 +240,51 @@ object Bench {
     }
 
     // ---- 10× scale rows (r6 ask #3): synthesize once, run the headline
-    // pipeline ops with max-task telemetry in a fresh session
+    // pipeline ops with max-task telemetry in a fresh session. The section
+    // now runs behind the same quiet gate + retry discipline as the sweep
+    // (VERDICT r7 #3: the r7 rows ran under loadavg 13-17 and published
+    // 3× their true cost).
     spark.stop()
     System.gc()
     val fresh10 = freshSession(cpus)
     spark = fresh10._1; listener = fresh10._2
-    val scale10x = scale10xRows(spark, listener, sfDir)
+    val (scale10x, scale10xSecs) = scale10xRows(spark, listener, sfDir)
 
-    val results = stats.map { case (k, s) => k -> s.value }
+    // ---- 100× scale rows (VERDICT r7 #5): the headline five on a 100×
+    // corpus — one gated, fully-instrumented run each (the two-decade
+    // scaling curve). Skippable via SPARK_GRAFT_SCALE100X=0.
+    val run100x = !sys.env.get("SPARK_GRAFT_SCALE100X").contains("0")
+    val (scale100x, scale100xSecs) =
+      if (run100x) {
+        spark.stop()
+        System.gc()
+        val fresh100 = freshSession(cpus)
+        spark = fresh100._1; listener = fresh100._2
+        scale100xRows(spark, listener, sfDir)
+      } else ("{}", Seq.empty[(String, Double)])
+
+    // ---- 8 GB-heap smoke (VERDICT r7 #8): a big heap MASKS the
+    // ContextCleaner-debt class of bug (it can run a whole sweep without a
+    // major GC), so one forked child JVM re-measures d07 at -Xmx8g — the
+    // BenchProbe configuration that reproduced the r6 56× inflation.
+    val heap8g = heapSmoke(sfDir, cpus)
+
+    val errorNames = stats.collect { case (k, s) if s.failed => k }.toVector
+    val results = stats.collect { case (k, s) if !s.failed => k -> s.value }
     val loadEnd = loadavgStr()
     val sweepSec = (System.currentTimeMillis() - t0Sweep) / 1000
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val spread = stats.map { case (k, s) =>
       val iso = if (s.isolated >= 0) f""","isolated":${s.isolated}%.3f""" else ""
-      f""""$k":{"med":${s.med}%.3f,"min":${s.min}%.3f,"max":${s.max}%.3f,"load":"${s.load}","gc_s":${s.gcSec}%.2f,"task_s":${s.taskSec}%.1f,"max_task_ms":${s.maxTaskMs},"retried":${s.retried}$iso}"""
+      val err = if (s.errors > 0) s""","errors":${s.errors}""" else ""
+      f""""$k":{"med":${s.med}%.3f,"min":${s.min}%.3f,"max":${s.max}%.3f,"load":"${s.load}","gc_s":${s.gcSec}%.2f,"task_s":${s.taskSec}%.1f,"task_gc_s":${s.taskGcSec}%.1f,"max_task_ms":${s.maxTaskMs},"retried":${s.retried}$err$iso}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errJson = errorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
     val fullJson =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_spread":$spread,"crypto":$crypto,"page":$page,"scale10x":$scale10x,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","heap_gb":$heapGb%.1f,"sweep_wall_s":$sweepSec}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"queries":$qs,"query_spread":$spread,"crypto":$crypto,"page":$page,"scale10x":$scale10x,"scale100x":$scale100x,"heap8g":$heap8g,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","heap_gb":$heapGb%.1f,"sweep_wall_s":$sweepSec}"""
     // The driver captures only the LAST ~2 KB of stdout, so the full ~4 KB
     // line never parsed (BENCH_r1..r3 all "parsed": null). Persist the full
     // JSON to a file and print a compact (<2 KB) summary as the final line.
@@ -253,7 +299,8 @@ object Bench {
     // crypto one-liner: rows/s for the four headline scenarios + round trips
     val cryptoKeys = Seq("int64_xor_per_value", "string_xor_per_value",
       "int64_aes_det_per_value", "string_aes_det_per_value",
-      "roundtrip_string_xor", "roundtrip_string_aes_det")
+      "roundtrip_string_xor", "roundtrip_string_aes_det",
+      "jvm_string_xor_per_value", "jvm_string_aes_det_per_value")
     val rps = """"([a-z0-9_]+)":\{[^}]*"rows_per_s":(\d+)""".r
     val found = rps.findAllMatchIn(crypto).map(m => m.group(1) -> m.group(2)).toMap
     val cryptoSummary = cryptoKeys.flatMap(k => found.get(k).map(v => "\"" + k + "\":" + v))
@@ -263,11 +310,18 @@ object Bench {
     val pageSummary = Seq("v1_plain_uncompressed", "v1_plain_snappy")
       .flatMap(k => pageFound.get(k).map(v => "\"" + k + "\":" + v))
       .mkString("{", ",", "}")
-    val sc = """"([a-z0-9_]+)":\{"sec":([0-9.]+)""".r
-    val scaleSummary = sc.findAllMatchIn(scale10x)
-      .map(m => "\"" + m.group(1) + "\":" + m.group(2)).mkString("{", ",", "}")
+    // Scale summaries come straight from the measured (key, sec) pairs — the
+    // r7 regex silently dropped every row because the rows led with "form",
+    // so BENCH_r07 published "scale10x_sec":{} (ADVICE r7). No regex to rot.
+    def secSummary(secs: Seq[(String, Double)]): String =
+      secs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+    val scaleSummary = secSummary(scale10xSecs)
+    val scale100Summary = secSummary(scale100xSecs)
+    if (scale10x.contains("\"sec\"") && scale10xSecs.isEmpty)
+      Console.err.println("BUG: scale10x rows present but summary empty")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"section_totals_sec":$bySection,"crypto_rows_per_s":$cryptoSummary,"page_encrypt_values_per_s":$pageSummary,"scale10x_sec":$scaleSummary,"loadavg":"$loadEnd","sf":"$sfDir","full":"$fullPath"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson,"queries":$slowest,"section_totals_sec":$bySection,"crypto_rows_per_s":$cryptoSummary,"page_encrypt_values_per_s":$pageSummary,"scale10x_sec":$scaleSummary,"scale100x_sec":$scale100Summary,"loadavg":"$loadEnd","sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 
@@ -277,59 +331,154 @@ object Bench {
     * signal for a hot partition (a 10× corpus must not produce a 10× max
     * task).
     */
+  private final case class ScaleRun(sec: Double, n: Long, maxTask: Long,
+      maxIn: Long, maxShuf: Long, load: String, gcS: Double, taskS: Double,
+      taskGcS: Double)
+
+  private def measureScaleRun(spark: SparkSession,
+      listener: TaskStatsListener, fn: (SparkSession, String) => DataFrame,
+      dir: String): ScaleRun = {
+    spark.catalog.clearCache()
+    System.gc() // same pre-collect discipline as the sweep's measure()
+    Thread.sleep(200)
+    val load = loadavgStr()
+    val gc0 = gcMs()
+    listener.reset()
+    val t0 = System.nanoTime()
+    val n = fn(spark, dir).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    ScaleRun(sec, n, listener.maxTaskMs.get(), listener.maxInput.get(),
+      listener.maxShuffleRead.get(), load, (gcMs() - gc0) / 1e3,
+      listener.taskMs.get() / 1e3, listener.taskGcMs.get() / 1e3)
+  }
+
+  /** One scale row with the sweep's discipline (VERDICT r7 #3 — the r7 10×
+    * rows had no quiet gate and no retry, and published runs that disagreed
+    * 4.4×): two gated runs; while the best two disagree > 1.5× OR the best
+    * run's max task exceeds 5 s, re-run behind the quiet gate (≤ 2 extra).
+    * Publishes the best run; every wall time lands in `runs_s`.
+    */
+  private def scaleRow(spark: SparkSession, listener: TaskStatsListener,
+      key: String, name: String, fn: (SparkSession, String) => DataFrame,
+      dir: String, measuredRuns: Int = 2): (String, (String, Double)) = {
+    try { fn(spark, dir).count() } catch { case _: Throwable => } // warm
+    val runs = scala.collection.mutable.ArrayBuffer.empty[ScaleRun]
+    (0 until measuredRuns).foreach(_ =>
+      runs += measureScaleRun(spark, listener, fn, dir))
+    var extra = 0
+    def inconsistent: Boolean = {
+      val s = runs.map(_.sec).sorted
+      (s.size >= 2 && s(1) > 1.5 * s(0) && s(1) - s(0) > 0.5) ||
+        runs.minBy(_.sec).maxTask > 5000
+    }
+    while (extra < 2 && inconsistent) {
+      waitForQuiet(2.0, 120)
+      runs += measureScaleRun(spark, listener, fn, dir)
+      extra += 1
+    }
+    val r = runs.minBy(_.sec)
+    val allRuns = runs.map(x => f"${x.sec}%.3f").mkString("[", ",", "]")
+    val json =
+      f""""$key":{"sec":${r.sec}%.3f,"form":"$name","runs_s":$allRuns,"retries":$extra,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f}"""
+    (json, key -> r.sec)
+  }
+
+  private def scaleErr(e: Throwable): String =
+    s"""{"error":"${e.getClass.getSimpleName}: ${Option(e.getMessage)
+      .getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ").take(120)}"}"""
+
+  // s07's REGISTRY form runs the demo corpus's weak 0.45 threshold, where
+  // LSH completeness forces coarse buckets and the candidate mass is
+  // quadratic-adjacent at ANY corpus size (Σm² ≈ tables·n·bucket — ~1e9
+  // candidate rows at 200k vectors; no parameter point fixes a weak
+  // threshold). The scale rows therefore run the operator at the
+  // PRODUCTION near-dup operating point its scaladoc documents
+  // (threshold 0.9, p ≈ 0.86: 16 tables reach ~1e-7 miss on the planted
+  // dups); params ride in the row's `form`.
+  private def s07Production(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.cosineNearDupBucketed(
+      s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      threshold = 0.9, tables = 16, planes = 10)
+
   private def scale10xRows(spark: SparkSession, listener: TaskStatsListener,
-      sfDir: String): String = {
+      sfDir: String): (String, Seq[(String, Double)]) = {
     val workDir = sys.env.getOrElse("SPARK_GRAFT_10X_DIR", "/tmp/graft_scale10x")
-    // s07's REGISTRY form runs the demo corpus's weak 0.45 threshold, where
-    // LSH completeness forces coarse buckets and the candidate mass is
-    // quadratic-adjacent at ANY corpus size (Σm² ≈ tables·n·bucket — ~1e9
-    // candidate rows at 200k vectors; no parameter point fixes a weak
-    // threshold). The 10× row therefore runs the operator at the
-    // PRODUCTION near-dup operating point its scaladoc documents
-    // (threshold 0.9, p ≈ 0.86: 16 tables reach ~1e-7 miss on the planted
-    // dups) with corpus-driven auto-planes; params ride in the row.
     val targets: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d03_minhash_lsh" -> SparkEntry.queries("d03_minhash_lsh"),
       "d13_incremental_neardup" -> SparkEntry.queries("d13_incremental_neardup"),
-      "s07_cosine_neardup_lsh@t0.9x16p10" -> ((s: SparkSession, dir: String) =>
-        graft.ops.Similarity.cosineNearDupBucketed(
-          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
-          threshold = 0.9, tables = 16, planes = 10)),
+      "s07_cosine_neardup_lsh@t0.9x16p10" -> (s07Production _),
       "d10_decontamination_hashset" -> SparkEntry.queries("d10_decontamination_hashset"))
     try {
-      ScalingRehearsal.synthesize10x(spark, sfDir, workDir)
-      ScalingRehearsal.synthesize10xEmbeddings(spark, sfDir, workDir)
-      val rows = targets.map { case (name, fn) =>
-        try { fn(spark, workDir).count() } catch { case _: Throwable => } // warm
-        // two measured runs, publish the better: a one-off spike (the first
-        // r7 smoke caught a 13× transient on exactly this phase) must not
-        // become the published scale number; both walls are recorded
-        case class Run(sec: Double, n: Long, maxTask: Long, maxIn: Long,
-          maxShuf: Long, load: String, gcS: Double, taskS: Double,
-          taskGcS: Double)
-        val runs = (0 until 2).map { _ =>
-          spark.catalog.clearCache()
-          System.gc() // same pre-collect discipline as the sweep's measure()
-          Thread.sleep(200)
-          val load = loadavgStr()
-          val gc0 = gcMs()
-          listener.reset()
-          val t0 = System.nanoTime()
-          val n = fn(spark, workDir).count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          Run(sec, n, listener.maxTaskMs.get(), listener.maxInput.get(),
-            listener.maxShuffleRead.get(), load, (gcMs() - gc0) / 1e3,
-            listener.taskMs.get() / 1e3, listener.taskGcMs.get() / 1e3)
-        }
-        val r = runs.minBy(_.sec)
-        val other = runs.maxBy(_.sec).sec
-        f""""${name.take(3)}_10x":{"form":"$name","sec":${r.sec}%.3f,"sec_other_run":$other%.3f,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"threads":${Thread.activeCount()}}"""
+      ScalingRehearsal.synthesizeScaled(spark, sfDir, workDir, 10)
+      ScalingRehearsal.synthesizeScaledEmbeddings(spark, sfDir, workDir, 10)
+      waitForQuiet(2.5, 240) // synth is our own load; let the 1-min avg decay
+      val out = targets.map { case (name, fn) =>
+        scaleRow(spark, listener, name.take(3) + "_10x", name, fn, workDir)
       }
-      rows.mkString("{", ",", "}")
-    } catch {
-      case e: Throwable =>
-        s"""{"error":"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ").take(120)}"}"""
-    }
+      (out.map(_._1).mkString("{", ",", "}"), out.map(_._2))
+    } catch { case e: Throwable => (scaleErr(e), Seq.empty) }
+  }
+
+  /** The headline five on a 100× corpus (VERDICT r7 #5): with the 10× rows,
+    * a measured two-decade scaling curve. One gated+retried row each (the
+    * corpus is ~0.5 M docs / 0.2 M vectors — big enough that a second
+    * unconditional run would double a multi-minute section for little
+    * information; the retry logic still re-runs on disagreement/hot-task).
+    */
+  private def scale100xRows(spark: SparkSession, listener: TaskStatsListener,
+      sfDir: String): (String, Seq[(String, Double)]) = {
+    val workDir =
+      sys.env.getOrElse("SPARK_GRAFT_100X_DIR", "/tmp/graft_scale100x")
+    val targets: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "d03_minhash_lsh" -> SparkEntry.queries("d03_minhash_lsh"),
+      "d13_incremental_neardup" -> SparkEntry.queries("d13_incremental_neardup"),
+      "s07_cosine_neardup_lsh@t0.9x16p10" -> (s07Production _),
+      "d10_decontamination_hashset" -> SparkEntry.queries("d10_decontamination_hashset"),
+      "d07_curation_pipeline" -> SparkEntry.queries("d07_curation_pipeline"))
+    try {
+      ScalingRehearsal.synthesizeScaled(spark, sfDir, workDir, 100)
+      ScalingRehearsal.synthesizeScaledEmbeddings(spark, sfDir, workDir, 100)
+      waitForQuiet(2.5, 240)
+      val out = targets.map { case (name, fn) =>
+        scaleRow(spark, listener, name.take(3) + "_100x", name, fn, workDir,
+          measuredRuns = 1)
+      }
+      (out.map(_._1).mkString("{", ",", "}"), out.map(_._2))
+    } catch { case e: Throwable => (scaleErr(e), Seq.empty) }
+  }
+
+  /** Fork a child JVM at -Xmx8g and re-measure d07 there (VERDICT r7 #8).
+    * The sweep's ~96 GB heap can absorb a whole run's ContextCleaner debt
+    * without a single major GC — precisely the condition that hid the r6
+    * 56× inflation — so this row is the regression guard for that class:
+    * it must stay within ~2× of the big-heap d07 row.
+    */
+  private def heapSmoke(sfDir: String, cpus: String): String = {
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = (Seq(javaBin, "-Xmx8g", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC") ++ addOpens ++
+        Seq("-cp", cp, "graft.HeapSmoke", sfDir, cpus,
+          "d07_curation_pipeline")).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { p.destroyForcibly(); """{"error":"timeout"}""" }
+      else out.linesIterator.toSeq.reverse.find(_.startsWith("{"))
+        .getOrElse(s"""{"error":"no json (exit ${p.exitValue()})"}""")
+    } catch { case e: Throwable => scaleErr(e) }
   }
 
   private def stdev(xs: Seq[Double], mean: Double): Double =
@@ -412,8 +561,52 @@ object Bench {
             .as("back"))
           .agg(sum(length(col("back")))).collect(): Unit)
     }
+    // ---- engine-only rows (VERDICT r6/r7: "is per-value XOR 2× AES?"):
+    // the Spark rows above measure scan + agg + crypto, and the cached
+    // sf0.1 batch is only ~3 partitions, so the ~230 ns/row harness floor
+    // dominates the ~29 ns/row XOR kernel and the ratio collapses toward
+    // 1× under ambient load. The reference's own harness
+    // (src/scripts/performance_test.cpp) is a single-threaded driver loop
+    // over a values file with NO query engine around it — so these JVM
+    // rows are the faithful protocol analog, and they are where the
+    // physics bar lives: measured ~35 M rows/s XOR vs ~3.1 M AES (11×).
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val jvmStrs = li.select("v_string").collect()
+      .map(r => org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
+    val jvmLongs = li.select("v_int64").collect().map(_.getLong(0))
+    def jvmCryptor(dt: org.apache.spark.sql.types.DataType, codec: String) =
+      graft.core.CellCryptor(dt, graft.core.ProtectionContext("bench-key", "v"),
+        codec, perValue = true)
+    var jvmSink = 0L
+    def jvmScenario(name: String, body: () => Unit): String = {
+      val load = loadavgStr()
+      val (times, avg, sd) = measureScenario(body)
+      f""""$name":{"avg_ms":$avg%.1f,"min_ms":${times.min}%.1f,"max_ms":${times.max}%.1f,"stdev_ms":$sd%.1f,"rows_per_s":${rows / (avg / 1000)}%.0f,"rows_per_s_best":${rows / (times.min / 1000)}%.0f,"load":"$load"}"""
+    }
+    val jvmRows = Seq(CryptoCodec.Xor, CryptoCodec.AesDet).flatMap { codec =>
+      val cs = jvmCryptor(StringType, codec)
+      val cl = jvmCryptor(LongType, codec)
+      Seq(
+        jvmScenario(s"jvm_string_${codec}_per_value", { () =>
+          var i = 0
+          while (i < jvmStrs.length) { jvmSink += cs.encryptCell(jvmStrs(i)).length; i += 1 }
+        }),
+        jvmScenario(s"jvm_int64_${codec}_per_value", { () =>
+          var i = 0
+          while (i < jvmLongs.length) { jvmSink += cl.encryptCell(jvmLongs(i)).length; i += 1 }
+        }),
+        jvmScenario(s"jvm_roundtrip_string_$codec", { () =>
+          var i = 0
+          while (i < jvmStrs.length) {
+            jvmSink += cs.decryptCell(cs.encryptCell(jvmStrs(i)))
+              .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].numBytes
+            i += 1
+          }
+        }))
+    }
+    if (jvmSink == Long.MinValue) Console.err.println("sink") // defeat DCE
     li.unpersist()
-    (scenarios ++ roundTrips)
+    (scenarios ++ roundTrips ++ jvmRows)
       .mkString(s"""{"rows":$rows,"loadavg_grid_start":"$gridLoadavg",""", ",", "}")
   }
 

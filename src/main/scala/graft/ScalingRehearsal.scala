@@ -45,18 +45,40 @@ object ScalingRehearsal {
     def reset(): Unit = { maxInput.set(0); maxShuffleRead.set(0); maxTaskMs.set(0) }
   }
 
-  def synthesize10x(spark: SparkSession, sfDir: String, outDir: String): Long = {
+  def synthesize10x(spark: SparkSession, sfDir: String, outDir: String): Long =
+    synthesizeScaled(spark, sfDir, outDir, 10)
+
+  /** Factor-N documents corpus (N a multiple of 10). Copies group into
+    * shards of 10: within a shard the perturbation scheme is exactly the
+    * classic 10× one (copy 0 intact, 1-4 one-token edits, 5-9 reversed);
+    * shards beyond the first suffix EVERY token with `#<shard>`, making
+    * their shingle space disjoint from every other shard. A 100× corpus is
+    * therefore corpus GROWTH at constant near-dup density — 10 disjoint
+    * replicas of the 10× cluster structure — not density growth (without
+    * the shard split, 100 copies of each doc would form ~50-member
+    * clusters and the pair output would grow quadratically, a different
+    * and unrepresentative workload).
+    */
+  def synthesizeScaled(spark: SparkSession, sfDir: String, outDir: String,
+      factor: Int): Long = {
+    require(factor >= 10 && factor % 10 == 0,
+      s"factor must be a positive multiple of 10, got $factor")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // id offset > max(doc_id), not a fixed constant: a corpus with ids ≥ the
     // constant would collide copies and silently corrupt the planted
     // cluster structure the correctness eyeball relies on
     val idOffset = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
-    val toks = split(col("text"), "\\s+")
+    val base = col("copy") % 10
+    val shard = floor(col("copy") / 10).cast("long")
+    val rawToks = split(col("text"), "\\s+")
+    val toks = when(shard === 0, rawToks)
+      .otherwise(transform(rawToks, t => concat(t, lit("#"), shard)))
     val perturbed = docs
-      .crossJoin(spark.range(10).toDF("copy"))
+      .crossJoin(spark.range(factor).toDF("copy"))
       .withColumn("text",
         when(col("copy") === 0, col("text"))
-          .when(col("copy") <= 4,
+          .when(base === 0, concat_ws(" ", toks))
+          .when(base <= 4,
             concat_ws(" ",
               concat(lit("p"), col("copy"), lit("_"), col("doc_id")),
               concat_ws(" ", slice(toks, 2, 1000000))))
@@ -67,7 +89,7 @@ object ScalingRehearsal {
       .withColumn("doc_id", col("doc_id") + col("copy") * idOffset)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
-    perturbed.repartition(32).write.mode("overwrite")
+    perturbed.repartition(32 * (factor / 10)).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
     spark.read.parquet(s"$outDir/documents.parquet").count()
   }
@@ -78,18 +100,41 @@ object ScalingRehearsal {
     * small copy-dependent per-dimension delta so copies land in nearby but
     * not identical LSH buckets — the worst case for candidate-set blowup.
     */
-  def synthesize10xEmbeddings(spark: SparkSession, sfDir: String, outDir: String): Long = {
+  def synthesize10xEmbeddings(spark: SparkSession, sfDir: String, outDir: String): Long =
+    synthesizeScaledEmbeddings(spark, sfDir, outDir, 10)
+
+  /** Factor-N embeddings (N a multiple of 10), same shard scheme as the
+    * documents table: copies within a shard get the classic small
+    * copy-dependent nudge (nearby-but-distinct LSH buckets — worst case for
+    * candidate blowup); shards beyond the first flip the sign of ~1/3 of
+    * the dimensions under a deterministic per-(base vector, shard) pattern
+    * (`xxhash64(vec_id, shard, dim) % 3 == 0`), dropping cross-shard cosine
+    * well below any near-dup threshold while keeping every norm — so a
+    * 100× corpus carries 10-member planted clusters, not 100-member ones.
+    * The flip pattern keys on the ORIGINAL vec_id (applied before the id
+    * offset), so all copies of a base vector within one shard share it.
+    */
+  def synthesizeScaledEmbeddings(spark: SparkSession, sfDir: String,
+      outDir: String, factor: Int): Long = {
+    require(factor >= 10 && factor % 10 == 0,
+      s"factor must be a positive multiple of 10, got $factor")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val idOffset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val base = (col("copy") % 10).cast("double")
+    val shard = floor(col("copy") / 10).cast("long")
     val perturbed = emb
-      .crossJoin(spark.range(10).toDF("copy"))
+      .crossJoin(spark.range(factor).toDF("copy"))
       .withColumn("embedding",
-        transform(col("embedding"), (x, i) =>
-          (x.cast("double") + col("copy").cast("double") * lit(0.003) *
-            ((i % 5).cast("double") - lit(2.0))).cast("float")))
+        transform(col("embedding"), (x, i) => {
+          val nudged = x.cast("double") + base * lit(0.003) *
+            ((i % 5).cast("double") - lit(2.0))
+          val flip = shard > 0 &&
+            pmod(xxhash64(col("vec_id"), shard, i), lit(3)) === 0
+          when(flip, -nudged).otherwise(nudged).cast("float")
+        }))
       .withColumn("vec_id", col("vec_id") + col("copy") * idOffset)
       .select("vec_id", "embedding", "label")
-    perturbed.repartition(32).write.mode("overwrite")
+    perturbed.repartition(32 * (factor / 10)).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
     spark.read.parquet(s"$outDir/embeddings.parquet").count()
   }

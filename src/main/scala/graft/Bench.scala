@@ -407,7 +407,8 @@ object Bench {
       "d03_minhash_lsh" -> SparkEntry.queries("d03_minhash_lsh"),
       "d13_incremental_neardup" -> SparkEntry.queries("d13_incremental_neardup"),
       "s07_cosine_neardup_lsh@t0.9x16p10" -> (s07Production _),
-      "d10_decontamination_hashset" -> SparkEntry.queries("d10_decontamination_hashset"))
+      "d10_decontamination_hashset" -> SparkEntry.queries("d10_decontamination_hashset"),
+      "d21_repeated_spans_hashed" -> SparkEntry.queries("d21_repeated_spans_hashed"))
     try {
       ScalingRehearsal.synthesizeScaled(spark, sfDir, workDir, 10)
       ScalingRehearsal.synthesizeScaledEmbeddings(spark, sfDir, workDir, 10)

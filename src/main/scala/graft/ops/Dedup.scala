@@ -40,30 +40,11 @@ object Dedup {
     * driver.
     */
   def repeatedSpanStats(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 2, s"window must span >= 2 tokens: $k")
-    val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
-      .withColumn("n_tokens", size(col("_toks")).cast("long"))
-    val wins = scope.cached(toks
-      .select(col(idCol), posexplode(TextOps.shingles(col("_toks"), k))
-        .as(Seq("pos", "g"))))
-    val repeated = wins.groupBy("g").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("g")
-    val dup = wins.join(repeated, "g")
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        (col("pos") + k).cast("long").as("e"))
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val prevMaxEnd = max(col("e"))
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val perDoc = dup
-      .withColumn("ni",
-        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
-      .withColumn("island",
-        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col(idCol), col("island"))
-      .agg(min(col("pos")).as("s"), max(col("e")).as("e2"),
-        count(lit(1)).as("wc"))
+      k: Int = 8, groupOnHash: Boolean = false,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val (toks, spans) = repeatedWindowSpans(df, idCol, textCol, k,
+      groupOnHash, scope)
+    val perDoc = spans
       .groupBy(idCol)
       .agg(sum(col("e2") - col("s")).as("covered_tokens"),
         count(lit(1)).as("n_spans"), sum(col("wc")).as("dup_windows"))
@@ -75,6 +56,84 @@ object Dedup {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
       .withColumn("covered_ppm",
         expr("(covered_tokens * 1000000) div greatest(n_tokens, 1)"))
+  }
+
+  /** Span REMOVAL — the actual dedup step of Lee et al. (their "ExactSubstr"
+    * cut, at token-window granularity): subtract every maximal duplicated
+    * span from every document and emit the residual text. Conservative
+    * drop-all policy — every occurrence of a duplicated window is cut (the
+    * keep-one-occurrence policy is a per-window global argmin and composes
+    * from the same spans; drop-all is the standard conservative cleaning
+    * choice and keeps the operator a pure two-shuffle shape).
+    *
+    * Output: (idCol, n_tokens, text_clean, removed_tokens), whitespace-
+    * normalized (residual tokens rejoined with single spaces).
+    *
+    * Scale shape: the spans core (one groupBy + one join-back, see
+    * [[repeatedSpanStats]]) plus a per-doc `collect_list` of spans — bounded
+    * by n_tokens/1 per doc, never corpus-wide — and a higher-order
+    * `filter(toks, (t, i) => !exists(spans, …))` projection; no per-token
+    * explode, nothing on the driver. Pass `groupOnHash = true` at scale.
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, groupOnHash: Boolean = false,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val (toks, spans) = repeatedWindowSpans(df, idCol, textCol, k,
+      groupOnHash, scope)
+    val perDoc = spans.groupBy(idCol)
+      .agg(collect_list(struct(col("s"), col("e2").as("e"))).as("_spans"))
+    toks.join(perDoc, Seq(idCol), "left")
+      .withColumn("_spans", coalesce(col("_spans"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .select(col(idCol), col("n_tokens"),
+        concat_ws(" ", filter(col("_toks"), (t, i) =>
+          !exists(col("_spans"), sp =>
+            i.cast("long") >= sp("s") && i.cast("long") < sp("e"))))
+          .as("text_clean"),
+        aggregate(col("_spans"), lit(0L),
+          (acc, sp) => acc + (sp("e") - sp("s"))).as("removed_tokens"))
+  }
+
+  /** Shared core of d20/d21/d22: tokenized docs plus the per-doc maximal
+    * duplicated spans (island id, start, end, window count).
+    *
+    * `groupOnHash` is the 100 TB path (VERDICT r7 #3): the repeated-window
+    * groupBy/join keys on `xxhash64(gram)` (8 B/window) instead of the raw
+    * k-token text (~50 B/window ≈ 50× the corpus bytes through the
+    * shuffle). A 64-bit collision falsely marks one window duplicated with
+    * probability ~n²/2⁶⁴ — at 10¹⁰ windows that is ~windows·n/2⁶⁴ ≈ 5
+    * false windows corpus-wide, noise against boilerplate-scale dup mass;
+    * the textual form stays the oracle twin.
+    */
+  private def repeatedWindowSpans(df: DataFrame, idCol: String,
+      textCol: String, k: Int, groupOnHash: Boolean,
+      scope: CacheScope): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"window must span >= 2 tokens: $k")
+    val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+    val wins0 = toks
+      .select(col(idCol), posexplode(TextOps.shingles(col("_toks"), k))
+        .as(Seq("pos", "g")))
+    val wins = scope.cached(
+      if (groupOnHash) wins0.withColumn("g", xxhash64(col("g"))) else wins0)
+    val repeated = wins.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("g")
+    val dup = wins.join(repeated, "g")
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        (col("pos") + k).cast("long").as("e"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val prevMaxEnd = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dup
+      .withColumn("ni",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e2"),
+        count(lit(1)).as("wc"))
+    (toks, spans)
   }
 
   /** Default document-frequency cap for candidate-generation joins. A shingle

@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Quantize float embedding → exact fixed-point BIGINT vector (native
     * kernel; semantics identical to `round(x*scale)::long` per element).
     */
@@ -330,17 +333,26 @@ object Similarity {
     * tables. The registry gates this empirically: s07 must hash-match the
     * exact all-pairs s03 formulation.
     *
-    * `planes <= 0` (the default) = AUTO: max(4, ⌈log₂(n/256)⌉), capped at
-    * 16 — the scaladoc's "planes grows toward log₂(n)" rule made real. The
-    * candidate mass of the cell self-join is Σ_cells m² ≈ tables·n·(n/2^planes),
-    * so FIXED planes turn a 10× corpus into a 100× pair mass: the r7 bench's
-    * 10× row measured a 56 s hot task at planes=4 (200k vectors → 12.5k-row
-    * buckets) that auto-planes collapse. At the gated test SFs (≤ 2k
+    * `planes <= 0` (the default) = AUTO, and auto is THRESHOLD-AWARE
+    * (ADVICE r7): the size-driven choice max(4, ⌈log₂(n/256)⌉, cap 16)
+    * shrinks buckets as the corpus grows — but every extra plane also
+    * multiplies the per-table collision of a barely-qualifying pair by
+    * p(threshold), so unchecked growth silently destroys recall for weak
+    * thresholds (at t = 0.45 / 48 tables, planes 16 would miss ~95% of
+    * threshold-grade pairs where 4 misses ~1e-4). Auto therefore caps the
+    * size-driven value at the largest planes whose all-tables miss for a
+    * pair AT the threshold stays ≤ `missTarget`: completeness wins and the
+    * cost shows up as bigger buckets (logged), never as silent pair loss.
+    * The candidate mass of the cell self-join is
+    * Σ_cells m² ≈ tables·n·(n/2^planes), so weak thresholds at scale are
+    * intrinsically expensive — that is the operator's honest tradeoff, and
+    * the log line states both numbers. At the gated test SFs (≤ 2k
     * vectors) auto resolves to exactly the historical 4, so completeness
     * gates and oracles are unchanged.
     */
   def cosineNearDupBucketed(emb: DataFrame, idCol: String, embCol: String,
       threshold: Double, tables: Int = 48, planes: Int = 0,
+      missTarget: Double = 1e-3,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val vecs = scope.cached(
       emb.select(col(idCol), col(embCol).as("e"))
@@ -348,11 +360,8 @@ object Similarity {
         .withColumn("nrm", dotQ(col("qv"), col("qv"))))
     val p =
       if (planes > 0) planes
-      else {
-        val n = vecs.count() // cache-materializing count, reused downstream
-        math.max(4, math.min(16,
-          math.ceil(math.log(math.max(1.0, n / 256.0)) / math.log(2.0)).toInt))
-      }
+      else autoPlanes(vecs.count(), threshold, tables, missTarget)
+      // (the count materializes the cache, reused downstream)
     val buckets = lshBucketTable(vecs, idCol, "e", tables, p)
       .select(col(idCol), col("t"), col("b"))
     // pairs sharing any LSH cell, deduped while still narrow (two ids)
@@ -398,7 +407,9 @@ object Similarity {
   def semDedup(emb: DataFrame, idCol: String, embCol: String,
       centroidPred: Column, threshold: Double,
       scope: CacheScope = CacheScope.unmanaged,
-      maxCentroids: Int = 200000): DataFrame = {
+      maxCentroids: Int = 20000,
+      maxCentroidBytes: Long = 32L << 20): DataFrame = {
+    requireIntegralId(emb, idCol, "semDedup")
     val base = emb.select(col(idCol), quantize(col(embCol)).as("qv"))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
     // centroids to the driver, sorted ascending by cid so the kernel's
@@ -409,9 +420,61 @@ object Similarity {
     require(centRows.nonEmpty, "semDedup: centroidPred selected no centroids")
     require(centRows.length <= maxCentroids,
       s"semDedup: ${centRows.length} centroids (> $maxCentroids): the " +
-        "centroid matrix rides the task binary — raise maxCentroids only " +
-        "with the task-broadcast cost in mind")
+        "centroid matrix rides the task binary — the paper's 50k-centroid " +
+        "LAION scale is an explicit opt-in via maxCentroids, with the " +
+        "task-broadcast cost in mind")
+    val centBytes = centRows.iterator.map(_._2.length.toLong * 8L).sum
+    require(centBytes <= maxCentroidBytes,
+      f"semDedup: centroid matrix is $centBytes%,d B " +
+        f"(${centRows.length} centroids × dims × 8 > $maxCentroidBytes%,d): " +
+        "it is serialized into every task binary and scanned O(k) per row " +
+        "— raise maxCentroidBytes explicitly if that cost is intended")
     semDedupCore(base, idCol, centRows, threshold, scope)
+  }
+
+  /** Threshold-aware auto-planes (ADVICE r7): the size-driven choice
+    * (max(4, ⌈log₂(n/256)⌉), cap 16) capped at the largest plane count
+    * whose all-tables miss probability for a pair at exactly `threshold`
+    * stays ≤ `missTarget` — so growing the corpus can never silently trade
+    * recall for bucket size. Package-private for direct unit testing.
+    */
+  private[graft] def autoPlanes(n: Long, threshold: Double, tables: Int,
+      missTarget: Double): Int = {
+    val sizeDriven = math.max(4, math.min(16,
+      math.ceil(math.log(math.max(1.0, n / 256.0)) / math.log(2.0)).toInt))
+    // per-bit collision of a pair at exactly `threshold`
+    val pBit = 1.0 -
+      math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    def missAt(l: Int): Double =
+      math.pow(1.0 - math.pow(pBit, l.toDouble), tables.toDouble)
+    val recallBound = (1 to 16).takeWhile(missAt(_) <= missTarget)
+      .lastOption.getOrElse(1)
+    val chosen = math.max(1, math.min(sizeDriven, recallBound))
+    log.info(f"cosineNearDupBucketed auto-planes: n=$n threshold=" +
+      f"$threshold%.2f tables=$tables sizeDriven=$sizeDriven " +
+      f"recallBound=$recallBound chosen=$chosen " +
+      f"missAtThreshold=${missAt(chosen)}%.2e")
+    if (chosen < sizeDriven)
+      log.warn(f"cosineNearDupBucketed: weak threshold $threshold%.2f " +
+        f"caps planes at $recallBound (size wanted $sizeDriven); " +
+        f"expected bucket ≈ ${n / math.pow(2.0, chosen.toDouble)}%.0f " +
+        "rows — candidate mass grows instead of recall silently " +
+        "dropping. Raise missTarget to trade recall for cost.")
+    chosen
+  }
+
+  /** The kernel-assignment operators read the id with `getLong` after a
+    * `cast("long")`; a non-numeric id column casts to NULL and would NPE
+    * (or silently mislabel) mid-collect. Fail at PLAN time with a clear
+    * contract instead (ADVICE r7).
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op: id column '$idCol' must be an integral type (cluster ids are " +
+        s"derived from it via cast to long), got ${dt.catalogString}")
   }
 
   /** Shared SemDeDup prune: kernel-assign every vector to its nearest
@@ -451,6 +514,7 @@ object Similarity {
   def semDedupTrained(emb: DataFrame, idCol: String, embCol: String,
       initPred: Column, threshold: Double, kmIters: Int = 2,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    requireIntegralId(emb, idCol, "semDedupTrained")
     val base = scope.cached(
       emb.select(col(idCol).cast("long").as(idCol), quantize(col(embCol)).as("qv"))
         .withColumn("nrm", dotQ(col("qv"), col("qv"))))

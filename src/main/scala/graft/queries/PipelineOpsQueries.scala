@@ -494,12 +494,49 @@ object PipelineOpsQueries {
     // the 2-round Lloyd trajectory is deterministic but not one SQL
     // expression. Same init set and threshold as d14/s09 so the three
     // results triangulate.
+    // Oracle (r8 — retires the last achievable no-oracle entry): s09's
+    // exact 2-round k-means trajectory replay (integer floor-mean Lloyd
+    // update, tie-to-higher-cid assignment) chained into d14's
+    // within-cluster prune CTE — the full trained-SemDeDup pipeline
+    // recomputed bit-for-bit in SQL.
     ("d19_semdedup_trained", (s: SparkSession, dir: String) => {
       Similarity.semDedupTrained(rd(s, dir, "embeddings"), "vec_id",
           "embedding", col("vec_id") % 100 === 0, threshold = 0.4,
           kmIters = 2)
         .orderBy("vec_id")
-    }, None),
+    }, Some {
+      def asgSql(cents: String): String = s"""(
+        SELECT vec_id, cid FROM (
+          SELECT en.vec_id, c.cid,
+            row_number() OVER (PARTITION BY en.vec_id ORDER BY
+              CAST(list_dot_product(en.q, c.cv) AS DOUBLE) /
+                (sqrt(CAST(en.nrm AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE)))
+              DESC, c.cid DESC) AS rn
+          FROM en CROSS JOIN $cents c) WHERE rn = 1)"""
+      s"""
+      WITH e AS (SELECT vec_id,
+          list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS q
+        FROM embeddings),
+      en AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS nrm FROM e),
+      c0 AS (SELECT vec_id AS cid, q AS cv, nrm AS cn FROM en WHERE vec_id % 100 = 0),
+      a1 AS ${asgSql("c0")},
+      qd AS (SELECT a1.cid, u.i AS pos, en.q[u.i+1] AS v
+             FROM en JOIN a1 USING (vec_id), UNNEST(range(0, len(en.q))) u(i)),
+      m AS (SELECT cid, pos,
+          (sum(v) - ((sum(v) % count(*)) + count(*)) % count(*)) // count(*) AS mv
+        FROM qd GROUP BY 1, 2),
+      c1 AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM m GROUP BY cid),
+      c1n AS (SELECT cid, cv, CAST(list_dot_product(cv, cv) AS BIGINT) AS cn FROM c1),
+      a2 AS ${asgSql("c1n")},
+      j AS (SELECT en.vec_id, a2.cid, en.q, en.nrm
+            FROM en JOIN a2 USING (vec_id)),
+      pruned AS (SELECT DISTINCT b.vec_id
+        FROM j a JOIN j b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+          (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.4)
+      SELECT j.vec_id, j.cid FROM j LEFT JOIN pruned p ON j.vec_id = p.vec_id
+      WHERE p.vec_id IS NULL ORDER BY j.vec_id"""
+    }),
 
     // Exact repeated-substring spans (Lee et al. 2021: dedup training
     // SPANS, not just whole documents) — token 8-gram windows whose text
@@ -542,6 +579,99 @@ object PipelineOpsQueries {
         COALESCE(p.covered_tokens, 0) * 1000000 // greatest(b.n_tokens, 1)
           AS covered_ppm
       FROM base b LEFT JOIN per p USING (doc_id) ORDER BY b.doc_id""")),
+
+    // d20's 100 TB twin (VERDICT r7 #3): identical operator, but the
+    // repeated-window groupBy/join keys on xxhash64(gram) — 8 B/window
+    // through the shuffle instead of ~50 B of raw 8-token text. The output
+    // is bit-identical absent a 64-bit collision (P ≈ n²/2⁶⁴ ≈ 0 at any
+    // test SF), so the ORACLE IS d20's, replayed on raw gram text: the
+    // hash-green compare proves the hash path loses nothing.
+    ("d21_repeated_spans_hashed", (s: SparkSession, dir: String) => {
+      Dedup.repeatedSpanStats(rd(s, dir, "documents"), "doc_id", "text",
+          k = 8, groupOnHash = true)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                    FROM documents),
+      base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+      w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+              array_to_string(t[i:i+7], ' ') AS g
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+      rep AS (SELECT g FROM w GROUP BY g HAVING count(*) > 1),
+      d AS (SELECT w.doc_id, w.pos, w.pos + 8 AS e FROM w JOIN rep USING (g)),
+      isl AS (SELECT doc_id, pos, e,
+              CASE WHEN pos > COALESCE(max(e) OVER (PARTITION BY doc_id
+                     ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+              FROM d),
+      isl2 AS (SELECT doc_id, pos, e,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+               FROM isl),
+      sp AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e2,
+               count(*) AS wc
+             FROM isl2 GROUP BY doc_id, island),
+      per AS (SELECT doc_id, CAST(sum(e2 - s) AS BIGINT) AS covered_tokens,
+                CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(wc) AS BIGINT) AS dup_windows
+              FROM sp GROUP BY doc_id)
+      SELECT b.doc_id, b.n_tokens,
+        COALESCE(p.dup_windows, 0) AS dup_windows,
+        COALESCE(p.n_spans, 0) AS n_spans,
+        COALESCE(p.covered_tokens, 0) AS covered_tokens,
+        COALESCE(p.covered_tokens, 0) * 1000000 // greatest(b.n_tokens, 1)
+          AS covered_ppm
+      FROM base b LEFT JOIN per p USING (doc_id) ORDER BY b.doc_id""")),
+
+    // Span REMOVAL (VERDICT r7 #4 — Lee et al.'s actual dedup step): cut
+    // every maximal duplicated span and emit the residual corpus. Runs the
+    // hash-grouped scale path; the oracle reassembles the residual text in
+    // SQL (anti-join of token positions against the span intervals +
+    // ordered string_agg), so the cleaned TEXT itself is hash-checked, not
+    // just the counts.
+    ("d22_span_removal", (s: SparkSession, dir: String) => {
+      Dedup.removeRepeatedSpans(rd(s, dir, "documents"), "doc_id", "text",
+          k = 8, groupOnHash = true)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                    FROM documents),
+      base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+      w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+              array_to_string(t[i:i+7], ' ') AS g
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+      rep AS (SELECT g FROM w GROUP BY g HAVING count(*) > 1),
+      d AS (SELECT w.doc_id, w.pos, w.pos + 8 AS e FROM w JOIN rep USING (g)),
+      isl AS (SELECT doc_id, pos, e,
+              CASE WHEN pos > COALESCE(max(e) OVER (PARTITION BY doc_id
+                     ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+              FROM d),
+      isl2 AS (SELECT doc_id, pos, e,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+               FROM isl),
+      sp AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e2,
+               count(*) AS wc
+             FROM isl2 GROUP BY doc_id, island),
+      per AS (SELECT doc_id, CAST(sum(e2 - s) AS BIGINT) AS removed
+              FROM sp GROUP BY doc_id),
+      tokpos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS ti, t[i] AS tok
+                 FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+      resid AS (SELECT tp.doc_id,
+                  string_agg(tp.tok, ' ' ORDER BY tp.ti) AS text_clean
+                FROM tokpos tp
+                WHERE NOT EXISTS (SELECT 1 FROM sp
+                  WHERE sp.doc_id = tp.doc_id
+                    AND tp.ti >= sp.s AND tp.ti < sp.e2)
+                GROUP BY tp.doc_id)
+      SELECT b.doc_id, b.n_tokens,
+        COALESCE(r.text_clean, '') AS text_clean,
+        COALESCE(p.removed, 0) AS removed_tokens
+      FROM base b
+      LEFT JOIN resid r USING (doc_id)
+      LEFT JOIN per p USING (doc_id)
+      ORDER BY b.doc_id""")),
 
     // ------------------------------------------------------------- graphs
     // Iterative graph rank: 3 damped fixed-point PageRank rounds over the

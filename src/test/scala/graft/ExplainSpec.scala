@@ -1,0 +1,88 @@
+package graft
+
+/** Plan-regression pins for the top bench queries (VERDICT r7 #6): the
+  * verdicts have audited these plans round over round — broadcast below
+  * threshold, filters reaching the scan, no quadratic join shapes. A Spark
+  * upgrade or an operator refactor must not be able to silently regress
+  * them, so the named properties are pinned here. Each query is EXECUTED
+  * first so the inspected string contains the AQE-final plan.
+  */
+class ExplainSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    // collect() (NOT count()) — count() builds a separate query execution,
+    // leaving this one's AdaptiveSparkPlan isFinalPlan=false with no
+    // codegen/broadcast decisions to inspect
+    assert(df.collect().length >= 0)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def assertNoQuadraticJoins(name: String, plan: String): Unit = {
+    assert(!plan.contains("CartesianProduct"),
+      s"$name must not plan a cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"$name must not plan a nested-loop join:\n$plan")
+  }
+
+  test("q05 multi-join: all dims broadcast, filters pushed to the scans") {
+    val plan = executedPlan("q05_multi_join")
+    // four dimension joins (orders→customer→nation→region) all broadcast —
+    // a shuffled fact-side merge join here would be the 100 TB scale bug
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      s"q05 expects >=4 broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q05 dims must broadcast, not merge-join:\n$plan")
+    // the o_orderdate range predicate must reach the parquet scan
+    assert(plan.contains("PushedFilters: [IsNotNull"),
+      s"q05 scans must push filters:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"q05 must push the o_orderdate range to the orders scan:\n$plan")
+    assertNoQuadraticJoins("q05", plan)
+  }
+
+  test("s07 LSH near-dup: equality joins only, no quadratic shape") {
+    val plan = executedPlan("s07_cosine_neardup_lsh")
+    // candidate generation is an equality self-join on (table, bucket) and
+    // the verify joins narrow id pairs back to vectors — all hash joins;
+    // a nested-loop/cartesian here means the LSH bucketing got bypassed
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"s07 expects hash/merge equality joins:\n$plan")
+    assertNoQuadraticJoins("s07", plan)
+  }
+
+  test("d13 incremental near-dup: batch-vs-history equality joins, anti-join survivors") {
+    val plan = executedPlan("d13_incremental_neardup")
+    assert(plan.contains("LeftAnti"),
+      s"d13 survivor filtering must be an anti-join:\n$plan")
+    assertNoQuadraticJoins("d13", plan)
+  }
+
+  test("q48 salted skew join: equality join, no quadratic shape") {
+    val plan = executedPlan("q48_skew_salted_join")
+    assert(plan.contains("Join type: Inner") || plan.contains("Inner"),
+      s"q48 expects an inner equality join:\n$plan")
+    assertNoQuadraticJoins("q48", plan)
+  }
+
+  test("d07 curation composite: codegen'd, no quadratic join anywhere") {
+    val plan = executedPlan("d07_curation_pipeline")
+    // codegen spans render as "*(n)" in the executed plan's simpleString
+    assert(plan.contains("*("),
+      s"d07 stages must stay inside whole-stage codegen:\n$plan")
+    assertNoQuadraticJoins("d07", plan)
+  }
+
+  test("d21 hashed span stats: the shuffled window key is the 8-byte hash") {
+    // the d20→d21 point (VERDICT r7 #3) is shuffle WIDTH: the repeated-
+    // window groupBy must key on xxhash64(gram), not the ~50 B raw text
+    val df = SparkEntry.queries("d21_repeated_spans_hashed")(spark, dir)
+    assert(df.collect().length > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"),
+      s"d21 must group repeated windows on xxhash64(gram):\n$plan")
+  }
+}

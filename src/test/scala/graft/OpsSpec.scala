@@ -637,6 +637,81 @@ class OpsSpec extends SparkSpec {
     assert(got(4) == ((5L, 10L, 3L, 1L, 10L, 1000000L)))
   }
 
+  test("repeatedSpanStats: hash-grouped scale path equals the textual form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+    val textual = graft.ops.Dedup
+      .repeatedSpanStats(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect().map(key)
+    val hashed = graft.ops.Dedup
+      .repeatedSpanStats(docs, "doc_id", "text", k = 8, groupOnHash = true)
+      .orderBy("doc_id").collect().map(key)
+    assert(hashed.sameElements(textual))
+    assert(textual.exists(_._3 > 0), "corpus should contain repeated spans")
+  }
+
+  test("removeRepeatedSpans: cuts maximal spans, keeps residual tokens") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),      // span [0,8) → residual "i j"
+      (2L, "a b c d e f g h x y"),
+      (3L, "q w e r t"),                // no spans → intact
+      (4L, "m n o p q r s t u v w x"),  // span [0,10) → residual "w x"
+      (5L, "m n o p q r s t u v"))      // fully covered → empty residual
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup
+      .removeRepeatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got(0) == ((1L, 10L, "i j", 8L)))
+    assert(got(1) == ((2L, 10L, "x y", 8L)))
+    assert(got(2) == ((3L, 5L, "q w e r t", 0L)))
+    assert(got(3) == ((4L, 12L, "w x", 10L)))
+    assert(got(4) == ((5L, 10L, "", 10L)))
+    // hash-grouped path emits the same residual corpus
+    val hashed = graft.ops.Dedup
+      .removeRepeatedSpans(docs, "doc_id", "text", k = 8, groupOnHash = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(hashed.sameElements(got))
+  }
+
+  test("autoPlanes: recall-capped for weak thresholds, size-driven for strong") {
+    import graft.ops.Similarity.autoPlanes
+    // gated SFs: small corpus resolves to the historical 4 at any threshold
+    assert(autoPlanes(200L, 0.45, 48, 1e-3) == 4)
+    assert(autoPlanes(2000L, 0.45, 48, 1e-3) == 4)
+    // weak threshold at scale: recall bound CAPS the size-driven growth —
+    // at t=0.45/48 tables, planes beyond 4 would miss >0.1% of
+    // threshold-grade pairs (planes=16 misses ~95%), so auto must hold 4
+    assert(autoPlanes(16_000_000L, 0.45, 48, 1e-3) == 4)
+    // strong threshold at scale: size-driven growth is allowed up to the
+    // (looser) recall bound — must exceed the weak-threshold choice
+    val strong = autoPlanes(16_000_000L, 0.9, 16, 1e-3)
+    assert(strong > 4 && strong <= 16, s"strong=$strong")
+    // raising missTarget trades recall for smaller buckets monotonically
+    assert(autoPlanes(16_000_000L, 0.45, 48, 0.05) >=
+      autoPlanes(16_000_000L, 0.45, 48, 1e-3))
+  }
+
+  test("semDedup fails fast on non-integral ids and oversized centroid matrices") {
+    val rows = Seq((1L, Seq(100L, 0L, 0L)), (2L, Seq(0L, 100L, 0L)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val strId = rows.select(concat(lit("doc-"), col("vec_id")).as("vec_id"),
+      col("embedding"))
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.semDedup(strId, "vec_id", "embedding", lit(true), 0.9)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.semDedup(rows, "vec_id", "embedding", lit(true), 0.9,
+        maxCentroidBytes = 8L)
+    }
+    assert(e2.getMessage.contains("centroid matrix"))
+  }
+
   test("semDedupTrained: 1 k-means iter reduces to fixed-centroid semDedup; 2 iters deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pred = col("vec_id") % 50 === 0

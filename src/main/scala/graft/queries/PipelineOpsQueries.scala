@@ -673,6 +673,54 @@ object PipelineOpsQueries {
       LEFT JOIN per p USING (doc_id)
       ORDER BY b.doc_id""")),
 
+    // d22 composed as a pipeline stage (the Lee et al. usage): span-remove,
+    // DROP documents that lost ≥ half their tokens (mostly-boilerplate
+    // docs), and account for the surviving corpus per language — the
+    // span-dedup analog of d07's doc-level curation accounting.
+    ("d23_span_curation", (s: SparkSession, dir: String) => {
+      val docs = rd(s, dir, "documents")
+      val cleaned = Dedup.removeRepeatedSpans(docs, "doc_id", "text",
+        k = 8, groupOnHash = true)
+      val kept = cleaned.filter(col("removed_tokens") * 2 < col("n_tokens"))
+      kept.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens") - col("removed_tokens")).as("kept_tokens"),
+          sum(col("removed_tokens")).as("removed_tokens"))
+        .orderBy("lang")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                    FROM documents),
+      base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+      w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+              array_to_string(t[i:i+7], ' ') AS g
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+      rep AS (SELECT g FROM w GROUP BY g HAVING count(*) > 1),
+      d AS (SELECT w.doc_id, w.pos, w.pos + 8 AS e FROM w JOIN rep USING (g)),
+      isl AS (SELECT doc_id, pos, e,
+              CASE WHEN pos > COALESCE(max(e) OVER (PARTITION BY doc_id
+                     ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+              FROM d),
+      isl2 AS (SELECT doc_id, pos, e,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+               FROM isl),
+      sp AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e2
+             FROM isl2 GROUP BY doc_id, island),
+      per AS (SELECT doc_id, CAST(sum(e2 - s) AS BIGINT) AS removed
+              FROM sp GROUP BY doc_id),
+      docstat AS (SELECT b.doc_id, b.n_tokens,
+                    COALESCE(p.removed, 0) AS removed
+                  FROM base b LEFT JOIN per p USING (doc_id)),
+      keep AS (SELECT doc_id, n_tokens, removed FROM docstat
+               WHERE removed * 2 < n_tokens)
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(k.n_tokens - k.removed) AS BIGINT) AS kept_tokens,
+        CAST(sum(k.removed) AS BIGINT) AS removed_tokens
+      FROM keep k JOIN documents d USING (doc_id)
+      GROUP BY d.lang ORDER BY d.lang""")),
+
     // ------------------------------------------------------------- graphs
     // Iterative graph rank: 3 damped fixed-point PageRank rounds over the
     // co-purchase graph (parts linked when one order contains both — the

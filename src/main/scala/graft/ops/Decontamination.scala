@@ -68,21 +68,28 @@ object Decontamination {
     * misfires only on a hash collision (~1e-11 at 10⁶×10¹⁰ gram pairs).
     */
   def benchmarkGramSet(df: DataFrame, idCol: String, textCol: String,
-      benchmarkPred: Column, n: Int = 8, maxGrams: Long = 1L << 24): Array[Byte] = {
-    import graft.functions.MembershipFunctions
+      benchmarkPred: Column, n: Int = 8, maxGrams: Long = 1L << 24): Array[Byte] =
+    graft.functions.MembershipFunctions.encodeLongSet(
+      collectGramHashes(df, idCol, textCol, benchmarkPred, n, maxGrams,
+        "8 bytes per gram"))
+
+  /** The benchmark split's distinct gram xxhash64es, collected bounded.
+    * ONE job: collect limited at maxGrams+1 so an oversized benchmark is
+    * loud (the require below) without a separate count() pass re-shingling
+    * the whole eval split.
+    */
+  private def collectGramHashes(df: DataFrame, idCol: String, textCol: String,
+      benchmarkPred: Column, n: Int, maxGrams: Long, costNote: String): Array[Long] = {
     val pred = coalesce(benchmarkPred, lit(false))
     val hashes = grams(df.filter(pred), idCol, textCol, n)
       .select(xxhash64(col("shingle")).as("h")).distinct()
-    // ONE job: collect bounded at maxGrams+1 so an oversized benchmark is
-    // loud (the require below) without a separate count() pass re-shingling
-    // the whole eval split.
     val collected = hashes.limit(
       math.min(maxGrams + 1, Int.MaxValue.toLong).toInt).collect()
     require(collected.length <= maxGrams,
       s"benchmark gram set exceeds $maxGrams distinct grams: " +
         "this side must stay eval-suite-sized; raise maxGrams only with " +
-        "driver/task memory to hold 8 bytes per gram")
-    MembershipFunctions.encodeLongSet(collected.map(_.getLong(0)))
+        s"driver/task memory to hold $costNote")
+    collected.map(_.getLong(0))
   }
 
   /** Contamination filter as a stateless membership probe: keep corpus docs
@@ -109,5 +116,51 @@ object Decontamination {
     df.filter(!coalesce(benchmarkPred, lit(false)))
       .filter(!MembershipFunctions.any_gram_in_set(
         gramSet, TextOps.tokens(col(textCol)), n))
+  }
+
+  // --------------------------------------------- bloom-pre-screened variant --
+
+  /** Bloom over the benchmark split's distinct gram hashes, ~`bitsPerKey`
+    * bits per gram. This is the bounded-memory path for when the exact
+    * 64-bit set of [[benchmarkGramSet]] outgrows the broadcast budget (a
+    * union of many eval suites): at 10 bits/key the filter is 6× smaller
+    * than the exact set and still has NO false negatives, so composing it
+    * with an exact verify join ([[decontaminateBloomVerified]]) keeps the
+    * result identical to [[decontaminate]]. `maxGrams` defaults higher than
+    * the exact set's precisely because smaller-per-key is the point.
+    */
+  def benchmarkGramBloom(df: DataFrame, idCol: String, textCol: String,
+      benchmarkPred: Column, n: Int = 8, bitsPerKey: Int = 10,
+      maxGrams: Long = 1L << 27): Array[Byte] =
+    graft.functions.MembershipFunctions.encodeBloom(
+      collectGramHashes(df, idCol, textCol, benchmarkPred, n, maxGrams,
+        s"$bitsPerKey bits per gram"), bitsPerKey)
+
+  /** Exact decontamination with a bloom pre-screen: corpus docs whose grams
+    * all MISS the bloom are provably clean (no false negatives) and never
+    * touch a join; the suspicious remainder — true hits plus the ~fpp
+    * sliver of bloom false positives — is verified EXACTLY against the
+    * benchmark gram table. Result-identical to [[decontaminate]] (the d24
+    * oracle and the OpsSpec equivalence test assert it).
+    *
+    * Scale shape: the probe is the same stateless codegen'd projection as
+    * [[decontaminateBySet]] (streams, no shuffle of the clean mass); the
+    * verify join re-shingles only `fpp·corpus + contaminated` docs, so the
+    * expensive exact machinery runs on a vanishingly small slice.
+    */
+  def decontaminateBloomVerified(df: DataFrame, bloom: Array[Byte],
+      idCol: String, textCol: String, benchmarkPred: Column,
+      n: Int = 8): DataFrame = {
+    import graft.functions.MembershipFunctions
+    val pred = coalesce(benchmarkPred, lit(false))
+    val corpus = df.filter(!pred)
+    val suspicious = corpus.filter(MembershipFunctions.any_gram_in_bloom(
+      bloom, TextOps.tokens(col(textCol)), n))
+    val benchGrams = grams(df.filter(pred), idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val confirmed = grams(suspicious, idCol, textCol, n)
+      .join(broadcast(benchGrams), "shingle")
+      .select(col(idCol)).distinct()
+    corpus.join(confirmed, Seq(idCol), "left_anti")
   }
 }

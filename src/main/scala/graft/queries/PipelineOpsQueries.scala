@@ -721,6 +721,34 @@ object PipelineOpsQueries {
       FROM keep k JOIN documents d USING (doc_id)
       GROUP BY d.lang ORDER BY d.lang""")),
 
+    // d09/d10's bounded-memory twin: a ~10-bit/gram bloom pre-screen (no
+    // false negatives) routes only the suspicious sliver — true hits plus
+    // the ~fpp bloom false positives — into the exact verify join, so the
+    // result is identical to the exact decontamination at a sixth of the
+    // exact set's executor footprint. The oracle is the exact formulation:
+    // the hash-green compare IS the no-false-negatives proof.
+    ("d24_decontamination_bloom", (s: SparkSession, dir: String) => {
+      val docs = rd(s, dir, "documents")
+      val benchPred = col("doc_id") % 10 === 0
+      val bloom = Decontamination.benchmarkGramBloom(docs, "doc_id", "text",
+        benchPred, n = 8)
+      Decontamination.decontaminateBloomVerified(docs, bloom, "doc_id",
+          "text", benchPred, n = 8)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                    FROM documents),
+      g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+      bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0),
+      dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (s)
+                WHERE g.doc_id % 10 <> 0)
+      SELECT d.doc_id, d.lang FROM documents d
+      WHERE d.doc_id % 10 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+      ORDER BY d.doc_id""")),
+
     // ------------------------------------------------------------- graphs
     // Iterative graph rank: 3 damped fixed-point PageRank rounds over the
     // co-purchase graph (parts linked when one order contains both — the

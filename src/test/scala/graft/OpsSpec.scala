@@ -586,6 +586,45 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("benchmark gram set"))
   }
 
+  test("bloom has no false negatives and a sane false-positive rate") {
+    import graft.functions.MembershipFunctions
+    val rnd = new scala.util.Random(7)
+    val inserted = Array.fill(20000)(rnd.nextLong())
+    val bloom = MembershipFunctions.encodeBloom(inserted, bitsPerKey = 10)
+    assert(bloom.length <= 8 + (20000L * 10 / 8 + 8).toInt,
+      s"bloom bigger than its bits/key budget: ${bloom.length}")
+    val (k, words) = MembershipFunctions.decodeBloom(bloom)
+    inserted.foreach(h =>
+      assert(MembershipFunctions.bloomContains(words, k, h),
+        s"false negative for $h — breaks the exactness contract"))
+    val probes = 200000
+    val fps = (0 until probes).count { _ =>
+      MembershipFunctions.bloomContains(words, k, rnd.nextLong())
+    }
+    // 10 bits/key, k=7 → theoretical fpp ~0.8%; allow generous slack
+    assert(fps < probes * 0.03,
+      s"false-positive rate ${fps.toDouble / probes} far above the 10-bit design point")
+  }
+
+  test("bloom-verified decontamination equals the exact join formulation") {
+    import graft.ops.Decontamination
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pred = col("doc_id") % 10 === 0
+    val exact = Decontamination.decontaminate(docs, "doc_id", "text", pred, n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 4 bits/key → fpp ~15%: a deliberately lossy pre-screen, so the test
+    // proves the verify join absorbs bloom false positives, not that the
+    // bloom was accidentally exact.
+    val bloom = Decontamination.benchmarkGramBloom(docs, "doc_id", "text",
+      pred, n = 8, bitsPerKey = 4)
+    val got = Decontamination.decontaminateBloomVerified(docs, bloom,
+        "doc_id", "text", pred, n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty)
+    assert(got == exact,
+      s"bloom path over-dropped ${exact -- got}, under-dropped ${got -- exact}")
+  }
+
   test("ngram repetition counters match a hand computation") {
     import graft.ops.TextOps
     val df = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("id", "text")

@@ -640,4 +640,94 @@ object Similarity {
           col("qv"), centRows.map(_._2).toSeq) + 1))
       .select(col(idCol), col(labelCol), col("pred"))
   }
+
+  // --------------------------------------------------- product quantization --
+
+  /** Product-quantization ANN — the FAISS `IndexPQ` shape, the memory-side
+    * scale lever the IVF family (s04) composes with at 100 TB (IVF bounds
+    * WHICH vectors a query scans; PQ bounds the BYTES each scanned vector
+    * costs: `subspaces` one-byte-ish codes instead of dims floats).
+    *
+    * Training: an independent k-means per subvector slice (floor-mean
+    * Lloyd's in the exact ×10⁴ integer space, same update rule as
+    * [[kmeansAssign]], L2 metric as the paper specifies, init = `initPred`
+    * rows' slices, empty clusters keep their previous centroid). Encoding:
+    * per-subspace argmin-L2 code via the native kernel — a pure projection.
+    * Query scoring is ADC on the DECOMPOSITION IDENTITY
+    * Σₘ‖qₘ − Cₘ[codeₘ]‖² = ‖q − concatₘ Cₘ[codeₘ]‖², so the scan ranks
+    * against the concatenated reconstruction with the same exact-integer
+    * dot kernels as s01 — which is what makes the whole pipeline (training
+    * rounds included) SQL-replayable bit-for-bit. (The register-resident
+    * per-query lookup-table refinement FAISS applies is an executor-side
+    * optimization of the same arithmetic, not different semantics.)
+    *
+    * Scale shape: codebooks are tiny (subspaces × k × sub dims) and ride
+    * the plan as literals; encode emits n rows with no shuffle; the scan
+    * broadcasts the (small by contract) query set and the per-query top-k
+    * is one window. Corpus rows never shuffle except the k-rank exchange.
+    */
+  def annPq(emb: DataFrame, idCol: String, embCol: String,
+      queryPred: Column, initPred: Column, subspaces: Int = 8,
+      dims: Int = 64, iters: Int = 2, k: Int = 5,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(subspaces >= 1 && dims % subspaces == 0,
+      s"dims ($dims) must divide into subspaces ($subspaces)")
+    val sub = dims / subspaces
+    val base = scope.cached(
+      emb.select(col(idCol).cast("long").as(idCol),
+        quantize(col(embCol)).as("qv")))
+    val books: Seq[Seq[(Long, Seq[Long])]] = (0 until subspaces).map { ms =>
+      pqLoop(base.select(col(idCol),
+        slice(col("qv"), ms * sub + 1, sub).as("sv")), idCol, initPred, iters)
+    }
+    val recon = concat((0 until subspaces).map { ms =>
+      element_at(typedlit(books(ms).map(_._2)),
+        graft.functions.VectorFunctions.argmin_l2_centroid(
+          slice(col("qv"), ms * sub + 1, sub), books(ms).map(_._2)) + 1)
+    }: _*)
+    val encoded = base.withColumn("rv", recon)
+      .withColumn("rn", dotQ(col("rv"), col("rv")))
+    val queries = base.filter(queryPred)
+      .select(col(idCol).as("qid"), col("qv").as("qq"))
+      .withColumn("qn", dotQ(col("qq"), col("qq")))
+    val wRank = Window.partitionBy("qid").orderBy(col("d2"), col("nbr"))
+    encoded.join(broadcast(queries), col(idCol) =!= col("qid"))
+      .withColumn("d2",
+        col("qn") + col("rn") - lit(2L) * dotQ(col("qq"), col("rv")))
+      .select(col("qid"), col(idCol).as("nbr"), col("d2"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .select("qid", "nbr", "rnk", "d2")
+  }
+
+  /** L2 twin of [[kmeansLoop]] over a subvector column `sv`: floor-mean
+    * Lloyd's rounds, centroids driver-resident between rounds, empty
+    * clusters keep their previous centroid, cids ascending (kernel
+    * tie-toward-lowest-index == `min(struct(d2, cid))`).
+    */
+  private def pqLoop(slices: DataFrame, idCol: String, initPred: Column,
+      iters: Int): Seq[(Long, Seq[Long])] = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    var cents: Seq[(Long, Seq[Long])] = slices.filter(initPred)
+      .select(col(idCol), col("sv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
+    require(cents.nonEmpty, "annPq: initPred selected no codebook seeds")
+    for (_ <- 1 until iters) {
+      val updated = slices
+        .withColumn("cid", element_at(typedlit(cents.map(_._1)),
+          graft.functions.VectorFunctions.argmin_l2_centroid(
+            col("sv"), cents.map(_._2)) + 1))
+        .select(col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .withColumn("mv", expr("(s - pmod(s, c)) DIV c"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => x.getField("mv")).as("cv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+    }
+    cents
+  }
 }

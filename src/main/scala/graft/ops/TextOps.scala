@@ -236,4 +236,39 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(p_ppm) div count(1)").as("avg_p_ppm"))
   }
+
+  /** The perplexity GATE on top of [[bigramLmScore]] — the step CCNet/
+    * RefinedWeb actually ship: drop the least-predictable `dropPct`% of the
+    * corpus by LM score. The cutoff is the exact discrete quantile,
+    * value-resolved: with k = ⌊n·dropPct/100⌋ scored docs to drop, t is the
+    * smallest score whose cumulative count reaches k, and every doc scoring
+    * ≤ t drops (ties drop together — slightly more than k, never
+    * rank-order-dependent). All-integer, so the SQL oracle replays the
+    * score, the histogram, and the cutoff bit-for-bit.
+    *
+    * Scale shape: scores are ppm integers in [0, 10⁶], so the quantile
+    * comes from a bounded HISTOGRAM (one map-side-combinable groupBy of the
+    * scored table, ≤ 10⁶+1 rows regardless of corpus size) + a running sum
+    * over that histogram — never a global sort or rank of the corpus. The
+    * single-partition window is over the histogram, not the data; the
+    * threshold crosses the driver as one long.
+    */
+  def bigramLmFilter(df: DataFrame, idCol: String, textCol: String,
+      dropPct: Int = 25, scale: Long = 1000000L,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(dropPct >= 0 && dropPct < 100,
+      s"dropPct must be in [0, 100), got $dropPct")
+    // scored feeds the doc count, the histogram, and the final filter
+    val scored = scope.cached(bigramLmScore(df, idCol, textCol, scale, scope))
+    val k = scored.count() * dropPct / 100
+    if (k == 0) return scored
+    val hist = scored.groupBy("avg_p_ppm").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy("avg_p_ppm")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val t = cum.filter(col("cum") >= k)
+      .agg(min(col("avg_p_ppm"))).head.getLong(0)
+    scored.filter(col("avg_p_ppm") > t)
+  }
 }

@@ -1247,6 +1247,74 @@ $prRounds
       SELECT vec_id, cid FROM a2 ORDER BY vec_id"""
     }),
 
+    // Product-quantization ANN (FAISS IndexPQ): 8 independent per-subspace
+    // k-means codebooks (2-round floor-mean Lloyd's, L2, exact ints),
+    // argmin-L2 encoding, ADC top-5 per query. ADC over subspaces equals L2
+    // against the concatenated reconstruction, so the oracle replays
+    // training, encoding, and the scan bit-for-bit — the s09 trajectory-
+    // replay pattern applied per subspace.
+    ("s10_pq_adc", (s: SparkSession, dir: String) => {
+      Similarity.annPq(rd(s, dir, "embeddings"), "vec_id", "embedding",
+          queryPred = col("vec_id") % 400 === 0,
+          initPred = col("vec_id") % 100 === 0,
+          subspaces = 8, dims = 64, iters = 2, k = 5)
+        .orderBy("qid", "rnk")
+    }, Some {
+      val sub = 8
+      // per-subspace chain: slice → init codebook (vec_id % 100) → assign
+      // (L2 asc, cid asc — the kernel's tie-toward-lowest-cid) → floor-mean
+      // update with empty clusters keeping their seed → final codes →
+      // reconstruction slice. Same floor-mean spelling as the s09 oracle.
+      def asg(ms: Int, cents: String) = s"""(SELECT vec_id, cid FROM (
+          SELECT s.vec_id, c.cid, row_number() OVER (PARTITION BY s.vec_id
+            ORDER BY s.n2 + c.cn - 2*CAST(list_dot_product(s.sv, c.cv) AS BIGINT)
+              ASC, c.cid ASC) AS rn
+          FROM sn$ms s CROSS JOIN $cents c) WHERE rn = 1)"""
+      val per = (0 until 8).map { ms =>
+        val lo = ms * sub + 1; val hi = (ms + 1) * sub
+        s"""
+      sn$ms AS (SELECT vec_id, q[$lo:$hi] AS sv,
+          CAST(list_dot_product(q[$lo:$hi], q[$lo:$hi]) AS BIGINT) AS n2 FROM en),
+      c0_$ms AS (SELECT vec_id AS cid, sv AS cv, n2 AS cn FROM sn$ms
+                 WHERE vec_id % 100 = 0),
+      a1_$ms AS ${asg(ms, s"c0_$ms")},
+      qd$ms AS (SELECT a.cid, u.i AS pos, s.sv[u.i+1] AS v
+             FROM sn$ms s JOIN a1_$ms a USING (vec_id),
+               UNNEST(range(0, len(s.sv))) u(i)),
+      mm$ms AS (SELECT cid, pos,
+          (sum(v) - ((sum(v) % count(*)) + count(*)) % count(*)) // count(*) AS mv
+        FROM qd$ms GROUP BY 1, 2),
+      cm$ms AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM mm$ms GROUP BY cid),
+      c1_$ms AS (SELECT c0.cid, COALESCE(cm.cv, c0.cv) AS cv,
+          CAST(list_dot_product(COALESCE(cm.cv, c0.cv), COALESCE(cm.cv, c0.cv))
+            AS BIGINT) AS cn
+        FROM c0_$ms c0 LEFT JOIN cm$ms cm USING (cid)),
+      code$ms AS ${asg(ms, s"c1_$ms")},
+      r$ms AS (SELECT d.vec_id, c.cv FROM code$ms d JOIN c1_$ms c USING (cid))"""
+      }.mkString(",")
+      val reconJoin = (1 until 8).map(ms => s"JOIN r$ms USING (vec_id)").mkString(" ")
+      val reconCat = (0 until 8).map(ms => s"r$ms.cv").mkString(" || ")
+      s"""
+      WITH e AS (SELECT vec_id,
+          list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS q
+        FROM embeddings),
+      en AS (SELECT vec_id, q FROM e),$per,
+      recon AS (SELECT r0.vec_id, $reconCat AS rv FROM r0 $reconJoin),
+      rn2 AS (SELECT vec_id, rv, CAST(list_dot_product(rv, rv) AS BIGINT) AS rn
+              FROM recon),
+      qs AS (SELECT vec_id AS qid, q AS qq,
+               CAST(list_dot_product(q, q) AS BIGINT) AS qn
+             FROM en WHERE vec_id % 400 = 0),
+      cand AS (SELECT qs.qid, r.vec_id AS nbr,
+                 qs.qn + r.rn - 2*CAST(list_dot_product(qs.qq, r.rv) AS BIGINT) AS d2
+               FROM qs CROSS JOIN rn2 r WHERE r.vec_id <> qs.qid)
+      SELECT qid, nbr, rnk, d2 FROM (
+        SELECT qid, nbr, d2,
+          row_number() OVER (PARTITION BY qid ORDER BY d2, nbr) AS rnk
+        FROM cand)
+      WHERE rnk <= 5 ORDER BY qid, rnk"""
+    }),
+
     // ------------------------------------------- BPE-ish token counting
     ("t05_token_bpe", (s: SparkSession, dir: String) => {
       // subword-ish tokenization: alnum runs and punctuation runs counted
@@ -1644,6 +1712,37 @@ $prRounds
       SELECT doc_id, count(*) AS n_bigrams,
         CAST(sum(p_ppm) // count(*) AS BIGINT) AS avg_p_ppm
       FROM bg JOIN p USING (bg) GROUP BY doc_id ORDER BY doc_id""")),
+
+    // The perplexity GATE on t21's LM scores — the CCNet/RefinedWeb step
+    // that actually drops data: cut the least-predictable quarter at an
+    // exact discrete quantile. The cutoff comes from a bounded histogram
+    // (scores are ppm integers), never a global sort of the corpus; ties at
+    // the cutoff drop together, so the rule is value-deterministic and the
+    // oracle replays scores, histogram, and threshold bit-for-bit.
+    ("t22_perplexity_filter", (s: SparkSession, dir: String) => {
+      TextOps.bigramLmFilter(rd(s, dir, "documents"), "doc_id", "text",
+          dropPct = 25)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                    FROM documents),
+      bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+             FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+      lm AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+      lm2 AS (SELECT bg, c_bg, split_part(bg, ' ', 1) AS w1 FROM lm),
+      pre AS (SELECT w1, sum(c_bg) AS c_w1 FROM lm2 GROUP BY w1),
+      p AS (SELECT bg, (c_bg * 1000000) // c_w1 AS p_ppm
+            FROM lm2 JOIN pre USING (w1)),
+      scored AS (SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum(p_ppm) // count(*) AS BIGINT) AS avg_p_ppm
+                 FROM bg JOIN p USING (bg) GROUP BY doc_id),
+      hist AS (SELECT avg_p_ppm AS v, count(*) AS c FROM scored GROUP BY 1),
+      cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                AS cum FROM hist),
+      kv AS (SELECT count(*) * 25 // 100 AS k FROM scored),
+      thr AS (SELECT min(v) AS t FROM cum, kv WHERE cum >= k)
+      SELECT s.doc_id, CAST(s.n_bigrams AS BIGINT) AS n_bigrams, s.avg_p_ppm
+      FROM scored s, thr WHERE s.avg_p_ppm > thr.t ORDER BY s.doc_id""")),
 
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {

@@ -625,6 +625,71 @@ class OpsSpec extends SparkSpec {
       s"bloom path over-dropped ${exact -- got}, under-dropped ${got -- exact}")
   }
 
+  test("annPq with a perfect codebook reproduces exact L2 ranking") {
+    import graft.ops.Similarity
+    // every vector is a codebook seed (iters=1), so each slice reconstructs
+    // exactly and ADC must equal the exact quantized L2² for every pair
+    val vecs = (0 until 8).map(i => (i.toLong,
+      Seq(i * 0.1f, (i % 3) * 0.2f, 0.5f - i * 0.05f, i * 0.01f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.annPq(df, "vec_id", "embedding",
+        queryPred = col("vec_id") < 2, initPred = lit(true),
+        subspaces = 2, dims = 4, iters = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(1 + 1), r.getLong(3)))
+      .map { case (q, n, r, d) => (q, r) -> (n, d) }.toMap
+    val quant = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 10000)) }.toMap
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (q <- Seq(0L, 1L)) {
+      val expect = quant.collect { case (id, v) if id != q =>
+        (id, l2(quant(q), v)) }.toSeq.sortBy { case (id, d) => (d, id) }.take(3)
+      expect.zipWithIndex.foreach { case ((nbr, d2), i) =>
+        assert(got((q, i + 1)) == ((nbr, d2)),
+          s"qid $q rnk ${i + 1}: got ${got((q, i + 1))}, want ($nbr, $d2)")
+      }
+    }
+  }
+
+  test("annPq trained run: k rows per query, ADC nondecreasing in rank") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.annPq(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") % 400 === 0,
+        initPred = col("vec_id") % 100 === 0,
+        subspaces = 8, dims = 64, iters = 2, k = 5)
+      .orderBy("qid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.map(_._1).distinct.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length == 5, s"qid $q: ${rows.length} rows")
+      assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted,
+        s"qid $q: ADC not monotone in rank")
+      assert(rows.forall(_._4 >= 0))
+    }
+  }
+
+  test("perplexity gate drops the bottom quarter by value, ties together") {
+    import graft.ops.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = TextOps.bigramLmScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val kept = TextOps.bigramLmFilter(docs, "doc_id", "text", dropPct = 25)
+      .collect().map(_.getLong(0)).toSet
+    // independent replay of the value-resolved discrete quantile rule
+    val k = scored.size * 25 / 100
+    val t = scored.values.toSeq.sorted.apply(k - 1)
+    val expected = scored.collect { case (id, s) if s > t => id }.toSet
+    assert(k > 0 && expected.nonEmpty && expected.size < scored.size)
+    assert(kept == expected,
+      s"gate kept ${kept -- expected} extra, missed ${expected -- kept}")
+    // every dropped score ≤ every kept score (ties dropped together)
+    val maxDropped = scored.collect {
+      case (id, s) if !kept(id) => s }.max
+    val minKept = scored.collect { case (id, s) if kept(id) => s }.min
+    assert(maxDropped <= t && minKept > maxDropped)
+  }
+
   test("ngram repetition counters match a hand computation") {
     import graft.ops.TextOps
     val df = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("id", "text")

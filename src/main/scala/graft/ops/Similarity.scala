@@ -671,6 +671,7 @@ object Similarity {
       dims: Int = 64, iters: Int = 2, k: Int = 5,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireIntegralId(emb, idCol, "annPq")
     require(subspaces >= 1 && dims % subspaces == 0,
       s"dims ($dims) must divide into subspaces ($subspaces)")
     val sub = dims / subspaces
@@ -695,6 +696,96 @@ object Similarity {
     encoded.join(broadcast(queries), col(idCol) =!= col("qid"))
       .withColumn("d2",
         col("qn") + col("rn") - lit(2L) * dotQ(col("qq"), col("rv")))
+      .select(col("qid"), col(idCol).as("nbr"), col("d2"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .select("qid", "nbr", "rnk", "d2")
+  }
+
+  /** IVF-PQ — the FAISS `IndexIVFPQ` composition and the canonical
+    * billion-vector layout: a coarse quantizer bounds WHICH lists a query
+    * scans (IVF, ~nprobe/nlist of the corpus), and per-subspace product
+    * codes on the RESIDUAL v − C[cid] bound the bytes each scanned vector
+    * costs. Residual PQ beats raw PQ ([[annPq]]) because residuals
+    * concentrate near zero, so the same codebook budget spends its
+    * resolution where the mass is.
+    *
+    * Unlike [[annIvf]] (driver-sample float spherical k-means — the
+    * rows-only form), EVERYTHING here stays on the exact ×10⁴ integer
+    * grid: the coarse codebook is [[pqLoop]] at full dimension (L2
+    * floor-mean Lloyd's, `coarsePred` seeds), residual codebooks are
+    * [[pqLoop]] per subvector slice (`initPred` seeds), assignment and
+    * encoding are the native argmin-L2 kernel, and ADC distance is
+    * ‖q − (C[cid] + recon(residual))‖² expanded on the [[dotQ]] kernel —
+    * so coarse training, residual training, probe, and scan all replay
+    * bit-for-bit in SQL (the s10 oracle chain, plus a probe CTE).
+    *
+    * Scale shape: both codebooks are tiny driver-resident literals
+    * (nlist×dims + subspaces×k×sub longs); assignment/encoding is a pure
+    * projection emitting n rows; queries broadcast to probe nprobe lists
+    * (row_number over nlist rows per query); the scan touches only probed
+    * lists and the per-query top-k is one window. The corpus never
+    * shuffles except the k-rank exchange on qid.
+    */
+  def annIvfPq(emb: DataFrame, idCol: String, embCol: String,
+      queryPred: Column, coarsePred: Column, initPred: Column,
+      nprobe: Int = 5, subspaces: Int = 8, dims: Int = 64, iters: Int = 2,
+      k: Int = 5, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireIntegralId(emb, idCol, "annIvfPq")
+    require(subspaces >= 1 && dims % subspaces == 0,
+      s"dims ($dims) must divide into subspaces ($subspaces)")
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val sub = dims / subspaces
+    val base = scope.cached(
+      emb.select(col(idCol).cast("long").as(idCol),
+        quantize(col(embCol)).as("qv")))
+    // coarse codebook: full-dimension residual-free pqLoop (L2 Lloyd's)
+    val coarse = pqLoop(base.select(col(idCol), col("qv").as("sv")),
+      idCol, coarsePred, iters)
+    val coarseCvs = coarse.map(_._2)
+    // one-row-per-vector coarse assignment + exact residual (pure projection)
+    val resid = scope.cached(base
+      .withColumn("ci", graft.functions.VectorFunctions.argmin_l2_centroid(
+        col("qv"), coarseCvs))
+      .withColumn("cid", element_at(typedlit(coarse.map(_._1)), col("ci") + 1))
+      .withColumn("cv", element_at(typedlit(coarseCvs), col("ci") + 1))
+      .withColumn("rv", zip_with(col("qv"), col("cv"), (a, b) => a - b))
+      .select(col(idCol), col("cid"), col("cv"), col("rv")))
+    // per-subspace residual codebooks, then encode + reconstruct
+    val books: Seq[Seq[(Long, Seq[Long])]] = (0 until subspaces).map { ms =>
+      pqLoop(resid.select(col(idCol),
+        slice(col("rv"), ms * sub + 1, sub).as("sv")), idCol, initPred, iters)
+    }
+    val reconResid = concat((0 until subspaces).map { ms =>
+      element_at(typedlit(books(ms).map(_._2)),
+        graft.functions.VectorFunctions.argmin_l2_centroid(
+          slice(col("rv"), ms * sub + 1, sub), books(ms).map(_._2)) + 1)
+    }: _*)
+    val encoded = resid
+      .withColumn("fv", zip_with(col("cv"), reconResid, (a, b) => a + b))
+      .withColumn("rn", dotQ(col("fv"), col("fv")))
+      .select(col(idCol), col("cid"), col("fv"), col("rn"))
+    // probe: each query ranks the nlist coarse centroids by exact L2
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = coarse.toDF("cid", "ccv")
+    val queries = base.filter(queryPred)
+      .select(col(idCol).as("qid"), col("qv").as("qq"))
+      .withColumn("qn", dotQ(col("qq"), col("qq")))
+    val wProbe = Window.partitionBy("qid").orderBy(col("d2c"), col("cid"))
+    val probes = queries.join(broadcast(centDf), lit(true))
+      .withColumn("d2c", col("qn") + dotQ(col("ccv"), col("ccv"))
+        - lit(2L) * dotQ(col("qq"), col("ccv")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nprobe)
+      .select(col("qid"), col("qq"), col("qn"), col("cid"))
+    // scan only the probed lists; each vector lives in exactly one list
+    val wRank = Window.partitionBy("qid").orderBy(col("d2"), col("nbr"))
+    encoded.join(broadcast(probes), Seq("cid"))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("d2",
+        col("qn") + col("rn") - lit(2L) * dotQ(col("qq"), col("fv")))
       .select(col("qid"), col(idCol).as("nbr"), col("d2"))
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)

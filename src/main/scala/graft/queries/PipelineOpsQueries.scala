@@ -1315,6 +1315,107 @@ $prRounds
       WHERE rnk <= 5 ORDER BY qid, rnk"""
     }),
 
+    // IVF-PQ (FAISS IndexIVFPQ): exact-integer coarse k-means (20 lists at
+    // sf0.01), residual product codes (8 subspaces), nprobe-5 probe + ADC
+    // scan. Everything on the ×10⁴ grid, so coarse training, residual
+    // codebooks, probe ranking, and the scan replay bit-for-bit: the s10
+    // oracle chain run once at full dimension (coarse), once per subspace
+    // over the RESIDUAL slices, plus a probe CTE.
+    ("s11_ivfpq", (s: SparkSession, dir: String) => {
+      Similarity.annIvfPq(rd(s, dir, "embeddings"), "vec_id", "embedding",
+          queryPred = col("vec_id") % 400 === 0,
+          coarsePred = col("vec_id") % 250 === 0,
+          initPred = col("vec_id") % 100 === 0,
+          nprobe = 5, subspaces = 8, dims = 64, iters = 2, k = 5)
+        .orderBy("qid", "rnk")
+    }, Some {
+      val sub = 8
+      // the s10 assign/floor-mean chain, parameterized by source table
+      def asg(src: String, cents: String) = s"""(SELECT vec_id, cid FROM (
+          SELECT s.vec_id, c.cid, row_number() OVER (PARTITION BY s.vec_id
+            ORDER BY s.n2 + c.cn - 2*CAST(list_dot_product(s.sv, c.cv) AS BIGINT)
+              ASC, c.cid ASC) AS rn
+          FROM $src s CROSS JOIN $cents c) WHERE rn = 1)"""
+      // coarse chain at full dimension: seeds vec_id % 250, one floor-mean
+      // update round (iters=2), empty clusters keep their seed
+      val coarseChain = s"""
+      cn0 AS (SELECT vec_id, q AS sv,
+          CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM en),
+      cc0 AS (SELECT vec_id AS cid, sv AS cv, n2 AS cn FROM cn0
+              WHERE vec_id % 250 = 0),
+      ca1 AS ${asg("cn0", "cc0")},
+      cqd AS (SELECT a.cid, u.i AS pos, s.sv[u.i+1] AS v
+              FROM cn0 s JOIN ca1 a USING (vec_id),
+                UNNEST(range(0, len(s.sv))) u(i)),
+      cmm AS (SELECT cid, pos,
+          (sum(v) - ((sum(v) % count(*)) + count(*)) % count(*)) // count(*) AS mv
+        FROM cqd GROUP BY 1, 2),
+      ccm AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM cmm GROUP BY cid),
+      cc1 AS (SELECT c0.cid, COALESCE(cm.cv, c0.cv) AS cv,
+          CAST(list_dot_product(COALESCE(cm.cv, c0.cv), COALESCE(cm.cv, c0.cv))
+            AS BIGINT) AS cn
+        FROM cc0 c0 LEFT JOIN ccm cm USING (cid)),
+      ccode AS ${asg("cn0", "cc1")},
+      rvt AS (SELECT en.vec_id, d.cid, c.cv AS ccv,
+          list_transform(range(0, len(en.q)), i -> en.q[i+1] - c.cv[i+1]) AS rv
+        FROM en JOIN ccode d USING (vec_id) JOIN cc1 c USING (cid))"""
+      // per-subspace chains over the residual slices (s10 template on rvt)
+      val per = (0 until 8).map { ms =>
+        val lo = ms * sub + 1; val hi = (ms + 1) * sub
+        s"""
+      sn$ms AS (SELECT vec_id, rv[$lo:$hi] AS sv,
+          CAST(list_dot_product(rv[$lo:$hi], rv[$lo:$hi]) AS BIGINT) AS n2
+        FROM rvt),
+      c0_$ms AS (SELECT vec_id AS cid, sv AS cv, n2 AS cn FROM sn$ms
+                 WHERE vec_id % 100 = 0),
+      a1_$ms AS ${asg(s"sn$ms", s"c0_$ms")},
+      qd$ms AS (SELECT a.cid, u.i AS pos, s.sv[u.i+1] AS v
+             FROM sn$ms s JOIN a1_$ms a USING (vec_id),
+               UNNEST(range(0, len(s.sv))) u(i)),
+      mm$ms AS (SELECT cid, pos,
+          (sum(v) - ((sum(v) % count(*)) + count(*)) % count(*)) // count(*) AS mv
+        FROM qd$ms GROUP BY 1, 2),
+      cm$ms AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM mm$ms GROUP BY cid),
+      c1_$ms AS (SELECT c0.cid, COALESCE(cm.cv, c0.cv) AS cv,
+          CAST(list_dot_product(COALESCE(cm.cv, c0.cv), COALESCE(cm.cv, c0.cv))
+            AS BIGINT) AS cn
+        FROM c0_$ms c0 LEFT JOIN cm$ms cm USING (cid)),
+      code$ms AS ${asg(s"sn$ms", s"c1_$ms")},
+      r$ms AS (SELECT d.vec_id, c.cv FROM code$ms d JOIN c1_$ms c USING (cid))"""
+      }.mkString(",")
+      val reconJoin = (1 until 8).map(ms => s"JOIN r$ms USING (vec_id)").mkString(" ")
+      val reconCat = (0 until 8).map(ms => s"r$ms.cv").mkString(" || ")
+      s"""
+      WITH e AS (SELECT vec_id,
+          list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS q
+        FROM embeddings),
+      en AS (SELECT vec_id, q FROM e),$coarseChain,$per,
+      rr AS (SELECT r0.vec_id, $reconCat AS rres FROM r0 $reconJoin),
+      recon AS (SELECT v.vec_id, v.cid,
+          list_transform(range(0, len(v.ccv)), i -> v.ccv[i+1] + rr.rres[i+1]) AS fv
+        FROM rvt v JOIN rr USING (vec_id)),
+      rn2 AS (SELECT vec_id, cid, fv,
+          CAST(list_dot_product(fv, fv) AS BIGINT) AS rn FROM recon),
+      qs AS (SELECT vec_id AS qid, q AS qq,
+               CAST(list_dot_product(q, q) AS BIGINT) AS qn
+             FROM en WHERE vec_id % 400 = 0),
+      probes AS (SELECT qid, qq, qn, cid FROM (
+          SELECT qs.qid, qs.qq, qs.qn, c.cid,
+            row_number() OVER (PARTITION BY qs.qid ORDER BY
+              qs.qn + c.cn - 2*CAST(list_dot_product(qs.qq, c.cv) AS BIGINT)
+                ASC, c.cid ASC) AS prn
+          FROM qs CROSS JOIN cc1 c)
+        WHERE prn <= 5),
+      cand AS (SELECT p.qid, r.vec_id AS nbr,
+                 p.qn + r.rn - 2*CAST(list_dot_product(p.qq, r.fv) AS BIGINT) AS d2
+               FROM probes p JOIN rn2 r USING (cid) WHERE r.vec_id <> p.qid)
+      SELECT qid, nbr, rnk, d2 FROM (
+        SELECT qid, nbr, d2,
+          row_number() OVER (PARTITION BY qid ORDER BY d2, nbr) AS rnk
+        FROM cand)
+      WHERE rnk <= 5 ORDER BY qid, rnk"""
+    }),
+
     // ------------------------------------------- BPE-ish token counting
     ("t05_token_bpe", (s: SparkSession, dir: String) => {
       // subword-ish tokenization: alnum runs and punctuation runs counted

@@ -85,4 +85,29 @@ class ExplainSpec extends SparkSpec {
     assert(plan.contains("xxhash64"),
       s"d21 must group repeated windows on xxhash64(gram):\n$plan")
   }
+
+  test("s10 PQ scan: query side broadcast, codebooks as literals, no merge join") {
+    val plan = executedPlan("s10_pq_adc")
+    // PQ without IVF IS a linear ADC scan — the right plan is the (small
+    // by contract) query set broadcast against the encoded corpus; a
+    // SortMergeJoin here would shuffle the corpus for no pruning benefit
+    assert(plan.contains("BroadcastExchange"),
+      s"s10 must broadcast the query set:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"s10 scan must not shuffle the corpus into a merge join:\n$plan")
+  }
+
+  test("s11 IVF-PQ: the list scan is an equality broadcast-hash join on cid") {
+    // THE IVF point: the scan must touch only probed lists via an equality
+    // join on cid — if this degrades to a nested-loop/cartesian against
+    // the whole corpus, the index is being bypassed (the probe ranking
+    // itself is queries×nlist over a broadcast of nlist rows — bounded)
+    val plan = executedPlan("s11_ivfpq")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"s11 list scan must be a broadcast-hash equality join on cid:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"s11 must not plan a cartesian product:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"s11 probes/scan must broadcast, not merge-join:\n$plan")
+  }
 }

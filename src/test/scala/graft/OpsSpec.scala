@@ -669,6 +669,54 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("annIvfPq with every vector a coarse seed reproduces exact L2 ranking") {
+    import graft.ops.Similarity
+    // every vector is its own coarse list (iters=1): residuals are all
+    // zero, so reconstruction == coarse centroid == the exact vector, and
+    // with nprobe >= nlist the ADC scan must equal exact L2² ranking
+    val vecs = (0 until 8).map(i => (i.toLong,
+      Seq(i * 0.1f, (i % 3) * 0.2f, 0.5f - i * 0.05f, i * 0.01f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.annIvfPq(df, "vec_id", "embedding",
+        queryPred = col("vec_id") < 2, coarsePred = lit(true),
+        initPred = lit(true), nprobe = 8, subspaces = 2, dims = 4,
+        iters = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    val quant = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 10000)) }.toMap
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (q <- Seq(0L, 1L)) {
+      val expect = quant.collect { case (id, v) if id != q =>
+        (id, l2(quant(q), v)) }.toSeq.sortBy { case (id, d) => (d, id) }.take(3)
+      expect.zipWithIndex.foreach { case ((nbr, d2), i) =>
+        assert(got((q, i + 1)) == ((nbr, d2)),
+          s"qid $q rnk ${i + 1}: got ${got((q, i + 1))}, want ($nbr, $d2)")
+      }
+    }
+  }
+
+  test("annIvfPq trained run: k rows per query, ADC nondecreasing, bounded lists") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.annIvfPq(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") % 400 === 0,
+        coarsePred = col("vec_id") % 250 === 0,
+        initPred = col("vec_id") % 100 === 0,
+        nprobe = 2, subspaces = 8, dims = 64, iters = 2, k = 5)
+      .orderBy("qid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.map(_._1).distinct.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length == 5, s"qid $q: ${rows.length} rows")
+      assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted,
+        s"qid $q: ADC not monotone in rank")
+      // ADC is an exact squared distance to a reconstruction: never negative
+      assert(rows.forall(_._4 >= 0))
+    }
+  }
+
   test("perplexity gate drops the bottom quarter by value, ties together") {
     import graft.ops.TextOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

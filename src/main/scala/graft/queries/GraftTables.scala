@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-/** Testdata access. The `events` table stores TIMESTAMP(NANOS) which Spark's
-  * parquet reader rejects by default (PARQUET_TYPE_ILLEGAL); sessions set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[GraftSession]]) and this
-  * reader normalizes the nano longs back to TimestampType micros — matching
-  * DuckDB's nano→micro truncation, so oracles agree.
+/** Testdata access. Current testdata stores naive `timestamp[us]` columns;
+  * [[GraftSession]] disables TIMESTAMP_NTZ inference so they read as
+  * TimestampType in the UTC session, matching DuckDB's naive reading of the
+  * same files. Older generations stored TIMESTAMP(NANOS) (rejected by
+  * Spark's reader unless `spark.sql.legacy.parquet.nanosAsLong=true`);
+  * that config plus this reader's long-ts normalization keep those files
+  * readable too — a no-op on current data.
   */
 object GraftTables {
   def read(s: SparkSession, dir: String, name: String): DataFrame = {
@@ -32,6 +34,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata `ts` is naive timestamp[us]; read it as TimestampType in
+      // the UTC session (not TIMESTAMP_NTZ) so unix_micros()/watermarks
+      // work and values match DuckDB's naive reading of the same file
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // reap reliable checkpoint files (ConnectedComponents per-round
       // checkpoints) once their RDDs are GC'd — otherwise every superseded

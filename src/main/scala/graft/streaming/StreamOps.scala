@@ -14,19 +14,21 @@ import graft.functions.protect
   */
 object StreamOps {
 
-  /** events table schema as stored (ts = TIMESTAMP(NANOS) read as long). */
+  /** events table schema as stored (naive timestamp[us]; the session reads
+    * it as TimestampType in UTC — see GraftSession's inferTimestampNTZ
+    * opt-out, which file-source streams honor via this explicit schema).
+    */
   val rawEventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (legacy-long mode)
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source event stream with ts normalized to TimestampType micros. */
+  /** File-source event stream (ts already TimestampType micros). */
   def readEventStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(rawEventSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Protect the payload in-flight, then hourly windowed aggregation with a
     * watermark — proves protection expressions are streaming-safe (per-row,

@@ -792,6 +792,71 @@ object Similarity {
       .select("qid", "nbr", "rnk", "d2")
   }
 
+  /** IVF ANN on the exact ×10⁴ integer grid — [[annIvf]] with the
+    * float spherical-k-means trainer swapped for [[pqLoop]] at full
+    * dimension (VERDICT r8 #5: s11 proved the coarse-quantized k-means +
+    * exact-integer chain is fully SQL-replayable; this is that chain
+    * WITHOUT the residual product codes, i.e. FAISS `IndexIVFFlat`).
+    * Coarse training (floor-mean Lloyd's, `coarsePred` seeds, empty
+    * clusters keep their previous centroid), assignment (native argmin-L2
+    * kernel, one row per vector), probe ranking (each query ranks the
+    * nlist centroids by exact L2, keeps `nprobe`), and the scan (exact L2
+    * against the TRUE vectors of the probed lists — no reconstruction
+    * error) are all integer-exact, so the whole pipeline replays
+    * bit-for-bit in SQL: the s04 oracle is s11's chain minus the
+    * per-subspace residual CTEs.
+    *
+    * Scale shape: identical to [[annIvfPq]]'s skeleton — the codebook is a
+    * driver-resident literal (nlist×dims longs), assignment is a pure
+    * projection, queries broadcast to probe, the scan is an equality
+    * broadcast-hash join on cid touching only ~nprobe/nlist of the corpus,
+    * and the per-query top-k is one window. IVFFlat pays full vector bytes
+    * per scanned row (use [[annIvfPq]] when memory, not recall, binds).
+    */
+  def annIvfExact(emb: DataFrame, idCol: String, embCol: String,
+      queryPred: Column, coarsePred: Column, nprobe: Int = 5,
+      iters: Int = 2, k: Int = 5,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireIntegralId(emb, idCol, "annIvfExact")
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val base = scope.cached(
+      emb.select(col(idCol).cast("long").as(idCol),
+        quantize(col(embCol)).as("qv")))
+    val coarse = pqLoop(base.select(col(idCol), col("qv").as("sv")),
+      idCol, coarsePred, iters)
+    val coarseCvs = coarse.map(_._2)
+    val assigned = base
+      .withColumn("cid", element_at(typedlit(coarse.map(_._1)),
+        graft.functions.VectorFunctions.argmin_l2_centroid(
+          col("qv"), coarseCvs) + 1))
+      .withColumn("nrm", dotQ(col("qv"), col("qv")))
+      .select(col(idCol), col("cid"), col("qv"), col("nrm"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = coarse.toDF("cid", "ccv")
+      .withColumn("cn", dotQ(col("ccv"), col("ccv")))
+    val queries = base.filter(queryPred)
+      .select(col(idCol).as("qid"), col("qv").as("qq"))
+      .withColumn("qn", dotQ(col("qq"), col("qq")))
+    val wProbe = Window.partitionBy("qid").orderBy(col("d2c"), col("cid"))
+    val probes = queries.join(broadcast(centDf), lit(true))
+      .withColumn("d2c", col("qn") + col("cn")
+        - lit(2L) * dotQ(col("qq"), col("ccv")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nprobe)
+      .select(col("qid"), col("qq"), col("qn"), col("cid"))
+    val wRank = Window.partitionBy("qid").orderBy(col("d2"), col("nbr"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("d2",
+        col("qn") + col("nrm") - lit(2L) * dotQ(col("qq"), col("qv")))
+      .select(col("qid"), col(idCol).as("nbr"), col("d2"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .select("qid", "nbr", "rnk", "d2")
+  }
+
   /** L2 twin of [[kmeansLoop]] over a subvector column `sv`: floor-mean
     * Lloyd's rounds, centroids driver-resident between rounds, empty
     * clusters keep their previous centroid, cids ascending (kernel

@@ -1075,11 +1075,69 @@ $prRounds
         FROM en a JOIN en b ON a.vec_id < b.vec_id)
       SELECT d1, d2, cos_r FROM pairs WHERE cos_r >= 0.4 ORDER BY d1, d2""")),
 
+    // IVF on the exact ×10⁴ integer grid (FAISS IndexIVFFlat): coarse
+    // k-means trained by the same floor-mean Lloyd's chain as s11, queries
+    // probe nprobe lists, the scan ranks the TRUE vectors of the probed
+    // lists by exact L2. Hash-green (VERDICT r8 #5): the oracle is s11's
+    // chain minus the residual-PQ CTEs — coarse training, assignment,
+    // probe ranking and the scan all replay bit-for-bit. The float
+    // spherical-k-means form (Similarity.annIvf) stays the s05
+    // recall-gated helper.
     ("s04_ann_ivf", (s: SparkSession, dir: String) => {
-      Similarity.annIvf(rd(s, dir, "embeddings"), "vec_id", "embedding",
-          col("vec_id") % 50 === 0, nlist = 16, nprobe = 7, k = 5)
+      Similarity.annIvfExact(rd(s, dir, "embeddings"), "vec_id", "embedding",
+          queryPred = col("vec_id") % 50 === 0,
+          coarsePred = col("vec_id") % 250 === 0,
+          nprobe = 7, iters = 2, k = 5)
         .orderBy("qid", "rnk")
-    }, None), // IVF candidate set is index-dependent → rows-only check
+    }, Some {
+      // s11's assign/floor-mean coarse chain, scan on exact vectors
+      def asg(src: String, cents: String) = s"""(SELECT vec_id, cid FROM (
+          SELECT s.vec_id, c.cid, row_number() OVER (PARTITION BY s.vec_id
+            ORDER BY s.n2 + c.cn - 2*CAST(list_dot_product(s.sv, c.cv) AS BIGINT)
+              ASC, c.cid ASC) AS rn
+          FROM $src s CROSS JOIN $cents c) WHERE rn = 1)"""
+      s"""
+      WITH e AS (SELECT vec_id,
+          list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS q
+        FROM embeddings),
+      cn0 AS (SELECT vec_id, q AS sv,
+          CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM e),
+      cc0 AS (SELECT vec_id AS cid, sv AS cv, n2 AS cn FROM cn0
+              WHERE vec_id % 250 = 0),
+      ca1 AS ${asg("cn0", "cc0")},
+      cqd AS (SELECT a.cid, u.i AS pos, s.sv[u.i+1] AS v
+              FROM cn0 s JOIN ca1 a USING (vec_id),
+                UNNEST(range(0, len(s.sv))) u(i)),
+      cmm AS (SELECT cid, pos,
+          (sum(v) - ((sum(v) % count(*)) + count(*)) % count(*)) // count(*) AS mv
+        FROM cqd GROUP BY 1, 2),
+      ccm AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM cmm GROUP BY cid),
+      cc1 AS (SELECT c0.cid, COALESCE(cm.cv, c0.cv) AS cv,
+          CAST(list_dot_product(COALESCE(cm.cv, c0.cv), COALESCE(cm.cv, c0.cv))
+            AS BIGINT) AS cn
+        FROM cc0 c0 LEFT JOIN ccm cm USING (cid)),
+      ccode AS ${asg("cn0", "cc1")},
+      base AS (SELECT s.vec_id, d.cid, s.sv AS q, s.n2 AS nrm
+               FROM cn0 s JOIN ccode d USING (vec_id)),
+      qs AS (SELECT vec_id AS qid, q AS qq,
+               CAST(list_dot_product(q, q) AS BIGINT) AS qn
+             FROM e WHERE vec_id % 50 = 0),
+      probes AS (SELECT qid, qq, qn, cid FROM (
+          SELECT qs.qid, qs.qq, qs.qn, c.cid,
+            row_number() OVER (PARTITION BY qs.qid ORDER BY
+              qs.qn + c.cn - 2*CAST(list_dot_product(qs.qq, c.cv) AS BIGINT)
+                ASC, c.cid ASC) AS prn
+          FROM qs CROSS JOIN cc1 c)
+        WHERE prn <= 7),
+      cand AS (SELECT p.qid, b.vec_id AS nbr,
+                 p.qn + b.nrm - 2*CAST(list_dot_product(p.qq, b.q) AS BIGINT) AS d2
+               FROM probes p JOIN base b USING (cid) WHERE b.vec_id <> p.qid)
+      SELECT qid, nbr, rnk, d2 FROM (
+        SELECT qid, nbr, d2,
+          row_number() OVER (PARTITION BY qid ORDER BY d2, nbr) AS rnk
+        FROM cand)
+      WHERE rnk <= 5 ORDER BY qid, rnk"""
+    }),
 
     // s02/s04 companion with an oracle: the ANN candidate sets are
     // index-dependent, but their RECALL against the exact top-k is a
@@ -1106,6 +1164,9 @@ $prRounds
           emb, "vec_id", "embedding", queryPred, k = 5))
         .unionAll(recallOf("ivf", Similarity.annIvf(
           emb, "vec_id", "embedding", queryPred, nlist = 16, nprobe = 7, k = 5)))
+        .unionAll(recallOf("ivf_exact", Similarity.annIvfExact(
+          emb, "vec_id", "embedding", queryPred,
+          coarsePred = col("vec_id") % 250 === 0, nprobe = 7, k = 5)))
         .orderBy("method")
     }, Some("""
       WITH e AS (SELECT vec_id,
@@ -1124,7 +1185,7 @@ $prRounds
       ex AS (SELECT qid, nbr FROM ranked WHERE rnk <= 5)
       SELECT m.method, CAST(q.n AS BIGINT) AS n_queries,
         CAST(p.n AS BIGINT) AS n_exact_pairs, CAST(1 AS BIGINT) AS recall_ok
-      FROM (VALUES ('hyperplane'), ('ivf')) m(method),
+      FROM (VALUES ('hyperplane'), ('ivf'), ('ivf_exact')) m(method),
         (SELECT count(DISTINCT qid) AS n FROM ex) q,
         (SELECT count(*) AS n FROM ex) p
       ORDER BY m.method""")),

@@ -97,6 +97,62 @@ class ExplainSpec extends SparkSpec {
       s"s10 scan must not shuffle the corpus into a merge join:\n$plan")
   }
 
+  test("d22 span removal: one windows explode, residual filter is a HOF projection") {
+    // the d22 scale claim (VERDICT r8 #6): the residual text is rebuilt by
+    // a per-doc higher-order filter over the token array — NEVER a
+    // per-token explode (that would put n_tokens rows per doc through the
+    // plan where the windows explode puts n_tokens-k+1 GRAM rows, and the
+    // reassembly would need a corpus-wide ordered re-agg). The only
+    // Generate allowed is the k-gram windows explode of the spans core
+    // (it appears once per consumer of the uncached wins frame).
+    val plan = executedPlan("d22_span_removal")
+    val generateLines = plan.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(generateLines.nonEmpty, s"d22 expects the windows posexplode:\n$plan")
+    // every Generate must be the k-gram windows explode (its gram assembly
+    // concat_ws is in the generator expression); a bare per-token explode
+    // (posexplode(_toks#…)) has no gram assembly and fails both asserts
+    generateLines.foreach(l => assert(l.contains("concat_ws"),
+      s"d22 has a non-window Generate (per-token explode?):\n$l"))
+    assert(!plan.contains("posexplode(_toks") && !plan.contains("explode(_toks"),
+      s"d22 must never explode per-token:\n$plan")
+    assert(plan.contains("lambdafunction"),
+      s"d22 residual reassembly must be a higher-order filter projection:\n$plan")
+    assertNoQuadraticJoins("d22", plan)
+  }
+
+  test("d24 bloom decontamination: stateless probe filter, broadcast verify join") {
+    // the d24 scale claim (VERDICT r8 #6): the clean corpus mass passes
+    // through ONE stateless codegen'd bloom-probe Filter (streams, no
+    // shuffle); only the suspicious sliver is re-shingled into the exact
+    // verify join, whose benchmark side is explicitly broadcast
+    val plan = executedPlan("d24_decontamination_bloom")
+    assert(plan.contains("any_gram_in_bloom"),
+      s"d24 corpus pre-screen must be the native bloom-probe filter:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"d24 verify join must broadcast the benchmark gram side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"d24 must not shuffle the corpus into a merge join:\n$plan")
+    assertNoQuadraticJoins("d24", plan)
+  }
+
+  test("t22 perplexity gate: corpus plan is a pure filter — no Window, no global sort") {
+    // the t22 scale claim (VERDICT r8 #6): the quantile threshold comes
+    // from a bounded histogram job (its single-partition window runs over
+    // ≤10⁶+1 histogram rows, never the corpus) and crosses the driver as
+    // one long — so the RETURNED corpus plan must be score + filter only:
+    // no Window node, no single-partition exchange, no corpus-wide rank
+    val df = graft.ops.TextOps.bigramLmFilter(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      dropPct = 25)
+    assert(df.collect().length > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"t22 corpus plan must not rank/window the corpus:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"t22 corpus plan must not funnel into one partition:\n$plan")
+    assertNoQuadraticJoins("t22", plan)
+  }
+
   test("s11 IVF-PQ: the list scan is an equality broadcast-hash join on cid") {
     // THE IVF point: the scan must touch only probed lists via an equality
     // join on cid — if this degrades to a nested-loop/cartesian against

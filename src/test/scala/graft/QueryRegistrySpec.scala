@@ -6,10 +6,10 @@ package graft
   */
 class QueryRegistrySpec extends SparkSpec {
 
-  // d19 left this set in r8 (its oracle chains s09's trajectory replay
-  // into d14's prune CTE) — 4 rows-only remain, each gated by a green twin
+  // s04 left this set in r9 (annIvfExact replays s11's integer coarse
+  // chain) — 3 rows-only remain, each gated by a green twin
   private val knownRowsOnly = Set("d04_simhash_pairs", "s02_ann_hyperplane",
-    "s04_ann_ivf", "t06_rolling_fingerprint")
+    "t06_rolling_fingerprint")
   // queries whose sf0.001 result may legitimately be empty (no near-dup
   // pairs / above-threshold rows in the tiny sample)
   private val mayBeEmpty = Set("d02_jaccard_pairs", "d03_minhash_lsh",

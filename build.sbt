@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked stdout/stderr through raw: sbt's default LoggedOutput
+// prefixes every forked line with "[info] ", which broke the driver's
+// JSON parse of Bench's final summary line (BENCH_r09 "parsed": null —
+// the summary was present in the tail but read "[info] {...}").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -101,7 +101,7 @@ object Bench {
     .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(480L) * 1000L
 
   /** Per-task telemetry: sum of executor run time, max single task, GC. */
-  private final class TaskStatsListener extends SparkListener {
+  private[graft] final class TaskStatsListener extends SparkListener {
     val taskMs = new java.util.concurrent.atomic.AtomicLong
     val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
     val taskGcMs = new java.util.concurrent.atomic.AtomicLong
@@ -136,7 +136,7 @@ object Bench {
     def value: Double = if (isolated >= 0) math.min(med, isolated) else med
   }
 
-  private def freshSession(cpus: String): (SparkSession, TaskStatsListener) = {
+  private[graft] def freshSession(cpus: String): (SparkSession, TaskStatsListener) = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -170,6 +170,13 @@ object Bench {
     // ran (ADVICE r7) — with telemetry attached, a convincing-looking lie.
     var errors = 0
     val times = (0 until QueryWarmup + QueryIters).flatMap { i =>
+      // Per-iteration cache clear (VERDICT r9 #7): a query that caches
+      // internally and doesn't unpersist lets later iterations ride the
+      // first run's cache — d03's min sat at 0.97 s vs med 2.66 s, a 2.7×
+      // med/min spread that read as contamination. Clearing BEFORE each
+      // timed run (untimed) makes every iteration measure the same cold
+      // work, so med/min spread is noise again.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => errors += 1; false }
@@ -193,22 +200,27 @@ object Bench {
     * and relays its output/exit code verbatim; the 8 GB-realism
     * measurement still happens, deliberately, in the [[heapSmoke]] row.
     *
-    * Heap size (VERDICT r8 #4/#7): the sweep itself runs at a MODERATE
-    * 16 GB default — the ~96 GB heap absorbed a whole sweep's
+    * Heap size (VERDICT r8 #4/#7, r9 #1): the sweep itself runs at a
+    * MODERATE 16 GB — the ~96 GB heap absorbed a whole sweep's
     * ContextCleaner debt without a major GC and is exactly what inflated
-    * d07's published median (12.6 s at 96 GB vs 5.4 s at 8 GB). The big
-    * heap is only needed for the 100× scale section, so it is applied
-    * only when that section is opted in.
+    * d07's published median (12.6 s at 96 GB vs 5.4 s at 8 GB). The
+    * re-exec is authoritative in BOTH directions (VERDICT r9 #1: the old
+    * `>= target → keep` check let the driver's 95.6 GB parent keep its
+    * huge heap, silently defeating the moderate-heap sweep — d06/s07
+    * needed isolation rescues): any parent heap more than ~25% away from
+    * the target re-execs into a child sized exactly at the target. The
+    * big heap is only used by the 100× scale section, which forks its own
+    * 96 GB child (see [[scale100xForked]]) so the sweep never inherits it.
     */
   private def reexecBigHeap(): Unit = {
     if (sys.env.contains("GRAFT_BENCH_NO_REEXEC")) return
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
-    val mem = sys.env.getOrElse("SPARK_GRAFT_REEXEC_MEM",
-      if (sys.env.get("SPARK_GRAFT_SCALE100X").contains("1")) "96g" else "16g")
-    val memGb = scala.util.Try(mem.toLowerCase.stripSuffix("g").toLong)
-      .getOrElse(96L)
-    if (Runtime.getRuntime.maxMemory / (1L << 30) >= memGb) return
+    val mem = sys.env.getOrElse("SPARK_GRAFT_REEXEC_MEM", "16g")
+    val memGb = scala.util.Try(mem.toLowerCase.stripSuffix("g").toDouble)
+      .getOrElse(16.0)
+    val curGb = Runtime.getRuntime.maxMemory / (1L << 30).toDouble
+    if (math.abs(curGb - memGb) / memGb <= 0.25) return
     val cmd = (Seq(javaBin, s"-Xmx$mem", "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC") ++ jdk17AddOpens ++
       Seq("-cp", cp, "graft.Bench")).toArray
@@ -282,18 +294,25 @@ object Bench {
     // major GC), so one forked child JVM re-measures d07 at -Xmx8g — the
     // BenchProbe configuration that reproduced the r6 56× inflation. Runs
     // BEFORE the isolation pass because its number feeds the cross-check.
+    // The 8 GB child replays the sweep's 5 SLOWEST queries (VERDICT r9 #2:
+    // the d07-only check was structurally blind to d06, this round's actual
+    // contamination case), so every heavy query gets a small-heap
+    // cross-check, not just the historical offender.
+    val slowest5 = stats.toSeq.filter(!_._2.failed)
+      .sortBy(-_._2.med).take(5).map(_._1)
     val heap8g =
-      if (remainingS > 180) heapSmoke(sfDir, cpus)
+      if (remainingS > 180) heapSmoke(sfDir, cpus, slowest5)
       else """{"skipped":"budget"}"""
-    // heap8g cross-check (VERDICT r8 #2): the 8 GB row disagreeing with the
+    // heap8g cross-check (VERDICT r8 #2): an 8 GB row disagreeing with the
     // big-heap sweep median by >2× is the ContextCleaner-debt signature —
     // an automatic isolation trigger for that query regardless of what the
-    // per-run-ideal heuristic thought.
-    val h8MedRe = """"med":([0-9.]+)""".r
+    // per-run-ideal heuristic thought. Applied per-query over all rows the
+    // child measured.
     val heap8gFlagged: Set[String] =
-      Seq("d07_curation_pipeline").flatMap { q =>
+      slowest5.flatMap { q =>
         for {
-          m <- h8MedRe.findFirstMatchIn(heap8g)
+          m <- ("\"" + q + "\":\\{\"med\":([0-9.]+)").r
+            .findFirstMatchIn(heap8g)
           s <- stats.get(q)
           if !s.failed && s.med > 2.0 * m.group(1).toDouble
         } yield q
@@ -340,18 +359,21 @@ object Bench {
     // corpus — one gated, fully-instrumented run each (the two-decade
     // scaling curve). OPT-IN via SPARK_GRAFT_SCALE100X=1 (VERDICT r8 #1b:
     // default-on 100× is what pushed the r8 driver run past its window),
-    // and still budget-gated even when opted in.
+    // and still budget-gated even when opted in. The section runs in a
+    // forked 96 GB child (VERDICT r9 #1/#2: the big heap the 100× corpus
+    // needs must never leak into the 16 GB sweep), and the child persists
+    // its rows to `bench_scale100x.json` — a standalone committed artifact
+    // that non-opted-in runs EMBED (with a "source" provenance field)
+    // instead of erasing, so the dedicated measurement survives the
+    // driver's per-round regeneration of bench_full.json.
     val run100x = sys.env.get("SPARK_GRAFT_SCALE100X").contains("1")
     val (scale100x, scale100xSecs) =
       if (run100x && remainingS > 300) {
         spark.stop()
         System.gc()
-        val fresh100 = freshSession(cpus)
-        spark = fresh100._1; listener = fresh100._2
-        scale100xRows(spark, listener, sfDir)
+        scale100xForked(sfDir, cpus)
       } else if (run100x) ("""{"skipped":"budget"}""", Seq.empty[(String, Double)])
-      else ("""{"skipped":"opt-in (SPARK_GRAFT_SCALE100X=1)"}""",
-        Seq.empty[(String, Double)])
+      else scale100xFromArtifact()
 
     val errorNames = stats.collect { case (k, s) if s.failed => k }.toVector
     val results = stats.collect { case (k, s) if !s.failed => k -> s.value }
@@ -391,8 +413,14 @@ object Bench {
       .mkString("{", ",", "}")
     val vps = """"([a-z0-9_]+)":\{[^}]*"values_per_s":(\d+)""".r
     val pageFound = vps.findAllMatchIn(page).map(m => m.group(1) -> m.group(2)).toMap
+    val vpsBest = """"([a-z0-9_]+)":\{[^}]*"values_per_s_best":(\d+)""".r
+    val pageBestFound = vpsBest.findAllMatchIn(page)
+      .map(m => m.group(1) -> m.group(2)).toMap
     val pageSummary = Seq("v1_plain_uncompressed", "v1_plain_snappy")
       .flatMap(k => pageFound.get(k).map(v => "\"" + k + "\":" + v))
+      .mkString("{", ",", "}")
+    val pageBestSummary = Seq("v1_plain_uncompressed", "v1_plain_snappy")
+      .flatMap(k => pageBestFound.get(k).map(v => "\"" + k + "\":" + v))
       .mkString("{", ",", "}")
     // Scale summaries come straight from the measured (key, sec) pairs — the
     // r7 regex silently dropped every row because the rows led with "form",
@@ -467,10 +495,18 @@ object Bench {
       ratio("jvm_string_xor_per_value", "jvm_string_aes_det_per_value") +
       ", int64 " +
       ratio("jvm_int64_xor_per_value", "jvm_int64_aes_det_per_value") + ".\n"
-    md ++= "\n## Page encrypt (values/s)\n\n"
+    md ++= "\n## Page encrypt (values/s)\n\nAvg follows the reference " +
+      "protocol; med/best are robust to ambient spikes (ADVICE r9: a " +
+      "load-contaminated avg published a 3× apparent drop for " +
+      "v2_plain_snappy) — cite med or best when comparing rounds.\n\n" +
+      "| scenario | avg | med | best |\n|---|---|---|---|\n"
+    val vpsMed = """"([a-z0-9_]+)":\{[^}]*"values_per_s_med":(\d+)""".r
+    val pageMedFound = vpsMed.findAllMatchIn(page)
+      .map(m => m.group(1) -> m.group(2)).toMap
     Seq("v1_plain_uncompressed", "v1_plain_snappy", "v2_plain_snappy",
       "dict_plain_snappy").foreach { k =>
-      md ++= s"- $k: ${pageFound.getOrElse(k, "—")}\n"
+      md ++= s"| $k | ${pageFound.getOrElse(k, "—")} | " +
+        s"${pageMedFound.getOrElse(k, "—")} | ${pageBestFound.getOrElse(k, "—")} |\n"
     }
     def scaleTable(title: String, json: String, secs: Seq[(String, Double)]): Unit =
       if (secs.nonEmpty) {
@@ -483,19 +519,27 @@ object Bench {
       } else if (json.contains("error"))
         md ++= s"\n## $title\n\nERROR: $json\n"
     scaleTable("scale10x (synthesized 10× corpus)", scale10x, scale10xSecs)
-    scaleTable("scale100x (synthesized 100× corpus)", scale100x, scale100xSecs)
-    md ++= "\n## 8 GB-heap smoke (GC-debt regression guard)\n\n"
-    val h8med = jsonField(heap8g, "d07_curation_pipeline", "med")
-    val h8big = stats.get("d07_curation_pipeline").map(s => r3(s.value).toString)
-      .getOrElse("—")
-    md ++= s"- d07_curation_pipeline: $h8med s at 8 GB vs $h8big s " +
-      "big-heap (bar: ≤ ~2×; beyond it the ContextCleaner-debt bug class " +
-      "is back)\n"
+    val t100 = "scale100x (synthesized 100× corpus" +
+      (if (scale100x.contains("\"source\""))
+        "; rows from the committed `bench_scale100x.json` dedicated 96 GB run)"
+      else ")")
+    scaleTable(t100, scale100x, scale100xSecs)
+    md ++= "\n## 8 GB-heap smoke (GC-debt regression guard)\n\n" +
+      "Sweep's 5 slowest queries replayed in a forked 8 GB child; bar: " +
+      "big-heap/8 GB ≤ ~2×, beyond it the ContextCleaner-debt bug class " +
+      "is back.\n\n| query | 8 GB med s | big-heap s | ratio |\n|---|---|---|---|\n"
+    slowest5.foreach { q =>
+      val h8 = jsonField(heap8g, q, "med")
+      val big = stats.get(q).map(s => r3(s.value)).getOrElse(-1.0)
+      val ratio = scala.util.Try(big / h8.toDouble).toOption
+        .filter(_ > 0).map(r => f"$r%.2f").getOrElse("—")
+      md ++= s"| $q | $h8 | ${if (big >= 0) big else "—"} | $ratio |\n"
+    }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_summary.md").toAbsolutePath,
       md.toString.getBytes("UTF-8"))
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson,"queries":$slowest,"section_totals_sec":$bySection,"crypto_rows_per_s":$cryptoSummary,"page_encrypt_values_per_s":$pageSummary,"scale10x_sec":$scaleSummary,"scale100x_sec":$scale100Summary,"loadavg":"$loadEnd","sf":"$sfDir","full":"$fullPath"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson,"queries":$slowest,"section_totals_sec":$bySection,"crypto_rows_per_s":$cryptoSummary,"page_encrypt_values_per_s":$pageSummary,"page_encrypt_values_per_s_best":$pageBestSummary,"scale10x_sec":$scaleSummary,"scale100x_sec":$scale100Summary,"loadavg":"$loadEnd","sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 
@@ -594,13 +638,64 @@ object Bench {
     } catch { case e: Throwable => (scaleErr(e), Seq.empty) }
   }
 
+  /** Secs pairs out of a scale100x rows JSON (format is ours — each row
+    * leads with `"sec"`).
+    */
+  private def scale100xSecsOf(json: String): Seq[(String, Double)] =
+    """"([a-z0-9_]+_100x)":\{"sec":([0-9.]+)""".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+
+  /** Embed a previously-measured `bench_scale100x.json` (written by the
+    * dedicated [[Scale100x]] child) so regenerating bench_full.json without
+    * SPARK_GRAFT_SCALE100X=1 doesn't erase the committed 100× evidence. The
+    * embedded object leads with a "source" field so a reader can tell the
+    * rows come from the standalone artifact (which carries its own heap_gb
+    * and unix stamp), not from this run.
+    */
+  private def scale100xFromArtifact(): (String, Seq[(String, Double)]) = {
+    val p = java.nio.file.Paths.get("bench_scale100x.json").toAbsolutePath
+    if (!java.nio.file.Files.exists(p))
+      ("""{"skipped":"opt-in (SPARK_GRAFT_SCALE100X=1)"}""",
+        Seq.empty[(String, Double)])
+    else {
+      val art = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      val tagged = "{\"source\":\"bench_scale100x.json\"," + art.stripPrefix("{")
+      (tagged, scale100xSecsOf(art))
+    }
+  }
+
+  /** Fork the 100× section into a 96 GB child JVM ([[Scale100x]]): the
+    * moderate-heap sweep must never inherit the big heap the ~0.5 M-doc
+    * corpus wants (VERDICT r9 #1), and a dedicated child means an OOM or
+    * timeout there can't take the sweep's artifact with it. The child
+    * writes `bench_scale100x.json` on success; the parent embeds it.
+    */
+  private def scale100xForked(sfDir: String, cpus: String): (String, Seq[(String, Double)]) = {
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val cmd = (Seq(javaBin, "-Xmx96g", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC") ++ jdk17AddOpens ++
+        Seq("-cp", cp, "graft.Scale100x", sfDir, cpus)).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.inheritIO()
+      val p = pb.start()
+      val waitS = math.min(math.max(remainingS - 60, 300), 3600)
+      val done = p.waitFor(waitS, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { p.destroyForcibly(); ("""{"error":"timeout"}""", Seq.empty) }
+      else if (p.exitValue() != 0)
+        (s"""{"error":"child exit ${p.exitValue()}"}""", Seq.empty)
+      else scale100xFromArtifact()
+    } catch { case e: Throwable => (scaleErr(e), Seq.empty) }
+  }
+
   /** The headline five on a 100× corpus (VERDICT r7 #5): with the 10× rows,
     * a measured two-decade scaling curve. One gated+retried row each (the
     * corpus is ~0.5 M docs / 0.2 M vectors — big enough that a second
     * unconditional run would double a multi-minute section for little
     * information; the retry logic still re-runs on disagreement/hot-task).
     */
-  private def scale100xRows(spark: SparkSession, listener: TaskStatsListener,
+  private[graft] def scale100xRows(spark: SparkSession, listener: TaskStatsListener,
       sfDir: String): (String, Seq[(String, Double)]) = {
     val workDir =
       sys.env.getOrElse("SPARK_GRAFT_100X_DIR", "/tmp/graft_scale100x")
@@ -638,14 +733,14 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  private def heapSmoke(sfDir: String, cpus: String): String = {
+  private def heapSmoke(sfDir: String, cpus: String,
+      names: Seq[String]): String = {
     try {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val cp = System.getProperty("java.class.path")
       val cmd = (Seq(javaBin, "-Xmx8g", "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC") ++ jdk17AddOpens ++
-        Seq("-cp", cp, "graft.HeapSmoke", sfDir, cpus,
-          "d07_curation_pipeline")).toArray
+        Seq("-cp", cp, "graft.HeapSmoke", sfDir, cpus) ++ names).toArray
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()
@@ -844,17 +939,35 @@ object Bench {
         None, compression)
       (0 until 2).foreach(_ => a.encryptPage(payload, attrs))
     }
+    // Same load discipline as the crypto grid (ADVICE r9: v2_plain_snappy
+    // published a rows/s from an avg with stdev > avg — min 27.6 ms vs avg
+    // 171.9 ms is an external spike, not the op): a scenario whose stdev
+    // exceeds 50% of its mean re-runs once behind the quiet gate, and the
+    // row carries med/best figures so readers (and the one-line summary)
+    // aren't at the mercy of a contaminated average.
     val out = scenarios.map { case (name, compression, payload, attrs) =>
       val agent = LocalProtectionAgent.initPage("bench-key", "v", "BYTE_ARRAY",
         None, compression)
-      val times = (0 until Warmup + Iters).map { _ =>
+      def lap(): Seq[Double] = (0 until Warmup + Iters).map { _ =>
         val t0 = System.nanoTime()
         agent.encryptPage(payload, attrs)
         (System.nanoTime() - t0) / 1e6
       }.drop(Warmup)
-      val avg = times.sum / times.size
-      val sd = stdev(times, avg)
-      f""""$name":{"avg_ms":$avg%.1f,"min_ms":${times.min}%.1f,"max_ms":${times.max}%.1f,"stdev_ms":$sd%.1f,"values_per_s":${n / (avg / 1000)}%.0f,"mb_per_s":${payload.length / 1e6 / (avg / 1000)}%.1f}"""
+      val load = loadavgStr()
+      var times = lap()
+      var avg = times.sum / times.size
+      var sd = stdev(times, avg)
+      var retried = false
+      if (sd > 0.5 * avg) {
+        waitForQuiet(2.0, 120)
+        val t2 = lap()
+        val a2 = t2.sum / t2.size
+        val s2 = stdev(t2, a2)
+        if (s2 / a2 < sd / avg) { times = t2; avg = a2; sd = s2 }
+        retried = true
+      }
+      val med = times.sorted.apply(times.size / 2)
+      f""""$name":{"avg_ms":$avg%.1f,"med_ms":$med%.1f,"min_ms":${times.min}%.1f,"max_ms":${times.max}%.1f,"stdev_ms":$sd%.1f,"values_per_s":${n / (avg / 1000)}%.0f,"values_per_s_med":${n / (med / 1000)}%.0f,"values_per_s_best":${n / (times.min / 1000)}%.0f,"mb_per_s":${payload.length / 1e6 / (avg / 1000)}%.1f,"load":"$load","retried":$retried}"""
     }
     out.mkString(s"""{"values":$n,"payload_bytes":${valueBytes.length},""", ",", "}")
   }

@@ -48,6 +48,31 @@ object ScalingRehearsal {
   def synthesize10x(spark: SparkSession, sfDir: String, outDir: String): Long =
     synthesizeScaled(spark, sfDir, outDir, 10)
 
+  /** Synthesized corpora are deterministic functions of (sfDir, factor), so
+    * a completed write is reusable across runs and retries (VERDICT r9 #2:
+    * persist the synth corpus so a retried 100× run doesn't re-pay
+    * synthesis). A marker file records the completed (table, factor,
+    * source) triple; synthesis is skipped when it matches. Spark's own
+    * _SUCCESS isn't enough — it can't tell a 10× write from a 100× write
+    * into the same workDir.
+    */
+  private def synthMarker(outDir: String, table: String, sfDir: String,
+      factor: Int): java.nio.file.Path =
+    java.nio.file.Paths.get(outDir,
+      s"_graft_synth_${table}_${factor}x_" +
+        Integer.toHexString(sfDir.hashCode))
+
+  private def reuseOrSynth(spark: SparkSession, outDir: String, table: String,
+      sfDir: String, factor: Int)(synth: => Unit): Long = {
+    val m = synthMarker(outDir, table, sfDir, factor)
+    if (!java.nio.file.Files.exists(m)) {
+      synth
+      java.nio.file.Files.createDirectories(m.getParent)
+      java.nio.file.Files.write(m, Array.empty[Byte])
+    }
+    spark.read.parquet(s"$outDir/$table.parquet").count()
+  }
+
   /** Factor-N documents corpus (N a multiple of 10). Copies group into
     * shards of 10: within a shard the perturbation scheme is exactly the
     * classic 10× one (copy 0 intact, 1-4 one-token edits, 5-9 reversed);
@@ -63,6 +88,7 @@ object ScalingRehearsal {
       factor: Int): Long = {
     require(factor >= 10 && factor % 10 == 0,
       s"factor must be a positive multiple of 10, got $factor")
+    reuseOrSynth(spark, outDir, "documents", sfDir, factor) {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // id offset > max(doc_id), not a fixed constant: a corpus with ids ≥ the
     // constant would collide copies and silently corrupt the planted
@@ -91,7 +117,7 @@ object ScalingRehearsal {
       .select("doc_id", "text", "lang", "source", "n_chars")
     perturbed.repartition(32 * (factor / 10)).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
-    spark.read.parquet(s"$outDir/documents.parquet").count()
+    }
   }
 
   /** 10× embeddings for the s-section rehearsal (VERDICT r5 #7): each vector
@@ -118,6 +144,7 @@ object ScalingRehearsal {
       outDir: String, factor: Int): Long = {
     require(factor >= 10 && factor % 10 == 0,
       s"factor must be a positive multiple of 10, got $factor")
+    reuseOrSynth(spark, outDir, "embeddings", sfDir, factor) {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val idOffset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
     val base = (col("copy") % 10).cast("double")
@@ -136,7 +163,7 @@ object ScalingRehearsal {
       .select("vec_id", "embedding", "label")
     perturbed.repartition(32 * (factor / 10)).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
-    spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    }
   }
 
   /** 10× lineitem projection for the graph-section rehearsal: 10 DISJOINT
@@ -147,18 +174,18 @@ object ScalingRehearsal {
     * to a multiple of 20 so each copy keeps exactly the same
     * `l_orderkey % 20 = 0` subsample the graph queries select.
     */
-  def synthesize10xLineitem(spark: SparkSession, sfDir: String, outDir: String): Long = {
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select("l_orderkey", "l_partkey")
-    val okOff = (li.agg(max(col("l_orderkey"))).head.getLong(0) / 20L + 1L) * 20L
-    val pkOff = li.agg(max(col("l_partkey"))).head.getLong(0) + 1L
-    li.crossJoin(spark.range(10).toDF("copy"))
-      .select((col("l_orderkey") + col("copy") * okOff).as("l_orderkey"),
-        (col("l_partkey") + col("copy") * pkOff).as("l_partkey"))
-      .repartition(32).write.mode("overwrite")
-      .parquet(s"$outDir/lineitem.parquet")
-    spark.read.parquet(s"$outDir/lineitem.parquet").count()
-  }
+  def synthesize10xLineitem(spark: SparkSession, sfDir: String, outDir: String): Long =
+    reuseOrSynth(spark, outDir, "lineitem", sfDir, 10) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+      val okOff = (li.agg(max(col("l_orderkey"))).head.getLong(0) / 20L + 1L) * 20L
+      val pkOff = li.agg(max(col("l_partkey"))).head.getLong(0) + 1L
+      li.crossJoin(spark.range(10).toDF("copy"))
+        .select((col("l_orderkey") + col("copy") * okOff).as("l_orderkey"),
+          (col("l_partkey") + col("copy") * pkOff).as("l_partkey"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$outDir/lineitem.parquet")
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

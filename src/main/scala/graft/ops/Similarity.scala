@@ -184,6 +184,56 @@ object Similarity {
       .select("qid", "nbr", "rnk", "cos_r")
   }
 
+  /** Exact-integer twin of [[annHyperplane]] (VERDICT r9 #6 — the s04
+    * treatment for s02): buckets come from [[graft.functions.HyperplaneSigExact]]
+    * — fmix32-parity ±1 planes over the ×10⁴-quantized BIGINT vectors, pure
+    * integer projections — so plane derivation, bucket assignment, hamming-
+    * multiprobe and the cosine re-rank all replay bit-for-bit in DuckDB and
+    * the registry row hash-matches its oracle (the float [[annHyperplane]]
+    * stays as the s05 recall-gated helper).
+    *
+    * Scale shape is identical to [[annHyperplane]]: corpus exploded once
+    * into (table, bucket) cells (shuffle-free projection), query probes
+    * broadcast, ONE equality join for candidate generation, narrow
+    * (qid, nbr) dedup, vectors join back only for the exact re-rank.
+    */
+  def annHyperplaneExact(emb: DataFrame, idCol: String, embCol: String,
+      queryPred: Column, k: Int = 5, tables: Int = 8, planes: Int = 6,
+      probeHamming: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketStructs = (0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        graft.functions.VectorFunctions.hyperplane_sig_exact(
+          col("qv"), t * planes, planes).as("b"))
+    }
+    val base = emb.select(col(idCol), quantize(col(embCol)).as("qv"))
+      .withColumn("nrm", dotQ(col("qv"), col("qv")))
+      .withColumn("tb", explode(array(bucketStructs: _*)))
+      .select(col(idCol), col("qv"), col("nrm"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+    val probes = base.filter(queryPred)
+      .withColumn("pm", explode(typedlit(hammingMasks(planes, probeHamming))))
+      .select(col(idCol).as("qid"), col("t"),
+        col("b").bitwiseXOR(col("pm")).as("b"))
+    val cands = base.join(broadcast(probes), Seq("t", "b"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol).as("nbr"))
+      .distinct()
+    val vecs = emb.select(col(idCol), quantize(col(embCol)).as("qv"))
+      .withColumn("nrm", dotQ(col("qv"), col("qv")))
+    val queries = vecs.filter(queryPred)
+      .select(col(idCol).as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
+    val scored = cands
+      .join(vecs.select(col(idCol).as("nbr"), col("qv"), col("nrm")), "nbr")
+      .join(broadcast(queries), "qid")
+      .withColumn("dot", dotQ(col("qq"), col("qv")))
+      .withColumn("cos_r", cosineQ(col("dot"), col("qn"), col("nrm")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nbr"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "nbr", "rnk", "cos_r")
+  }
+
   /** Deterministic spherical k-means over a bounded training sample —
     * driver-side, faiss-style (faiss trains its coarse quantizer on a
     * ≤256·nlist sample too; the cluster never pays more than ONE assignment

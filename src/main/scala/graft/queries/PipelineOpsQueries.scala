@@ -1054,11 +1054,59 @@ $prRounds
         FROM scored)
       SELECT qid, nbr, rnk, cos_r FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""")),
 
+    // Hyperplane ANN on the exact integer chain (VERDICT r9 #6 — the s04
+    // treatment): ±1 plane weights are fmix32 parities (split-multiply
+    // murmur3 finalizer, every intermediate < 2^48 so DuckDB BIGINT replays
+    // it wrap-free), projections are BIGINT sums over the ×10⁴-quantized
+    // vectors, multiprobe is integer XOR — the oracle rebuilds buckets,
+    // probes, candidates and the cosine re-rank bit-for-bit. The float
+    // mix64 form (Similarity.annHyperplane) stays the s05-gated helper.
     ("s02_ann_hyperplane", (s: SparkSession, dir: String) => {
-      Similarity.annHyperplane(rd(s, dir, "embeddings"), "vec_id", "embedding",
-          col("vec_id") % 50 === 0, k = 5)
+      Similarity.annHyperplaneExact(rd(s, dir, "embeddings"), "vec_id",
+          "embedding", col("vec_id") % 50 === 0, k = 5)
         .orderBy("qid", "rnk")
-    }, None), // LSH buckets depend on xxhash64 → rows-only check
+    }, Some("""
+      WITH e AS (SELECT vec_id,
+          list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS q
+        FROM embeddings),
+      en AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS nrm FROM e),
+      z0 AS (SELECT vec_id, tt.t, pp.p, q[u.i+1] AS qi,
+          ((tt.t*6 + pp.p) * 1048573 + u.i + 1) AS h
+        FROM en, range(0,8) tt(t), range(0,6) pp(p),
+          UNNEST(range(0, len(q))) u(i)),
+      z1 AS (SELECT vec_id, t, p, qi, xor(h, h // 65536) AS h FROM z0),
+      z2 AS (SELECT vec_id, t, p, qi,
+          ((h % 65536) * 2246822507
+            + (((h // 65536) * 2246822507) % 65536) * 65536) % 4294967296 AS h
+        FROM z1),
+      z3 AS (SELECT vec_id, t, p, qi, xor(h, h // 8192) AS h FROM z2),
+      z4 AS (SELECT vec_id, t, p, qi,
+          ((h % 65536) * 3266489909
+            + (((h // 65536) * 3266489909) % 65536) * 65536) % 4294967296 AS h
+        FROM z3),
+      z5 AS (SELECT vec_id, t, p, qi, xor(h, h // 65536) AS h FROM z4),
+      wsum AS (SELECT vec_id, t, p,
+          sum(CASE WHEN h % 2 = 0 THEN qi ELSE -qi END) AS proj
+        FROM z5 GROUP BY 1, 2, 3),
+      sig AS (SELECT vec_id, t,
+          CAST(sum(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+            AS BIGINT) AS b
+        FROM wsum GROUP BY 1, 2),
+      probes AS (SELECT s.vec_id AS qid, s.t, xor(s.b, CAST(m.m AS BIGINT)) AS b
+        FROM sig s, (VALUES (0),(1),(2),(4),(8),(16),(32)) m(m)
+        WHERE s.vec_id % 50 = 0),
+      cand AS (SELECT DISTINCT p.qid, s.vec_id AS nbr
+        FROM probes p JOIN sig s ON s.t = p.t AND s.b = p.b
+        WHERE s.vec_id <> p.qid),
+      scored AS (SELECT c.qid, c.nbr,
+          CAST(CAST(list_dot_product(a.q, b2.q) AS BIGINT) AS DOUBLE)
+            / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b2.nrm AS DOUBLE))) AS cos_r
+        FROM cand c JOIN en a ON a.vec_id = c.qid
+          JOIN en b2 ON b2.vec_id = c.nbr),
+      ranked AS (SELECT qid, nbr, cos_r,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, nbr) AS rnk
+        FROM scored)
+      SELECT qid, nbr, rnk, cos_r FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
     ("s03_cosine_neardup", (s: SparkSession, dir: String) => {
       Similarity.cosineNearDupPairs(rd(s, dir, "embeddings"), "vec_id",
@@ -1162,6 +1210,8 @@ $prRounds
             col("n_exact_pairs"), col("recall_ok"))
       recallOf("hyperplane", Similarity.annHyperplane(
           emb, "vec_id", "embedding", queryPred, k = 5))
+        .unionAll(recallOf("hyperplane_exact", Similarity.annHyperplaneExact(
+          emb, "vec_id", "embedding", queryPred, k = 5)))
         .unionAll(recallOf("ivf", Similarity.annIvf(
           emb, "vec_id", "embedding", queryPred, nlist = 16, nprobe = 7, k = 5)))
         .unionAll(recallOf("ivf_exact", Similarity.annIvfExact(
@@ -1185,7 +1235,8 @@ $prRounds
       ex AS (SELECT qid, nbr FROM ranked WHERE rnk <= 5)
       SELECT m.method, CAST(q.n AS BIGINT) AS n_queries,
         CAST(p.n AS BIGINT) AS n_exact_pairs, CAST(1 AS BIGINT) AS recall_ok
-      FROM (VALUES ('hyperplane'), ('ivf'), ('ivf_exact')) m(method),
+      FROM (VALUES ('hyperplane'), ('hyperplane_exact'), ('ivf'),
+          ('ivf_exact')) m(method),
         (SELECT count(DISTINCT qid) AS n FROM ex) q,
         (SELECT count(*) AS n FROM ex) p
       ORDER BY m.method""")),

@@ -153,6 +153,43 @@ class ExplainSpec extends SparkSpec {
     assertNoQuadraticJoins("t22", plan)
   }
 
+  test("s04 IVF exact: kernel assignment projection, broadcast probe + list joins") {
+    // the s04 rebuild's plan contract (VERDICT r9 #5): assignment must be a
+    // pure projection through the native argmin kernel (no n×nlist join
+    // materializes), the list scan must reach the corpus through an
+    // equality broadcast-hash join on cid, and the only nested-loop shape
+    // allowed is the bounded queries×centroids probe (queries join a
+    // broadcast of nlist centroid rows)
+    val plan = executedPlan("s04_ann_ivf")
+    assert(plan.contains("argmin_l2_centroid"),
+      s"s04 assignment must be the native argmin kernel projection:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"s04 list scan must be a broadcast-hash equality join on cid:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"s04 probes/scan must broadcast, not merge-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"s04 must not plan a cartesian product:\n$plan")
+    // the AQE toString prints the final AND initial plans — count the
+    // nested-loop probes only in the final section
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalSection).size <= 1,
+      s"s04 allows only the bounded queries×centroids probe as a " +
+        s"nested-loop join:\n$plan")
+  }
+
+  test("s02 exact hyperplane: kernel bucketing, broadcast probes, equality joins") {
+    // the s02 exact rebuild (VERDICT r9 #6): bucketing is the native
+    // integer-sig kernel inside a projection (the corpus explodes once into
+    // (table, bucket) cells), the query probes broadcast into ONE equality
+    // candidate join, and nothing plans a quadratic shape
+    val plan = executedPlan("s02_ann_hyperplane")
+    assert(plan.contains("hyperplane_sig_exact"),
+      s"s02 bucketing must be the native exact-sig kernel:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"s02 candidate generation must broadcast the probe side:\n$plan")
+    assertNoQuadraticJoins("s02", plan)
+  }
+
   test("s11 IVF-PQ: the list scan is an equality broadcast-hash join on cid") {
     // THE IVF point: the scan must touch only probed lists via an equality
     // join on cid — if this degrades to a nested-loop/cartesian against

@@ -244,6 +244,32 @@ class OpsSpec extends SparkSpec {
     val ivf = recall(Similarity.annIvf(emb, "vec_id", "embedding", pred, k = 5))
     assert(hyp >= 0.8, s"hyperplane LSH recall@5 = $hyp < 0.8")
     assert(ivf >= 0.8, s"IVF recall@5 = $ivf < 0.8")
+    // exact-integer twin (fmix32-parity planes, oracle-replayable): same
+    // 8×6 multiprobe operating point must hold the same recall bar
+    val hypEx = recall(Similarity.annHyperplaneExact(
+      emb, "vec_id", "embedding", pred, k = 5))
+    assert(hypEx >= 0.8, s"exact hyperplane LSH recall@5 = $hypEx < 0.8")
+  }
+
+  test("fmix32 split multiply matches 32-bit wrapping multiply semantics") {
+    // hyperplaneSigExact's oracle replay depends on the split-mul identity
+    // (h*a) mod 2^32 == (lo*a + ((hi*a) mod 2^16)*2^16) mod 2^32 — pin the
+    // kernel against a direct Long-arithmetic reference on edge inputs
+    def fmixRef(h0: Long): Long = {
+      var h = h0 & 0xffffffffL
+      h ^= h >>> 16
+      h = (h * 2246822507L) & 0xffffffffL
+      h ^= h >>> 13
+      h = (h * 3266489909L) & 0xffffffffL
+      h ^ (h >>> 16)
+    }
+    val edges = Seq(0L, 1L, 65535L, 65536L, 4294967295L, 123456789L)
+    val rnd = new scala.util.Random(7)
+    val samples = edges ++ Seq.fill(1000)(rnd.nextLong() & 0xffffffffL)
+    samples.foreach { h =>
+      assert(graft.functions.VectorKernels.fmix32(h) == fmixRef(h),
+        s"fmix32 mismatch at $h")
+    }
   }
 
   test("bucketed cosine near-dup equals the exact all-pairs formulation") {

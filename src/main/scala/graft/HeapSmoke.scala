@@ -34,6 +34,11 @@ object HeapSmoke {
         Thread.sleep(200)
         val gc0 = gcMs()
         val times = (0 until 4).map { _ =>
+          // same per-iteration cache clear as the sweep's measure() (r10):
+          // a query that caches internally must pay its full cold cost in
+          // EVERY timed run, or the heap8g/big-heap ratio compares a warm
+          // child against a cold sweep and the cross-check reads backwards
+          spark.catalog.clearCache()
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9

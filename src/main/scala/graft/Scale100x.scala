@@ -19,7 +19,9 @@ object Scale100x {
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = args.lift(1).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val (spark, listener) = Bench.freshSession(cpus)
-    val (json, secs) = Bench.scale100xRows(spark, listener, sfDir)
+    // scale100xRows gives each row its own fresh session (quiet-gated,
+    // corpus-scaled shuffle partitions) — this session only synthesizes
+    val (json, secs) = Bench.scale100xRows(spark, listener, sfDir, cpus)
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
     val unix = System.currentTimeMillis() / 1000
     if (secs.nonEmpty) {

@@ -68,6 +68,15 @@ object ScalingRehearsal {
     if (!java.nio.file.Files.exists(m)) {
       synth
       java.nio.file.Files.createDirectories(m.getParent)
+      // a synth OVERWRITES the table, so any marker for the same table from
+      // a different (source, factor) is now a lie — delete them all before
+      // stamping ours (observed: an sf0.001 smoke's marker survived an
+      // sf0.1 overwrite, and a later sf0.001 run would have "reused"
+      // sf0.1-based data)
+      val dir = m.getParent.toFile
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"_graft_synth_${table}_"))
+        .foreach(_.delete())
       java.nio.file.Files.write(m, Array.empty[Byte])
     }
     spark.read.parquet(s"$outDir/$table.parquet").count()

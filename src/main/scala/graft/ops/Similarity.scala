@@ -482,6 +482,58 @@ object Similarity {
     semDedupCore(base, idCol, centRows, threshold, scope)
   }
 
+  /** Joint (planes, tables) operating point for near-dup LSH at corpus
+    * size `n` — the OR-construction scaling law automated (r10; the fixed
+    * `tables=16, planes=10` production point ENOSPC'd the 100× row: at
+    * 200k vectors its mean bucket was ~200, making the candidate mass
+    * ~tables·n·bucket/2 ≈ 320 M pairs whose verify join spilled >80 GB):
+    *  - `planes ≈ log₂(n)` keeps the mean bucket at ~1 row, so RANDOM
+    *    collisions contribute ~tables·n/2 pairs — linear in n — and the
+    *    candidate set is dominated by true near-dups;
+    *  - `tables = ⌈ln(1/missTarget)/pBit^planes⌉` holds the all-tables
+    *    miss probability for a pair at exactly `threshold` at ≤ missTarget
+    *    (pBit = 1 − θ/π per sign bit).
+    * Tables grow as n^(log₂(1/pBit)) (n^0.22 at threshold 0.9) — if that
+    * exceeds `maxTables`, planes back off until tables fit (buckets grow,
+    * recall holds; the point is logged either way, never silent).
+    */
+  def lshOperatingPoint(n: Long, threshold: Double, missTarget: Double = 1e-3,
+      maxTables: Int = 256): (Int, Int) = {
+    require(n > 0 && missTarget > 0 && missTarget < 1 && maxTables >= 1)
+    val pBit = 1.0 -
+      math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    def tablesFor(p: Int): Long =
+      math.ceil(math.log(1.0 / missTarget) / math.pow(pBit, p.toDouble)).toLong
+    val sizeDriven = math.max(4, math.min(24,
+      math.ceil(math.log(math.max(2.0, n.toDouble)) / math.log(2.0)).toInt))
+    val planes = (sizeDriven to 4 by -1)
+      .find(p => tablesFor(p) <= maxTables).getOrElse(4)
+    val tables = math.min(tablesFor(planes), maxTables.toLong).toInt
+    val miss = math.pow(1.0 - math.pow(pBit, planes.toDouble), tables.toDouble)
+    log.info(f"lshOperatingPoint: n=$n threshold=$threshold%.2f -> " +
+      f"planes=$planes tables=$tables missAtThreshold=$miss%.2e " +
+      f"expectedBucket=${n / math.pow(2.0, planes.toDouble)}%.1f")
+    if (miss > missTarget)
+      log.warn(f"lshOperatingPoint: maxTables=$maxTables caps the miss " +
+        f"bound at $miss%.2e (> target $missTarget%.2e) — raise maxTables " +
+        "or the threshold")
+    (planes, tables)
+  }
+
+  /** [[cosineNearDupBucketed]] at the jointly-scaled operating point from
+    * [[lshOperatingPoint]] — the form to reach for at corpus scale: one
+    * `count()` sizes the corpus, then planes/tables scale together so
+    * neither recall nor candidate mass degrades as n grows.
+    */
+  def cosineNearDupAuto(emb: DataFrame, idCol: String, embCol: String,
+      threshold: Double, missTarget: Double = 1e-3, maxTables: Int = 256,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val (planes, tables) = lshOperatingPoint(emb.count(), threshold,
+      missTarget, maxTables)
+    cosineNearDupBucketed(emb, idCol, embCol, threshold,
+      tables = tables, planes = planes, scope = scope)
+  }
+
   /** Threshold-aware auto-planes (ADVICE r7): the size-driven choice
     * (max(4, ⌈log₂(n/256)⌉), cap 16) capped at the largest plane count
     * whose all-tables miss probability for a pair at exactly `threshold`

@@ -1548,6 +1548,11 @@ $prRounds
         CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS BIGINT) AS n_subword4
       FROM documents ORDER BY doc_id""")),
 
+    // Hash-green since r10: the base-257 wrapping-64-bit fold IS
+    // SQL-replayable — DuckDB runs it in HUGEINT (h·257 + b < 2^72) with an
+    // explicit mod 2^64 per step via list_reduce over the canonical text's
+    // UTF-8 bytes (hex(encode(..)) nibble-decoded; strpos on
+    // '123456789ABCDEF' maps '0'→0 for free), then re-signs into BIGINT.
     ("t06_rolling_fingerprint", (s: SparkSession, dir: String) => {
       // native codegen'd rolling-hash fingerprint (RollingHash64 expression)
       rd(s, dir, "documents")
@@ -1555,12 +1560,29 @@ $prRounds
           graft.functions.RollingHash64.rolling_hash64(
             TextOps.canonicalText(col("text"))).as("fp64"))
         .orderBy("doc_id")
-    }, None), // custom 64-bit hash → rows-only check
+    }, Some("""
+      WITH c AS (SELECT doc_id,
+          regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS ct
+        FROM documents),
+      hx AS (SELECT doc_id, hex(encode(ct)) AS h,
+          octet_length(encode(ct)) AS n FROM c),
+      fp AS (SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(1125899906842597 AS HUGEINT),
+              list_transform(range(0, n), i ->
+                CAST((strpos('123456789ABCDEF', substr(h, 2*i+1, 1))) * 16
+                   + (strpos('123456789ABCDEF', substr(h, 2*i+2, 1)))
+                  AS HUGEINT))),
+            (acc, b) -> (acc * 257 + b) % 18446744073709551616) AS hu
+        FROM hx)
+      SELECT doc_id,
+        CAST(CASE WHEN hu >= 9223372036854775808
+          THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS fp64
+      FROM fp ORDER BY doc_id""")),
 
-    // t06 companion with an oracle: the custom hash can't be recomputed in
-    // DuckDB, but its CONSISTENCY can — distinct fingerprints must equal
-    // distinct canonical texts (injective + deterministic on the corpus),
-    // and both counts are DuckDB-computable from the raw table.
+    // t06 companion: beyond the value replay, the fingerprint's CONTRACT —
+    // distinct fingerprints equal distinct canonical texts (injective +
+    // deterministic on the corpus) — is checked from the raw table.
     ("t07_fingerprint_consistency", (s: SparkSession, dir: String) => {
       rd(s, dir, "documents")
         .select(

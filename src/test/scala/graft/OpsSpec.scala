@@ -251,6 +251,29 @@ class OpsSpec extends SparkSpec {
     assert(hypEx >= 0.8, s"exact hyperplane LSH recall@5 = $hypEx < 0.8")
   }
 
+  test("lshOperatingPoint: planes track log2(n), miss bound holds, caps are loud") {
+    def miss(planes: Int, tables: Int, t: Double): Double = {
+      val pBit = 1.0 - math.acos(t) / math.Pi
+      math.pow(1.0 - math.pow(pBit, planes.toDouble), tables.toDouble)
+    }
+    // 100x regression case: 200k vectors at threshold 0.9 must NOT keep a
+    // ~200-row mean bucket (the fixed 16x10 point whose ~320M-pair verify
+    // join ENOSPC'd the r10 100x row) — expected bucket must stay ~1 and
+    // the miss bound must hold
+    val (p200k, t200k) = Similarity.lshOperatingPoint(200000, 0.9)
+    assert(200000.0 / math.pow(2.0, p200k.toDouble) <= 2.0,
+      s"mean bucket too fat at 200k: planes=$p200k")
+    assert(miss(p200k, t200k, 0.9) <= 1e-3)
+    // monotone: a 100x corpus gets more planes than a 1x corpus
+    val (p2k, t2k) = Similarity.lshOperatingPoint(2000, 0.9)
+    assert(p2k < p200k && t2k <= t200k)
+    assert(miss(p2k, t2k, 0.9) <= 1e-3)
+    // maxTables binds: planes back off until tables fit, never silently
+    // exceeding the cap
+    val (pCap, tCap) = Similarity.lshOperatingPoint(200000, 0.9, maxTables = 50)
+    assert(tCap <= 50 && pCap < p200k)
+  }
+
   test("fmix32 split multiply matches 32-bit wrapping multiply semantics") {
     // hyperplaneSigExact's oracle replay depends on the split-mul identity
     // (h*a) mod 2^32 == (lo*a + ((hi*a) mod 2^16)*2^16) mod 2^32 — pin the

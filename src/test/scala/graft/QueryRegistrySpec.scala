@@ -7,9 +7,10 @@ package graft
 class QueryRegistrySpec extends SparkSpec {
 
   // s04 left this set in r9 (annIvfExact replays s11's integer coarse
-  // chain) — 3 rows-only remain, each gated by a green twin
-  private val knownRowsOnly = Set("d04_simhash_pairs", "s02_ann_hyperplane",
-    "t06_rolling_fingerprint")
+  // chain); s02 and t06 in r10 (fmix32 planes / HUGEINT rolling-hash fold
+  // replay in DuckDB) — d04 alone remains, gated by its hash-green md5
+  // twins d05/d08 (xxhash64 token hashes have no DuckDB equivalent)
+  private val knownRowsOnly = Set("d04_simhash_pairs")
   // queries whose sf0.001 result may legitimately be empty (no near-dup
   // pairs / above-threshold rows in the tiny sample)
   private val mayBeEmpty = Set("d02_jaccard_pairs", "d03_minhash_lsh",

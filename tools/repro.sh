@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# One-command re-derivation of a round's claims (VERDICT r9 #8): the
+# correctness gate (sf0.01 + DuckDB oracle compare), the ScalaTest suite,
+# the leak scan, and a budget-capped bench. The bench regenerates
+# bench_full.json / bench_summary.md in place and the leak scan rewrites
+# LEAKCHECK.json, so `git diff` at the end shows exactly how the re-run
+# differs from the committed evidence.
+#
+# Usage: tools/repro.sh            # full re-derivation (~15 min)
+#   SKIP_BENCH=1 tools/repro.sh    # correctness + tests + leak scan only
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF01=${SF01:-/root/testdata/sf0.01}
+SF1=${SF1:-/root/testdata/sf0.1}
+OUT=${OUT:-/tmp/graft_repro}
+
+echo "== 1/4 correctness: graft.Verify @ $SF01 + DuckDB oracle compare =="
+sbt -batch "runMain graft.Verify $SF01 $OUT/verify"
+python3 tools/check.py "$OUT/verify" "$SF01"
+
+echo "== 2/4 ScalaTest suite =="
+sbt -batch test
+
+echo "== 3/4 leak scan (rewrites LEAKCHECK.json) =="
+python3 tools/leakcheck.py "${ROUND:-0}"
+
+if [ -z "${SKIP_BENCH:-}" ]; then
+  echo "== 4/4 bench (budget-capped; rewrites bench_full.json / bench_summary.md) =="
+  SPARK_GRAFT_SF_DIR="$SF1" \
+    SPARK_GRAFT_BENCH_BUDGET_S="${BENCH_BUDGET:-2400}" \
+    sbt -batch 'runMain graft.Bench'
+else
+  echo "== 4/4 bench skipped (SKIP_BENCH set) =="
+fi
+
+echo "== artifact drift vs committed evidence =="
+git --no-pager diff --stat LEAKCHECK.json bench_full.json bench_summary.md || true
+echo "repro complete"

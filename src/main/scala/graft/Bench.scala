@@ -15,9 +15,12 @@ import graft.queries.{GraftSession, GraftTables}
   *    (src/scripts/performance_test.cpp: scenario grid over datatype ×
   *    codec × mode, warmup discarded, avg/min/max per-iteration wall ms)
   *    re-expressed over a real column batch (lineitem at SPARK_GRAFT_SF_DIR);
-  *  - "scale10x": the four headline pipeline ops on the 10× synthesized
+  *  - "scale10x": five headline pipeline ops on the 10× synthesized
   *    corpus with max-task telemetry (the SCALING.md rehearsal promoted to
-  *    first-class bench rows — r6 ask #3).
+  *    first-class bench rows — r6 ask #3);
+  *  - "scale100x": the same ops at 100×, measured by a dedicated forked
+  *    96 GB child ([[Scale100x]]) into the committed
+  *    `bench_scale100x.json`; non-opted-in runs embed that artifact.
   *
   * Measurement discipline (r6 ask #1 — BENCH_r06 reported in-sweep medians
   * up to 56× the isolated times):

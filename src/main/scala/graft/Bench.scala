@@ -527,6 +527,37 @@ object Bench {
         "; rows from the committed `bench_scale100x.json` dedicated 96 GB run)"
       else ")")
     scaleTable(t100, scale100x, scale100xSecs)
+    // ---- the two-decade curve (VERDICT r9 #2): when both scale sections
+    // carry measured rows, derive the per-decade growth factors in the
+    // GENERATED summary so the curve always cites the same artifacts as
+    // the tables above. The 1× column uses the sweep value only when the
+    // scale row runs the registry form verbatim (the `form` field matches
+    // a sweep query name) — s07's scale rows run the production operating
+    // point, which has no 1× sweep twin.
+    if (scale10xSecs.nonEmpty && scale100xSecs.nonEmpty) {
+      val curve = scale10xSecs.flatMap { case (k10, s10) =>
+        scale100xSecs.find(_._1 == k10.stripSuffix("_10x") + "_100x")
+          .map { case (k100, s100) => (k10, s10, k100, s100) }
+      }
+      if (curve.nonEmpty) {
+        md ++= "\n## Scaling curve (per-decade wall growth; both decades " +
+          "from the tables above)\n\n| op | 1× sec (sweep) | 10× sec | " +
+          "100× sec | 10×→100× factor |\n|---|---|---|---|---|\n"
+        curve.foreach { case (k10, s10, _, s100) =>
+          val form = jsonField(scale10x, k10, "form")
+          val oneX = results.get(form).map(v => r3(v).toString).getOrElse("—")
+          md ++= f"| ${k10.stripSuffix("_10x")} ($form) | $oneX | ${r3(s10)} | ${r3(s100)} | ${s100 / s10}%.1f× |\n"
+        }
+        md ++= "\n(Fixed-form rows cost ~3-5× wall per decade — sublinear " +
+          "because per-stage fixed costs amortize; 10× would be linear, " +
+          "persistently above it a quadratic term. s07's form is the " +
+          "AUTO operating point, which itself scales with n — tables ∝ " +
+          "n^0.22 at threshold 0.9, so its expected decade factor is " +
+          "~10×·1.7 ≈ 17×, and a measured ~10× is sublinear for it, not " +
+          "quadratic. Its 1× sweep twin runs a different form (registry " +
+          "threshold 0.45), hence no 1× cell.)\n"
+      }
+    }
     md ++= "\n## 8 GB-heap smoke (GC-debt regression guard)\n\n" +
       "Sweep's 5 slowest queries replayed in a forked 8 GB child; bar: " +
       "big-heap/8 GB ≤ ~2×, beyond it the ContextCleaner-debt bug class " +

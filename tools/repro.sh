@@ -22,7 +22,10 @@ echo "== 2/4 ScalaTest suite =="
 sbt -batch test
 
 echo "== 3/4 leak scan (rewrites LEAKCHECK.json) =="
-python3 tools/leakcheck.py "${ROUND:-0}"
+# keep the committed round number unless the caller overrides it — a
+# hardcoded default would silently rewrite the artifact's round field
+ROUND="${ROUND:-$(python3 -c "import json;print(json.load(open('LEAKCHECK.json'))['round'])")}"
+python3 tools/leakcheck.py "$ROUND"
 
 if [ -z "${SKIP_BENCH:-}" ]; then
   echo "== 4/4 bench (budget-capped; rewrites bench_full.json / bench_summary.md) =="

@@ -81,7 +81,10 @@ object VectorKernels {
   def fmix32(h0: Long): Long = {
     def mul32(h: Long, a: Long): Long =
       ((h % 65536L) * a + (((h / 65536L) * a) % 65536L) * 65536L) % 4294967296L
-    var h = h0 % 4294967296L
+    // mask, don't mod: Scala % truncates toward zero, so a negative h0
+    // (e.g. a raw 64-bit hash) would feed the chain a negative residue and
+    // produce non-oracle-replayable buckets (ADVICE r10)
+    var h = h0 & 0xffffffffL
     h ^= h / 65536L
     h = mul32(h, 2246822507L)
     h ^= h / 8192L

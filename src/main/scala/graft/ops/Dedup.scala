@@ -543,6 +543,21 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
 
+  /** [[simhashAggregate]] on the oracle-replayable 63-bit token hash
+    * ([[graft.functions.HashKernels.fmixToken63]]: rolling64 halves →
+    * fmix32 split-multiply) instead of xxhash64 — identical plan shape
+    * (explode → ONE partial-aggregated shuffle), but every signature bit
+    * is recomputable in DuckDB, so the full SimHash chain (token hash →
+    * bit votes → signature → banded pairs) carries a value-level oracle
+    * (d04). The xxhash64 form stays the production twin (pinned
+    * pair-equivalent on the fixture corpus in OpsSpec).
+    */
+  def simhashAggregateFmix(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", graft.functions.FmixTokenHash63.fmix_token_hash63(col("tok")))
+      .groupBy(col(idCol))
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist (≤ 3), using the
     * 4×16-bit chunk pigeonhole: pairs within distance 3 share at least one
     * exact chunk → candidate generation is 4 equality joins, not O(n²).

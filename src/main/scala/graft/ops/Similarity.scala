@@ -102,7 +102,7 @@ object Similarity {
   /** All XOR masks of hamming weight ≤ h over the low `m` bits (multiprobe
     * neighborhood — driver-side constant, ≤ 1+m+m(m-1)/2 entries).
     */
-  private def hammingMasks(m: Int, h: Int): Seq[Long] = {
+  private[graft] def hammingMasks(m: Int, h: Int): Seq[Long] = {
     require(h <= 2, "multiprobe supports hamming <= 2")
     val h0 = Seq(0L)
     val h1 = if (h >= 1) (0 until m).map(b => 1L << b) else Nil

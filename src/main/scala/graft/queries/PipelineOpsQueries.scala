@@ -88,6 +88,55 @@ object PipelineOpsQueries {
   private val simhashMd5Sql: String =
     s"$simhashMd5Cte SELECT doc_id, simhash FROM sig ORDER BY doc_id"
 
+  /** CTE chain recomputing every fmix-token-hash SimHash signature in
+    * DuckDB — the d04 oracle (r11 graduation: the LAST no-oracle row).
+    * Replays [[graft.functions.HashKernels.fmixToken63]] bit-for-bit:
+    * per-token base-257 rolling hash in HUGEINT with an explicit mod 2⁶⁴
+    * per step (t06's replay), split into 32-bit halves, each run through
+    * the split-multiply murmur3 fmix32 chain in BIGINT (every
+    * intermediate < 2⁴⁸ — s02's replay), recombined to a non-negative
+    * 63-bit hash, then 63 per-bit SUM votes exactly as [[simhashMd5Cte]].
+    */
+  private val simhashFmixCte: String = {
+    def mul(c: String, k: Long): String =
+      s"(($c % 65536) * $k + ((($c // 65536) * $k) % 65536) * 65536) % 4294967296"
+    def xorStep(c: String, d: Long): String = s"xor($c, $c // $d)"
+    val votes = (0 until 63).map { b =>
+      s"SUM(CASE WHEN (th // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n        ")
+    val bits = (0 until 63).map { b =>
+      s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+                   FROM documents),
+      hx AS (SELECT doc_id, hex(encode(tok)) AS hh,
+          octet_length(encode(tok)) AS n FROM tok),
+      r AS (SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(1125899906842597 AS HUGEINT),
+              list_transform(range(0, n), i ->
+                CAST((strpos('123456789ABCDEF', substr(hh, 2*i+1, 1))) * 16
+                   + (strpos('123456789ABCDEF', substr(hh, 2*i+2, 1)))
+                  AS HUGEINT))),
+            (acc, byt) -> (acc * 257 + byt) % 18446744073709551616) AS hu
+        FROM hx),
+      p0 AS (SELECT doc_id, CAST(hu % 4294967296 AS BIGINT) AS a,
+          xor(CAST(hu // 4294967296 AS BIGINT),
+              CAST(hu % 4294967296 AS BIGINT)) AS b
+        FROM r),
+      f1 AS (SELECT doc_id, ${xorStep("a", 65536)} AS a, ${xorStep("b", 65536)} AS b FROM p0),
+      f2 AS (SELECT doc_id, ${mul("a", 2246822507L)} AS a, ${mul("b", 2246822507L)} AS b FROM f1),
+      f3 AS (SELECT doc_id, ${xorStep("a", 8192)} AS a, ${xorStep("b", 8192)} AS b FROM f2),
+      f4 AS (SELECT doc_id, ${mul("a", 3266489909L)} AS a, ${mul("b", 3266489909L)} AS b FROM f3),
+      f5 AS (SELECT doc_id, ${xorStep("a", 65536)} AS a, ${xorStep("b", 65536)} AS b FROM f4),
+      t63 AS (SELECT doc_id, a + (b % 2147483648) * 4294967296 AS th FROM f5),
+      votes AS (SELECT doc_id,
+        $votes
+        FROM t63 GROUP BY doc_id),
+      sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes)"""
+  }
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
 
     // ------------------------------------------------------------- dedup
@@ -119,12 +168,22 @@ object PipelineOpsQueries {
         .orderBy("d1", "d2")
     }, Some(jaccardSql)),
 
+    // Hash-green since r11 (the last no-oracle row graduated): the token
+    // hash is the oracle-replayable fmixToken63 chain (rolling64 → fmix32
+    // halves) instead of xxhash64, so DuckDB recomputes every signature and
+    // every banded pair. The xxhash64 production twin keeps the identical
+    // plan and is pinned pair-equivalent on the fixture corpus in OpsSpec.
     ("d04_simhash_pairs", (s: SparkSession, dir: String) => {
       // custom TypedImperativeAggregate: single-shuffle signature computation
-      val sigs = Dedup.simhashAggregate(rd(s, dir, "documents"), "doc_id", "text")
+      val sigs = Dedup.simhashAggregateFmix(rd(s, dir, "documents"), "doc_id", "text")
       Dedup.simhashPairs(sigs, "doc_id", maxDist = 3)
         .orderBy("d1", "d2")
-    }, None), // xxhash64 not reproducible in DuckDB → rows-only check
+    }, Some(s"""$simhashFmixCte
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY d1, d2""")),
 
     // d04 companion with a FULL oracle: the same SimHashAgg aggregate fed a
     // cross-engine-computable token hash (first 15 hex chars of md5 as a
@@ -1062,6 +1121,9 @@ $prRounds
     // probes, candidates and the cosine re-rank bit-for-bit. The float
     // mix64 form (Similarity.annHyperplane) stays the s05-gated helper.
     ("s02_ann_hyperplane", (s: SparkSession, dir: String) => {
+      // defaults tables=8/planes=6/probeHamming=1: the oracle's literal
+      // probe-mask VALUES encodes exactly hammingMasks(6, 1) — pinned in
+      // QueryRegistrySpec ("s02 oracle's hardcoded probe-mask VALUES")
       Similarity.annHyperplaneExact(rd(s, dir, "embeddings"), "vec_id",
           "embedding", col("vec_id") % 50 === 0, k = 5)
         .orderBy("qid", "rnk")

@@ -175,6 +175,42 @@ class OpsSpec extends SparkSpec {
     assert(viaAgg == viaBits)
   }
 
+  test("simhash production twin (xxhash64) agrees with the fmix-oracle " +
+      "form (d04) on every token-identical pair, at hamming 0") {
+    // d04's registry form runs the oracle-replayable fmixToken63 token hash;
+    // the xxhash64 form stays the production twin. Pairs NEAR the hamming
+    // boundary are hash-dependent by construction (a pair at distance 3
+    // under one token hash can sit at 4 under another — this corpus's
+    // word-salad near-boundary pairs do exactly that), so the deterministic
+    // cross-hash invariant is: docs with IDENTICAL token sequences have
+    // identical signatures under ANY token hash → both twins must report
+    // every such pair at hamming 0. The aggregate mechanics themselves are
+    // value-gated by the d05/d08 md5 twins and d04's own DuckDB oracle.
+    // the fixture corpus has no token-identical docs, so plant them: real
+    // corpus texts duplicated under shifted ids
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val df = base.unionByName(
+      base.filter(col("doc_id") < 20).withColumn("doc_id", col("doc_id") + 10000))
+    val dupPairs = (0L until 20L).map(i => (i, i + 10000L)).toSet
+    def zeroPairsOf(sigs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.simhashPairs(sigs, "doc_id", 3)
+        .filter(col("hamming") === 0).select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prod = zeroPairsOf(Dedup.simhashAggregate(df, "doc_id", "text"))
+    val oracle = zeroPairsOf(Dedup.simhashAggregateFmix(df, "doc_id", "text"))
+    assert(dupPairs.subsetOf(prod),
+      s"xxhash64 twin missed exact-dup pairs: ${dupPairs -- prod}")
+    assert(dupPairs.subsetOf(oracle),
+      s"fmix form missed exact-dup pairs: ${dupPairs -- oracle}")
+    // fmixToken63 is 63-bit non-negative → signature bit 63 can never win a
+    // vote, so every fmix signature is non-negative (the oracle's BIGINT
+    // bit extraction depends on this)
+    val sigs = Dedup.simhashAggregateFmix(df, "doc_id", "text")
+      .collect().map(_.getLong(1))
+    assert(sigs.forall(_ >= 0L))
+  }
+
   test("simhash pairs: identical docs at hamming 0") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "totally different words entirely here now ok yes")).toDF("doc_id", "text")
@@ -286,9 +322,11 @@ class OpsSpec extends SparkSpec {
       h = (h * 3266489909L) & 0xffffffffL
       h ^ (h >>> 16)
     }
-    val edges = Seq(0L, 1L, 65535L, 65536L, 4294967295L, 123456789L)
+    val edges = Seq(0L, 1L, 65535L, 65536L, 4294967295L, 123456789L,
+      -1L, Long.MinValue, Long.MaxValue, -4294967296L)
     val rnd = new scala.util.Random(7)
-    val samples = edges ++ Seq.fill(1000)(rnd.nextLong() & 0xffffffffL)
+    val samples = edges ++ Seq.fill(1000)(rnd.nextLong() & 0xffffffffL) ++
+      Seq.fill(200)(rnd.nextLong()) // raw 64-bit (incl. negative) inputs
     samples.foreach { h =>
       assert(graft.functions.VectorKernels.fmix32(h) == fmixRef(h),
         s"fmix32 mismatch at $h")

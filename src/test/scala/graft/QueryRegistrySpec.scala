@@ -6,11 +6,10 @@ package graft
   */
 class QueryRegistrySpec extends SparkSpec {
 
-  // s04 left this set in r9 (annIvfExact replays s11's integer coarse
-  // chain); s02 and t06 in r10 (fmix32 planes / HUGEINT rolling-hash fold
-  // replay in DuckDB) — d04 alone remains, gated by its hash-green md5
-  // twins d05/d08 (xxhash64 token hashes have no DuckDB equivalent)
-  private val knownRowsOnly = Set("d04_simhash_pairs")
+  // EMPTY since r11: d04 — the last holdout — graduated via the
+  // fmixToken63 oracle-replayable token hash (s04 left in r9, s02/t06 in
+  // r10). Every registry row now carries a full DuckDB value oracle.
+  private val knownRowsOnly = Set.empty[String]
   // queries whose sf0.001 result may legitimately be empty (no near-dup
   // pairs / above-threshold rows in the tiny sample)
   private val mayBeEmpty = Set("d02_jaccard_pairs", "d03_minhash_lsh",
@@ -32,6 +31,21 @@ class QueryRegistrySpec extends SparkSpec {
   test("entry() returns rows and protected schema survives the pipeline") {
     val e = SparkEntry.entry(spark)
     assert(e.count() > 0)
+  }
+
+  test("s02 oracle's hardcoded probe-mask VALUES equals hammingMasks(6, 1)") {
+    // The DuckDB oracle replays the multiprobe neighborhood as a literal
+    // VALUES list; the Scala side generates it from hammingMasks(planes,
+    // probeHamming). If someone bumps planes/probeHamming in the s02
+    // registry call without touching the oracle, the row would go red with
+    // no hint why — this pin fails FIRST, naming the drift (VERDICT r10 #5).
+    val sql = SparkEntry.oracleSql("s02_ann_hyperplane").replaceAll("\\s+", "")
+    val masks = graft.ops.Similarity.hammingMasks(6, 1)
+    val literal = masks.map(m => s"($m)").mkString("(VALUES", ",", ")")
+    assert(sql.contains(literal),
+      s"s02 oracle probe-mask literal drifted from hammingMasks(6,1)=$masks")
+    // and the registry call itself runs the defaults the literal encodes
+    assert(masks == Seq(0L, 1L, 2L, 4L, 8L, 16L, 32L))
   }
 
   test("query names are unique and oracle keys are a subset") {

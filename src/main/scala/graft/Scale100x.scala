@@ -9,11 +9,44 @@ package graft
   * regenerate, so one dedicated measurement survives per-round
   * bench_full.json rewrites.
   *
+  * Artifact updates are PER-ROW merges (ADVICE r10): a run where only some
+  * rows succeed updates those rows and leaves previously-committed rows
+  * intact — a partial failure (the observed mode is transient ENOSPC) can
+  * never erase a full 5-row measurement. Each newly-measured row carries
+  * its own `unix` stamp so a reader can tell a fresh row from a carried
+  * one.
+  *
   * Usage: `graft.Scale100x <sfDir> [cpus]` (also runnable directly via
   * `SPARK_GRAFT_SF_DIR=... sbt 'runMain graft.Scale100x /root/testdata/sf0.1'`
   * — but then sbt's -Xmx applies; prefer SPARK_DRIVER_MEM=96g).
   */
 object Scale100x {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  /** Merge newly-measured rows over the existing artifact's rows: new
+    * successful rows (carrying "sec") win; an error row never evicts a
+    * previously-committed measurement. Returns (mergedRowsJson, nFresh).
+    */
+  private[graft] def mergeRows(existingArtifact: Option[String],
+      newRowsJson: String, unix: Long): (String, Int) = {
+    def rowsOf(j: JValue): List[(String, JValue)] = j match {
+      case JObject(fields) => fields
+      case _ => Nil
+    }
+    val fresh = rowsOf(JsonMethods.parse(newRowsJson)).collect {
+      case (k, v: JObject) if (v \ "sec") != JNothing =>
+        k -> JObject(v.obj :+ ("unix" -> JLong(unix)))
+    }
+    val freshKeys = fresh.map(_._1).toSet
+    val kept = existingArtifact
+      .map(a => rowsOf(JsonMethods.parse(a) \ "rows"))
+      .getOrElse(Nil)
+      .filterNot { case (k, _) => freshKeys.contains(k) }
+    (JsonMethods.compact(JsonMethods.render(JObject(kept ++ fresh))),
+      fresh.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -24,18 +57,26 @@ object Scale100x {
     val (json, secs) = Bench.scale100xRows(spark, listener, sfDir, cpus)
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
     val unix = System.currentTimeMillis() / 1000
-    if (secs.nonEmpty) {
-      // Only a successful measurement may overwrite the artifact: an error
-      // run must not erase previously-committed 100× evidence.
+    val path = java.nio.file.Paths.get("bench_scale100x.json").toAbsolutePath
+    val existing =
+      if (java.nio.file.Files.exists(path))
+        Some(new String(java.nio.file.Files.readAllBytes(path), "UTF-8").trim)
+      else None
+    val (mergedRows, nFresh) =
+      try mergeRows(existing, json, unix)
+      catch { case e: Throwable =>
+        println(s"scale100x merge failed (${e.getMessage}); rows: $json")
+        ("", 0)
+      }
+    if (nFresh > 0) {
       val out =
-        f"""{"heap_gb":$heapGb%.1f,"unix":$unix,"sf":"$sfDir","rows":$json}"""
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_scale100x.json").toAbsolutePath,
-        (out + "\n").getBytes("UTF-8"))
-      println("scale100x rows written: " +
+        f"""{"heap_gb":$heapGb%.1f,"unix":$unix,"sf":"$sfDir","rows":$mergedRows}"""
+      java.nio.file.Files.write(path, (out + "\n").getBytes("UTF-8"))
+      println(s"scale100x rows written ($nFresh fresh, merged over " +
+        s"${if (existing.isDefined) "existing artifact" else "empty"}): " +
         secs.map { case (k, v) => f"$k=$v%.1fs" }.mkString(", "))
     } else {
-      println(s"scale100x FAILED, artifact untouched: $json")
+      println(s"scale100x produced NO successful rows, artifact untouched: $json")
       spark.stop()
       sys.exit(1)
     }

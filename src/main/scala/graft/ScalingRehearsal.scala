@@ -54,17 +54,23 @@ object ScalingRehearsal {
     * synthesis). A marker file records the completed (table, factor,
     * source) triple; synthesis is skipped when it matches. Spark's own
     * _SUCCESS isn't enough — it can't tell a 10× write from a 100× write
-    * into the same workDir.
+    * into the same workDir. The marker also folds in a scheme-version
+    * constant and the SOURCE row count (ADVICE r10): changing the
+    * perturbation scheme or regenerating the source parquet at the same
+    * path both invalidate reuse instead of silently serving stale data.
     */
+  private val SynthSchemeVersion = 2
+
   private def synthMarker(outDir: String, table: String, sfDir: String,
-      factor: Int): java.nio.file.Path =
+      factor: Int, srcRows: Long): java.nio.file.Path =
     java.nio.file.Paths.get(outDir,
-      s"_graft_synth_${table}_${factor}x_" +
+      s"_graft_synth_${table}_${factor}x_v${SynthSchemeVersion}_r${srcRows}_" +
         Integer.toHexString(sfDir.hashCode))
 
   private def reuseOrSynth(spark: SparkSession, outDir: String, table: String,
       sfDir: String, factor: Int)(synth: => Unit): Long = {
-    val m = synthMarker(outDir, table, sfDir, factor)
+    val srcRows = spark.read.parquet(s"$sfDir/$table.parquet").count()
+    val m = synthMarker(outDir, table, sfDir, factor, srcRows)
     if (!java.nio.file.Files.exists(m)) {
       synth
       java.nio.file.Files.createDirectories(m.getParent)

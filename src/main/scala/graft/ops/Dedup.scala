@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Repeated-substring span statistics — the token-window form of exact
     * substring dedup (Lee et al. 2021, arXiv:2107.06499: dedup TRAINING
     * SPANS, not whole documents; their suffix array finds char-level repeats,
@@ -455,6 +458,74 @@ object Dedup {
         col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Joint (k, bands) operating point for MinHash-LSH near-dup at corpus
+    * size `n` — [[graft.ops.Similarity.lshOperatingPoint]]'s discipline
+    * applied to the MinHash family (VERDICT r10 #4: the fixed k=64/16-band
+    * production point relies on the bucket cap silently discarding mass as
+    * n grows; s07's fixed point ENOSPC'd the same way before its auto
+    * point):
+    *  - band width r scales with log n so that BACKGROUND pairs (Jaccard ≈
+    *    `jBackground`, a conservatively adversarial bound — unrelated web
+    *    docs sit near 0, boilerplate-ish corpora higher) contribute only
+    *    O(n) candidates across all bands:
+    *    bands·C(n,2)·jBg^r ≤ 32·n  →  r ≥ ln(bands·n/64)/ln(1/jBg);
+    *  - bands then come from the miss bound for a pair at exactly
+    *    `threshold`: (1 − θ^r)^bands ≤ missTarget.
+    * k = r·bands minhashes per doc. If k exceeds `maxK`, bands back off to
+    * maxK/r and the DEGRADED miss bound is logged loudly — a weak threshold
+    * at scale is intrinsically expensive and the point never hides that.
+    * At the demo corpora (n ≤ ~500 k) this resolves to r=4, bands≈14 —
+    * within noise of the historical fixed 64/16 point — and grows to
+    * r=6/23 at 10⁸ docs, r=9/48 at 10¹¹ (the 100 TB decade).
+    */
+  def minhashOperatingPoint(n: Long, threshold: Double,
+      missTarget: Double = 1e-3, maxK: Int = 512,
+      jBackground: Double = 0.05): (Int, Int) = {
+    require(n > 0 && threshold > 0 && threshold < 1,
+      s"minhashOperatingPoint: need n > 0 and threshold in (0,1), got n=$n t=$threshold")
+    require(missTarget > 0 && missTarget < 1 && maxK >= 4)
+    require(jBackground > 0 && jBackground < threshold,
+      "background Jaccard must sit below the near-dup threshold")
+    def bandsFor(r: Int): Int = math.max(1, math.ceil(math.log(missTarget) /
+      math.log1p(-math.pow(threshold, r.toDouble))).toInt)
+    def rFor(bands: Int): Int = math.max(2, math.ceil(
+      math.log(bands.toDouble * n.toDouble / 64.0) /
+        math.log(1.0 / jBackground)).toInt)
+    var r = rFor(16)
+    var bands = bandsFor(r)
+    r = rFor(bands) // one fixed-point refinement (converges immediately:
+    bands = bandsFor(r) // r is log-sensitive to bands)
+    def missOf(rr: Int, bb: Int): Double =
+      math.pow(1.0 - math.pow(threshold, rr.toDouble), bb.toDouble)
+    var k = r * bands
+    if (k > maxK) {
+      bands = math.max(1, maxK / r)
+      k = r * bands
+      log.warn(f"minhashOperatingPoint: maxK=$maxK caps bands at $bands — " +
+        f"miss bound degrades to ${missOf(r, bands)}%.2e (> target " +
+        f"$missTarget%.2e): threshold $threshold%.2f at n=$n is " +
+        "intrinsically expensive; raise maxK or the threshold")
+    }
+    log.info(f"minhashOperatingPoint: n=$n threshold=$threshold%.2f -> " +
+      f"r=$r bands=$bands k=$k missAtThreshold=${missOf(r, bands)}%.2e " +
+      f"bgCandidatesPerDoc=${bands * (n - 1) * math.pow(jBackground, r.toDouble) / 2}%.2f")
+    (k, bands)
+  }
+
+  /** [[minhashLshPairs]] at the jointly-scaled operating point from
+    * [[minhashOperatingPoint]] — the corpus-scale form: one `count()`
+    * sizes the corpus, then (k, bands) scale together so neither recall
+    * nor candidate mass degrades as n grows (d03's scale twin; the fixed
+    * 64/16 registry form stays the oracle-gated demo point).
+    */
+  def minhashLshPairsAuto(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, missTarget: Double = 1e-3, maxK: Int = 512,
+      maxDocFreq: Long = DefaultMaxDocFreq,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val (k, bands) = minhashOperatingPoint(df.count(), threshold, missTarget, maxK)
+    minhashLshPairs(df, idCol, textCol, threshold, k, bands, maxDocFreq, scope)
   }
 
   /** Incremental NEAR-dup dedup — [[incrementalExactSurvivors]]'s fuzzy

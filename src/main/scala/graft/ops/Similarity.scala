@@ -151,6 +151,9 @@ object Similarity {
         col("tb.t").as("t"), col("tb.b").as("b"))
   }
 
+  @deprecated("production path is annHyperplaneExact (exact-integer twin, " +
+    "oracle-replayable, same plan shape); this float mix64 form is retained " +
+    "only as s05's recall-gated reference", "0.1.0")
   def annHyperplane(emb: DataFrame, idCol: String, embCol: String,
       queryPred: Column, k: Int = 5, tables: Int = 8, planes: Int = 6,
       probeHamming: Int = 1): DataFrame = {
@@ -291,6 +294,9 @@ object Similarity {
     * structure (cos ≥ 0.9) co-locates those pairs and lower nprobe holds the
     * same recall.
     */
+  @deprecated("production path is annIvfExact (exact-integer coarse chain, " +
+    "oracle-replayable, same IVF cost model); this float spherical-k-means " +
+    "form is retained only as s05's recall-gated reference", "0.1.0")
   def annIvf(emb: DataFrame, idCol: String, embCol: String,
       queryPred: Column, nlist: Int = 16, nprobe: Int = 7, k: Int = 5,
       kmeansIters: Int = 3,
@@ -402,10 +408,21 @@ object Similarity {
     */
   def cosineNearDupBucketed(emb: DataFrame, idCol: String, embCol: String,
       threshold: Double, tables: Int = 48, planes: Int = 0,
-      missTarget: Double = 1e-3,
+      missTarget: Double = 1e-3, parallelism: Int = 0,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // parallelism > 0 spreads the SIGNATURE compute (tables×planes×dims
+    // mul-adds per vector — the dominant cost) over that many partitions
+    // before caching: embeddings are byte-dense (a 0.2 M-vector corpus is
+    // ~50 MB ≈ ONE default input split), so without an explicit repartition
+    // the per-task compute grows with n while the task COUNT doesn't — the
+    // s07_100x 9.7 s straggler was exactly this, a compute-dense scan task,
+    // not skew (VERDICT r10 #1). [[cosineNearDupAuto]] sizes it from
+    // n·tables·planes; 0 keeps the input partitioning (the oracle-gated
+    // registry form, whose plan is pinned in ExplainSpec).
+    val spread =
+      if (parallelism > 0) emb.repartition(parallelism) else emb
     val vecs = scope.cached(
-      emb.select(col(idCol), col(embCol).as("e"))
+      spread.select(col(idCol), col(embCol).as("e"))
         .withColumn("qv", quantize(col("e")))
         .withColumn("nrm", dotQ(col("qv"), col("qv"))))
     val p =
@@ -528,10 +545,22 @@ object Similarity {
   def cosineNearDupAuto(emb: DataFrame, idCol: String, embCol: String,
       threshold: Double, missTarget: Double = 1e-3, maxTables: Int = 256,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val (planes, tables) = lshOperatingPoint(emb.count(), threshold,
-      missTarget, maxTables)
+    val n = emb.count()
+    val (planes, tables) = lshOperatingPoint(n, threshold, missTarget, maxTables)
+    // Signature-compute parallelism scales with the WORK (n·tables·planes
+    // plane projections), not the input bytes: ~3.2 M projections per task
+    // keeps the heaviest task under ~2 s on one core while staying at the
+    // session default for small corpora (VERDICT r10 #1 — the 100× row's
+    // 9.7 s max task was one default-split scan computing a quarter of all
+    // signatures). Capped at 4096: beyond that, scheduling overhead beats
+    // task-size wins on any realistic executor count.
+    val parallelism = math.max(
+      emb.sparkSession.sparkContext.defaultParallelism,
+      math.min(4096L, n * tables * planes / 3200000L).toInt)
+    log.info(s"cosineNearDupAuto: n=$n -> signature parallelism=$parallelism")
     cosineNearDupBucketed(emb, idCol, embCol, threshold,
-      tables = tables, planes = planes, scope = scope)
+      tables = tables, planes = planes, parallelism = parallelism,
+      scope = scope)
   }
 
   /** Threshold-aware auto-planes (ADVICE r7): the size-driven choice

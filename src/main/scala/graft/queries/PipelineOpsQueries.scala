@@ -1270,12 +1270,19 @@ $prRounds
               .cast("long").as("recall_ok"))
           .select(lit(method).as("method"), col("n_queries"),
             col("n_exact_pairs"), col("recall_ok"))
-      recallOf("hyperplane", Similarity.annHyperplane(
-          emb, "vec_id", "embedding", queryPred, k = 5))
+      // the float forms are @deprecated (annHyperplaneExact/annIvfExact are
+      // the blessed production paths) but stay s05's recall-gated
+      // references — this is their one sanctioned call site
+      @scala.annotation.nowarn("cat=deprecation")
+      def floatHyperplane: DataFrame = Similarity.annHyperplane(
+        emb, "vec_id", "embedding", queryPred, k = 5)
+      @scala.annotation.nowarn("cat=deprecation")
+      def floatIvf: DataFrame = Similarity.annIvf(
+        emb, "vec_id", "embedding", queryPred, nlist = 16, nprobe = 7, k = 5)
+      recallOf("hyperplane", floatHyperplane)
         .unionAll(recallOf("hyperplane_exact", Similarity.annHyperplaneExact(
           emb, "vec_id", "embedding", queryPred, k = 5)))
-        .unionAll(recallOf("ivf", Similarity.annIvf(
-          emb, "vec_id", "embedding", queryPred, nlist = 16, nprobe = 7, k = 5)))
+        .unionAll(recallOf("ivf", floatIvf))
         .unionAll(recallOf("ivf_exact", Similarity.annIvfExact(
           emb, "vec_id", "embedding", queryPred,
           coarsePred = col("vec_id") % 250 === 0, nprobe = 7, k = 5)))

@@ -157,9 +157,11 @@ class OpsSpec extends SparkSpec {
       inner.count()
       assert(inner.storageLevel != StorageLevel.NONE)
       Dedup.minhashLshPairs(docs, "doc_id", "text", scope = scope).count()
-      Similarity.annIvf(
+      @scala.annotation.nowarn("cat=deprecation") // deprecated float form's scope handling still gated
+      def ivfFloat = Similarity.annIvf(
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
-        "vec_id", "embedding", col("vec_id") % 50 === 0, scope = scope).count()
+        "vec_id", "embedding", col("vec_id") % 50 === 0, scope = scope)
+      ivfFloat.count()
     }
     assert(inner.storageLevel == StorageLevel.NONE)
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
@@ -276,8 +278,12 @@ class OpsSpec extends SparkSpec {
     // cannot reach 0.8 on this corpus — top-5 neighbors at cosine 0.27–0.45
     // are barely above random-pair noise (σ≈0.125), so a 2/16 scan fraction
     // is information-theoretically short; see Similarity.annIvf scaladoc.
-    val hyp = recall(Similarity.annHyperplane(emb, "vec_id", "embedding", pred, k = 5))
-    val ivf = recall(Similarity.annIvf(emb, "vec_id", "embedding", pred, k = 5))
+    @scala.annotation.nowarn("cat=deprecation") // s05-style recall gate is the float forms' sanctioned use
+    def floatForms = (
+      Similarity.annHyperplane(emb, "vec_id", "embedding", pred, k = 5),
+      Similarity.annIvf(emb, "vec_id", "embedding", pred, k = 5))
+    val hyp = recall(floatForms._1)
+    val ivf = recall(floatForms._2)
     assert(hyp >= 0.8, s"hyperplane LSH recall@5 = $hyp < 0.8")
     assert(ivf >= 0.8, s"IVF recall@5 = $ivf < 0.8")
     // exact-integer twin (fmix32-parity planes, oracle-replayable): same
@@ -308,6 +314,45 @@ class OpsSpec extends SparkSpec {
     // exceeding the cap
     val (pCap, tCap) = Similarity.lshOperatingPoint(200000, 0.9, maxTables = 50)
     assert(tCap <= 50 && pCap < p200k)
+  }
+
+  test("minhashOperatingPoint: r tracks log n, miss bound holds, caps are loud") {
+    // mirrors the lshOperatingPoint test (VERDICT r10 #4): the MinHash
+    // family's band width must scale jointly with n, never rely on the
+    // bucket cap silently discarding mass
+    def miss(k: Int, b: Int, t: Double): Double =
+      math.pow(1.0 - math.pow(t, (k / b).toDouble), b.toDouble)
+    val ns = Seq(1000L, 500000L, 100000000L, 100000000000L)
+    val pts = ns.map(n => Dedup.minhashOperatingPoint(n, 0.8))
+    val rs = pts.map { case (k, b) => k / b }
+    assert(rs == rs.sorted, s"band width not monotone in n: $rs")
+    assert(rs.last > rs.head, "band width must actually grow over 8 decades")
+    // miss bound holds at every uncapped point
+    pts.foreach { case (k, b) =>
+      assert(miss(k, b, 0.8) <= 1e-3, s"miss bound broken at (k=$k, b=$b)") }
+    // bands divide k exactly (minhashLshPairs contract)
+    pts.foreach { case (k, b) => assert(k % b == 0) }
+    // the demo/100x corpora resolve to the historical fixed point's band
+    // width (r=4) — the auto point stays within noise of 64/16 there
+    assert(pts(1)._1 / pts(1)._2 == 4)
+    // maxK binds LOUDLY: k never exceeds the cap (the degraded miss bound
+    // is logged; a weak threshold at scale is intrinsically expensive)
+    val (kc, bc) = Dedup.minhashOperatingPoint(1000000000L, 0.5, maxK = 64)
+    assert(kc <= 64 && kc % bc == 0)
+  }
+
+  test("minhashLshPairsAuto equals the fixed-point pipeline's verified pairs") {
+    // the auto point changes only candidate GENERATION parameters; verified
+    // Jaccard pairs at the threshold must match the fixed 64/16 form (both
+    // recall-complete at j >= 0.8 on the fixture corpus)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def keyOf(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val auto = Dedup.minhashLshPairsAuto(df, "doc_id", "text", 0.8)
+      .select("d1", "d2").collect().map(keyOf).toSet
+    val fixed = Dedup.minhashLshPairs(df, "doc_id", "text", 0.8)
+      .select("d1", "d2").collect().map(keyOf).toSet
+    assert(auto == fixed,
+      s"auto point diverged: only-auto=${auto -- fixed} only-fixed=${fixed -- auto}")
   }
 
   test("fmix32 split multiply matches 32-bit wrapping multiply semantics") {

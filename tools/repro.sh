@@ -21,6 +21,11 @@ python3 tools/check.py "$OUT/verify" "$SF01"
 echo "== 2/4 ScalaTest suite =="
 sbt -batch test
 
+echo "== 2.5/4 scale-evidence bars (bench_scale100x.json) =="
+# no Spark needed: asserts every committed 100x row is a measurement, not
+# an upper bound (>= 2 gated runs, max task < 5 s, load < 4, per-row stamp)
+python3 tools/check_scale.py bench_scale100x.json
+
 echo "== 3/4 leak scan (rewrites LEAKCHECK.json) =="
 # keep the committed round number unless the caller overrides it — a
 # hardcoded default would silently rewrite the artifact's round field

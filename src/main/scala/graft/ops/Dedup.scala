@@ -528,6 +528,21 @@ object Dedup {
     minhashLshPairs(df, idCol, textCol, threshold, k, bands, maxDocFreq, scope)
   }
 
+  /** [[editNearDupPairsLsh]] at the jointly-scaled operating point — the
+    * candidate gate (MinHash-LSH) sizes (k, bands) from the corpus the way
+    * [[minhashLshPairsAuto]] does, so the Levenshtein verify stage's input
+    * mass stays O(n) as the corpus grows (d17's scale twin; the fixed
+    * 64/16 registry form stays the oracle-gated demo point).
+    */
+  def editNearDupPairsLshAuto(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, threshold: Double = 0.8, missTarget: Double = 1e-3,
+      maxK: Int = 512, maxDocFreq: Long = DefaultMaxDocFreq,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val (k, bands) = minhashOperatingPoint(docs.count(), threshold, missTarget, maxK)
+    editNearDupPairsLsh(docs, idCol, textCol, maxDist, threshold, k, bands,
+      maxDocFreq, scope)
+  }
+
   /** Incremental NEAR-dup dedup — [[incrementalExactSurvivors]]'s fuzzy
     * sibling, the daily-ingest form of [[minhashLshPairs]]: survivors among
     * the incoming batch (rows matching `incomingPred`; NULL counts as
@@ -582,6 +597,22 @@ object Dedup {
         (col("n1") + col("n2") - col("inter")).cast("double") >= threshold)
       .select(col("d2").as(idCol)).distinct()
     df.filter(pred).select(col(idCol)).join(dirty, Seq(idCol), "left_anti")
+  }
+
+  /** [[incrementalNearDupSurvivors]] at the jointly-scaled operating point:
+    * (k, bands) are sized from the FULL corpus (history + incoming batch)
+    * because the candidate join runs incoming buckets against ALL buckets —
+    * the background-collision mass that the band width must control is the
+    * history side's, which dominates at steady state (d13's scale twin;
+    * the fixed 64/16 registry form stays the oracle-gated demo point).
+    */
+  def incrementalNearDupAuto(df: DataFrame, idCol: String, textCol: String,
+      incomingPred: Column, threshold: Double = 0.8, missTarget: Double = 1e-3,
+      maxK: Int = 512, maxDocFreq: Long = DefaultMaxDocFreq,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val (k, bands) = minhashOperatingPoint(df.count(), threshold, missTarget, maxK)
+    incrementalNearDupSurvivors(df, idCol, textCol, incomingPred, threshold,
+      k, bands, maxDocFreq, scope)
   }
 
   /** SimHash via bit votes: sig bit b = 1 iff Σ_tokens (bit b of hash ? +1 : -1) > 0.

@@ -355,6 +355,34 @@ class OpsSpec extends SparkSpec {
       s"auto point diverged: only-auto=${auto -- fixed} only-fixed=${fixed -- auto}")
   }
 
+  test("incrementalNearDupAuto equals the fixed-point survivors") {
+    // same contract as minhashLshPairsAuto: the auto point only re-sizes
+    // candidate generation; the verified-Jaccard survivor set must match
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, "completely different historic words x y z w v u t s r q"),
+      (30L, base + " lambda"),
+      (33L, "novel fresh content one two three four five six seven eight"),
+      (36L, "novel fresh content one two three four five six seven nine"),
+      (39L, "unrelated survivor text aa bb cc dd ee ff gg hh ii jj"))
+      .toDF("doc_id", "text")
+    val auto = Dedup.incrementalNearDupAuto(docs, "doc_id", "text",
+        col("doc_id") % 3 === 0, threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(auto == Set(33L, 39L), s"got $auto")
+  }
+
+  test("editNearDupPairsLshAuto equals the fixed-point verified pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def norm(df: DataFrame) = df.select("d1", "d2", "edit_dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fixed = norm(Dedup.editNearDupPairsLsh(docs, "doc_id", "text", maxDist = 50))
+    val auto = norm(Dedup.editNearDupPairsLshAuto(docs, "doc_id", "text", maxDist = 50))
+    assert(fixed.nonEmpty)
+    assert(auto == fixed, s"auto missed ${fixed -- auto}, extra ${auto -- fixed}")
+  }
+
   test("fmix32 split multiply matches 32-bit wrapping multiply semantics") {
     // hyperplaneSigExact's oracle replay depends on the split-mul identity
     // (h*a) mod 2^32 == (lo*a + ((hi*a) mod 2^16)*2^16) mod 2^32 — pin the

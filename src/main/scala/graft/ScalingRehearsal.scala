@@ -68,8 +68,9 @@ object ScalingRehearsal {
         Integer.toHexString(sfDir.hashCode))
 
   private def reuseOrSynth(spark: SparkSession, outDir: String, table: String,
-      sfDir: String, factor: Int)(synth: => Unit): Long = {
-    val srcRows = spark.read.parquet(s"$sfDir/$table.parquet").count()
+      sfDir: String, factor: Int, srcTable: String = null)(synth: => Unit): Long = {
+    val srcRows = spark.read
+      .parquet(s"$sfDir/${Option(srcTable).getOrElse(table)}.parquet").count()
     val m = synthMarker(outDir, table, sfDir, factor, srcRows)
     if (!java.nio.file.Files.exists(m)) {
       synth
@@ -180,6 +181,24 @@ object ScalingRehearsal {
       .parquet(s"$outDir/embeddings.parquet")
     }
   }
+
+  /** Factor-N per-value protection corpus (VERDICT r11 #3 — the crypto hot
+    * path had no scale row): every whitespace token of the factor-N
+    * documents corpus as one string value (~27.5 M values at 100×), the
+    * "values file" a bulk per-value encrypt job would actually stream.
+    * Derived from the SCALED documents table, so it must be synthesized
+    * after [[synthesizeScaled]]; the reuse marker keys on the 1× documents
+    * row count like every other synth.
+    */
+  def synthesizeScaledValues(spark: SparkSession, sfDir: String,
+      outDir: String, factor: Int): Long =
+    reuseOrSynth(spark, outDir, "values", sfDir, factor, srcTable = "documents") {
+      spark.read.parquet(s"$outDir/documents.parquet")
+        .select(explode(split(col("text"), "\\s+")).as("v"))
+        .filter(length(col("v")) > 0)
+        .repartition(32 * (factor / 10))
+        .write.mode("overwrite").parquet(s"$outDir/values.parquet")
+    }
 
   /** 10× lineitem projection for the graph-section rehearsal: 10 DISJOINT
     * copies of the co-purchase graph (both orderkey and partkey offset per

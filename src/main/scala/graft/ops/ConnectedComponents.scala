@@ -36,6 +36,9 @@ import org.apache.spark.sql.functions._
   *    child" — never a driver-side collect of the data.
   */
 object ConnectedComponents {
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
 
   /** Label every node reachable from `edges` with the minimum node id in its
     * component. Returns (node, rep) — one row per distinct endpoint; nodes
@@ -88,6 +91,9 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds")
+    // rounds × shuffles is the scale risk of any iterative op — log the
+    // observed count so a scale run's telemetry records convergence cost
+    log.info(s"connected components converged in $round large/small-star rounds")
     // every edge is (child, root = component minimum); roots appear only on
     // the v side and each child has exactly one root.
     e.select(col("u").as("node"), col("v").as("rep"))

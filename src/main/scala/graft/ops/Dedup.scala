@@ -347,6 +347,9 @@ object Dedup {
     * is far above the Jaccard threshold (each char edit breaks ≤ shingle-n
     * shingles), so the candidate bound loses nothing the verify would keep.
     * Returns (d1, d2, edit_dist).
+    *
+    * ORACLE/REGISTRY form: fixed (k, bands) is the oracle contract;
+    * production callers at corpus scale use [[editNearDupPairsLshAuto]].
     */
   def editNearDupPairsLsh(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int, threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
@@ -430,6 +433,13 @@ object Dedup {
     * verify with exact Jaccard. Output identical to brute-force
     * [[jaccardPairs]] whenever LSH recall holds at the threshold
     * (P(miss | j≥0.9) < 1e-7 at k=64, bands=16).
+    *
+    * ORACLE/REGISTRY form (VERDICT r11 #6): the fixed (k, bands) point IS
+    * the DuckDB-oracle contract and stays the registry query. Production
+    * callers at corpus scale should use [[minhashLshPairsAuto]], which
+    * sizes (k, bands) jointly from (n, threshold) with a logged miss bound
+    * — the fixed point's recall/candidate-mass balance only holds near the
+    * demo corpus size.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
@@ -557,6 +567,9 @@ object Dedup {
     * hash once, so a daily batch co-locates against them with no history
     * re-shuffle — the same discipline as [[incrementalExactSurvivors]].
     * Recall is d03's LSH guarantee (P(miss | j≥0.8) < 1e-7 at 64/16).
+    *
+    * ORACLE/REGISTRY form: fixed (k, bands) is the oracle contract;
+    * production callers at corpus scale use [[incrementalNearDupAuto]].
     */
   def incrementalNearDupSurvivors(df: DataFrame, idCol: String, textCol: String,
       incomingPred: Column, threshold: Double = 0.8, k: Int = 64, bands: Int = 16,

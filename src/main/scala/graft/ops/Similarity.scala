@@ -405,6 +405,11 @@ object Similarity {
     * the log line states both numbers. At the gated test SFs (≤ 2k
     * vectors) auto resolves to exactly the historical 4, so completeness
     * gates and oracles are unchanged.
+    *
+    * ORACLE/REGISTRY form: the fixed/auto-planes point here is the oracle
+    * contract; production callers at corpus scale use [[cosineNearDupAuto]],
+    * which sizes (planes, tables) jointly from (n, threshold) and spreads
+    * signature compute with the work (the s07 100× operating point).
     */
   def cosineNearDupBucketed(emb: DataFrame, idCol: String, embCol: String,
       threshold: Double, tables: Int = 48, planes: Int = 0,

@@ -370,7 +370,15 @@ class OpsSpec extends SparkSpec {
     val auto = Dedup.incrementalNearDupAuto(docs, "doc_id", "text",
         col("doc_id") % 3 === 0, threshold = 0.8)
       .collect().map(_.getLong(0)).toSet
-    assert(auto == Set(33L, 39L), s"got $auto")
+    // the contract is equality with the fixed 64/16 form's survivors
+    // (ADVICE r11: a hardcoded set alone can't catch the two forms drifting
+    // together); the literal expected set stays as a sanity pin
+    val fixed = Dedup.incrementalNearDupSurvivors(docs, "doc_id", "text",
+        col("doc_id") % 3 === 0, threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(fixed == Set(33L, 39L), s"fixed-form sanity pin broke: $fixed")
+    assert(auto == fixed,
+      s"auto point diverged: only-auto=${auto -- fixed} only-fixed=${fixed -- auto}")
   }
 
   test("editNearDupPairsLshAuto equals the fixed-point verified pairs") {
@@ -418,6 +426,38 @@ class OpsSpec extends SparkSpec {
       assert(exact.nonEmpty, s"$sf has no qualifying pairs — threshold too high")
       assert(lsh == exact, s"$sf: LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
     }
+  }
+
+  test("blessed corpus-scale entry points: the *Auto forms are the production path") {
+    // VERDICT r11 #6 — the fixed-point forms are ORACLE/REGISTRY contracts
+    // (their scaladoc says so); production callers at corpus scale use the
+    // jointly-scaled auto operating points. This test NAMES the blessed
+    // path per family, so a rename or signature break fails loudly here:
+    //   MinHash pairs        -> Dedup.minhashLshPairsAuto      (result-equal test above)
+    //   incremental near-dup -> Dedup.incrementalNearDupAuto   (result-equal test above)
+    //   edit-distance        -> Dedup.editNearDupPairsLshAuto  (result-equal test above)
+    //   cosine near-dup      -> Similarity.cosineNearDupAuto   (gated here)
+    val blessed: Seq[(String, String)] = Seq(
+      "minhash" -> "minhashLshPairsAuto",
+      "incremental" -> "incrementalNearDupAuto",
+      "edit" -> "editNearDupPairsLshAuto",
+      "cosine" -> "cosineNearDupAuto")
+    blessed.foreach { case (fam, fn) =>
+      val host: Class[_] =
+        if (fam == "cosine") Similarity.getClass else Dedup.getClass
+      assert(host.getMethods.exists(_.getName == fn),
+        s"blessed $fam entry point $fn is gone — update scaladoc + callers")
+    }
+    // the one family without a result-equal pin above: the cosine auto
+    // point must reproduce the exact all-pairs oracle on the fixture
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45))
+    val auto = pairs(Similarity.cosineNearDupAuto(emb, "vec_id", "embedding", 0.45))
+    assert(exact.nonEmpty)
+    assert(auto == exact,
+      s"auto point diverged: missed ${exact -- auto}, extra ${auto -- exact}")
   }
 
   test("hyperplane_sig: codegen column matches an independent weight-formula loop") {

@@ -3,6 +3,12 @@
 (VERDICT r10 #6 — turn the measurement discipline into a machine check):
 a published 100x row must be a real measurement, not an upper bound.
 
+The expected-row list is read from the artifact's own "expected_rows"
+field, which graft.Scale100x emits from Bench.scale100xTargets (VERDICT
+r11 #5 — single registry; adding a row in Scala gets it bar-checked here
+without touching this file). MIN_ROWS is the tamper floor: deleting rows
+from the Scala registry shrinks expected_rows below it and fails.
+
 Bars, per expected row:
   - present, and not an error row;
   - runs_s carries >= 2 wall times (two gated runs; single-run rows are
@@ -10,7 +16,11 @@ Bars, per expected row:
   - max_task_ms < 5000 (SCALING.md's straggler bar);
   - load < 4.0 (quiet-machine bar);
   - a per-row "unix" stamp (rows merged from a pre-r11 artifact lack it
-    and must be re-measured).
+    and must be re-measured);
+  - for compute-dense rows (task_s/cores > 10 s): wall <= 2x the
+    core-bound floor task_s/cores (VERDICT r11 #2 — the extra wall must
+    be scheduling slack, never wasted work; s07's 49 s is 1.11x its
+    44 s floor).
 
 Exit 0 only when every bar holds — repro.sh runs this so a round cannot
 re-derive cleanly with contaminated scale evidence.
@@ -18,20 +28,28 @@ re-derive cleanly with contaminated scale evidence.
 import json
 import sys
 
-EXPECTED = [
-    "d03_100x", "d03auto_100x", "d13_100x", "s07_100x",
-    "d10_100x", "d07_100x", "d21_100x",
-]
+MIN_ROWS = 10  # r12: 7 original + d06 + q27xor + q27aes
 MAX_TASK_MS = 5000
 MAX_LOAD = 4.0
+MAX_WALL_OVER_CORE = 2.0
+CORE_FLOOR_GATE_S = 10.0
+DEFAULT_CORES = 32  # rows measured before r12 carry no "cores" field
 
 
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "bench_scale100x.json"
     art = json.load(open(path))
     rows = art.get("rows", {})
+    expected = art.get("expected_rows")
+    if not expected:
+        print("artifact has no expected_rows field (pre-r12) - re-measure "
+              "at least one row with graft.Scale100x to stamp it")
+        sys.exit(1)
     bad = []
-    for k in EXPECTED:
+    if len(expected) < MIN_ROWS:
+        bad.append(f"expected_rows lists {len(expected)} rows, floor is "
+                   f"{MIN_ROWS} - rows were deleted from the registry")
+    for k in expected:
         r = rows.get(k)
         if r is None:
             bad.append(f"{k}: MISSING")
@@ -53,16 +71,27 @@ def main():
         if "unix" not in r:
             bad.append(f"{k}: no per-row unix stamp (carried from a pre-r11 "
                        "artifact) - re-measure")
+        # task-second accounting (derived from committed fields so rows
+        # measured before the wall_over_core field exist are still barred)
+        task_s = r.get("task_s", 0.0)
+        floor_s = task_s / r.get("cores", DEFAULT_CORES)
+        if floor_s > CORE_FLOOR_GATE_S:
+            ratio = r.get("sec", 0.0) / floor_s
+            if ratio > MAX_WALL_OVER_CORE:
+                bad.append(f"{k}: wall {r.get('sec')} s is {ratio:.2f}x the "
+                           f"core-bound floor {floor_s:.1f} s, bar is <= "
+                           f"{MAX_WALL_OVER_CORE} - scheduling waste")
     for k in sorted(rows):
-        if k not in EXPECTED:
+        if k not in expected:
             print(f"note: extra row {k} (not bar-checked)")
     if bad:
         print("scale100x artifact FAILS the evidence bars:")
         for b in bad:
             print(" -", b)
         sys.exit(1)
-    print(f"scale100x artifact OK: {len(EXPECTED)} rows, >=2 runs each, "
-          f"max task < {MAX_TASK_MS} ms, load < {MAX_LOAD}")
+    print(f"scale100x artifact OK: {len(expected)} rows, >=2 runs each, "
+          f"max task < {MAX_TASK_MS} ms, load < {MAX_LOAD}, wall <= "
+          f"{MAX_WALL_OVER_CORE}x core floor on compute-dense rows")
 
 
 if __name__ == "__main__":

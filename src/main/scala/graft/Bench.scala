@@ -961,7 +961,22 @@ object Bench {
       "s07_100x" -> Seq(
         "spark.sql.shuffle.partitions" -> "192",
         "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m"))
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m"),
+      // d06's dominant stage is the Jaccard verify join (StageProbe: 678 of
+      // ~1600 task-seconds, 37.7 MB/task at width 32) — the same
+      // compute-dense shuffle shape as s07's verify, so it gets the same
+      // treatment: pre-coalesce granularity + a 16 MB advisory splits it to
+      // ~14 MB tasks (measured 96 tasks, max 9.7 s cold vs 24.7 s at the
+      // default session; an 8 MB/256 probe measured WORSE — single-shot
+      // JIT noise dominates below ~16 MB). CC's own rounds stay cheap:
+      // AQE coalesces their small shuffles regardless of conf width.
+      "d06_100x" -> Seq(
+        "spark.sql.shuffle.partitions" -> "192",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m",
+        // the shingle+minhash scan stage is compute-dense per input byte
+        // (like s07's signature scan): smaller splits bound its straggler
+        "spark.sql.files.maxPartitionBytes" -> "16m"))
     try {
       ScalingRehearsal.synthesizeScaled(spark0, sfDir, workDir, 100)
       ScalingRehearsal.synthesizeScaledEmbeddings(spark0, sfDir, workDir, 100)

@@ -450,10 +450,22 @@ object Dedup {
     // lifetime is the caller's CacheScope. The df cap applies to the whole
     // pipeline (signatures, sizes, intersections) so verified Jaccard stays
     // consistent with [[jaccardPairs]] at the same cap.
+    //
+    // The cache is EXPLICITLY hash-partitioned on idCol at the session's
+    // shuffle width (r12, measured at 100×): without it, AQE sizes the
+    // cache's partitioning from the distinct's COMPRESSED shuffle bytes, so
+    // a session tuned for compute-dense stages (advisoryPartitionSize 8–16
+    // MB, parallelismFirst=false — the d06 scale row) coalesced the ~30 MB
+    // shuffle into a handful of partitions that deserialize to 70–110 MB —
+    // and every cache-reading stage inherited the fat layout (7–10 s
+    // stragglers). An explicit numPartitions repartition is exempt from AQE
+    // coalescing, and partitioning by idCol makes the signature and size
+    // groupBy(idCol) consumers exchange-free on the cached layout.
+    val hashParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val hashed = scope.cached(capDocFreq(
       shingleSet(df, idCol, textCol)
         .select(col(idCol), xxhash64(col("shingle")).as("sh")),
-      maxDocFreq))
+      maxDocFreq).repartition(hashParts, col(idCol)))
     val cands = lshCandidates(minhashSignaturesHashed(hashed, idCol, k), idCol, k, bands,
       maxBucket = maxDocFreq)
     val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))

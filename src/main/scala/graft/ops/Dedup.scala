@@ -590,11 +590,16 @@ object Dedup {
     val pred = coalesce(incomingPred, lit(false))
     val tagged = df.withColumn("_inc", pred)
     // one shingle table for BOTH sides: sizes and intersections live in the
-    // same df-capped space, so verified Jaccard is consistent everywhere
+    // same df-capped space, so verified Jaccard is consistent everywhere.
+    // Cache layout pinned by idCol at session width, same reasoning as
+    // [[minhashLshPairs]]: AQE must not size the cached partitioning from
+    // compressed shuffle bytes under compute-dense sessions.
     val hashed = scope.cached(capDocFreq(
       shingleSet(tagged, idCol, textCol)
         .select(col(idCol), xxhash64(col("shingle")).as("sh")),
-      maxDocFreq))
+      maxDocFreq)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col(idCol)))
     val flags = tagged.select(col(idCol), col("_inc"))
     val buckets = bandBuckets(
       minhashSignaturesHashed(hashed, idCol, k), idCol, k, bands,

@@ -150,6 +150,54 @@ object Dedup {
     */
   final val DefaultMaxDocFreq = 1000L
 
+  /** Pin a to-be-cached table's partition layout on `key` at the session's
+    * shuffle width — but ONLY when the session's AQE coalescing is
+    * byte-driven (`coalescePartitions.parallelismFirst=false`).
+    *
+    * The hazard (r12, measured at 100×): AQE sizes a cached table's
+    * partitioning from its shuffle's COMPRESSED bytes, so a session tuned
+    * for compute-dense stages (8–16 MB advisory, parallelismFirst=false)
+    * coalesced the shingle cache into a handful of partitions that
+    * deserialize to 70–110 MB — and every cache-reading stage inherited the
+    * fat layout as 7–10 s stragglers. An explicit numPartitions repartition
+    * is exempt from AQE coalescing, and partitioning by the groupBy key
+    * makes the signature/size consumers exchange-free on the cached layout.
+    *
+    * The pin is CONDITIONAL because it is not free: under the default
+    * parallelism-first policy AQE already guards the layout (it coalesces
+    * toward defaultParallelism, never byte-fat partitions), and pinning
+    * unconditionally forces small corpora onto width-32 stages whose
+    * per-task fixed costs dominate — measured on the sf0.1 sweep as
+    * +40–50 % wall on d03/d13/d06 (task-seconds 22→147 on d03: kilobyte
+    * partitions paying 32-task scheduling through every cache consumer).
+    * Byte-driven coalescing is exactly the condition under which AQE stops
+    * guarding parallelism, so it is exactly when the operator must.
+    *
+    * `force` is the *Auto forms' corpus-size override (they know n from
+    * their operating-point count): at [[PinLayoutMinDocs]]+ docs the
+    * shingle cache is 100+ MB deserialized even at default sessions, and
+    * aligning it on the groupBy key saves the signature/size exchanges —
+    * measured at 100× (500 k docs, default session) as 26.2→21.9 s on
+    * d03's auto form.
+    */
+  private def pinCacheLayout(df: DataFrame, key: Column,
+      force: Boolean = false): DataFrame = {
+    val ss = df.sparkSession
+    val byteDriven = !ss.conf.get(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true").toBoolean
+    if (force || byteDriven)
+      df.repartition(ss.sessionState.conf.numShufflePartitions, key)
+    else df
+  }
+
+  /** Corpus size above which the *Auto forms pin their shingle-cache layout
+    * even at default sessions (see [[pinCacheLayout]]): ~100 k docs ≈ 10 M
+    * hashed shingles ≈ 160 MB+ deserialized — the fat-partition regime.
+    * Below it, per-task fixed costs dominate and AQE's byte-sized choice
+    * is the better layout.
+    */
+  final val PinLayoutMinDocs = 100000L
+
   /** Drop shingle hashes whose document frequency exceeds `maxDf`. The hot
     * set is tiny by construction (≤ total_occurrences / maxDf keys), so it
     * broadcasts; the anti-join is map-side — no extra shuffle of the big
@@ -354,9 +402,10 @@ object Dedup {
   def editNearDupPairsLsh(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int, threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
       maxDocFreq: Long = DefaultMaxDocFreq,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      pinLayout: Boolean = false): DataFrame = {
     val cands = minhashLshPairs(docs, idCol, textCol, threshold, k, bands,
-        maxDocFreq, scope)
+        maxDocFreq, scope, pinLayout)
       .select("d1", "d2")
     val t = docs.select(col(idCol), col(textCol))
     cands
@@ -444,28 +493,19 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
       maxDocFreq: Long = DefaultMaxDocFreq,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      pinLayout: Boolean = false): DataFrame = {
     // cached: signatures, sizes and both verification join sides all read
     // the hashed shingle set (4 scan+explode+distinct recomputes otherwise);
     // lifetime is the caller's CacheScope. The df cap applies to the whole
     // pipeline (signatures, sizes, intersections) so verified Jaccard stays
     // consistent with [[jaccardPairs]] at the same cap.
     //
-    // The cache is EXPLICITLY hash-partitioned on idCol at the session's
-    // shuffle width (r12, measured at 100×): without it, AQE sizes the
-    // cache's partitioning from the distinct's COMPRESSED shuffle bytes, so
-    // a session tuned for compute-dense stages (advisoryPartitionSize 8–16
-    // MB, parallelismFirst=false — the d06 scale row) coalesced the ~30 MB
-    // shuffle into a handful of partitions that deserialize to 70–110 MB —
-    // and every cache-reading stage inherited the fat layout (7–10 s
-    // stragglers). An explicit numPartitions repartition is exempt from AQE
-    // coalescing, and partitioning by idCol makes the signature and size
-    // groupBy(idCol) consumers exchange-free on the cached layout.
-    val hashParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val hashed = scope.cached(capDocFreq(
+    // Cache layout conditionally pinned by idCol — see [[pinCacheLayout]].
+    val hashed = scope.cached(pinCacheLayout(capDocFreq(
       shingleSet(df, idCol, textCol)
         .select(col(idCol), xxhash64(col("shingle")).as("sh")),
-      maxDocFreq).repartition(hashParts, col(idCol)))
+      maxDocFreq), col(idCol), force = pinLayout))
     val cands = lshCandidates(minhashSignaturesHashed(hashed, idCol, k), idCol, k, bands,
       maxBucket = maxDocFreq)
     val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
@@ -546,8 +586,10 @@ object Dedup {
       threshold: Double = 0.8, missTarget: Double = 1e-3, maxK: Int = 512,
       maxDocFreq: Long = DefaultMaxDocFreq,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val (k, bands) = minhashOperatingPoint(df.count(), threshold, missTarget, maxK)
-    minhashLshPairs(df, idCol, textCol, threshold, k, bands, maxDocFreq, scope)
+    val n = df.count()
+    val (k, bands) = minhashOperatingPoint(n, threshold, missTarget, maxK)
+    minhashLshPairs(df, idCol, textCol, threshold, k, bands, maxDocFreq, scope,
+      pinLayout = n >= PinLayoutMinDocs)
   }
 
   /** [[editNearDupPairsLsh]] at the jointly-scaled operating point — the
@@ -560,9 +602,10 @@ object Dedup {
       maxDist: Int, threshold: Double = 0.8, missTarget: Double = 1e-3,
       maxK: Int = 512, maxDocFreq: Long = DefaultMaxDocFreq,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val (k, bands) = minhashOperatingPoint(docs.count(), threshold, missTarget, maxK)
+    val n = docs.count()
+    val (k, bands) = minhashOperatingPoint(n, threshold, missTarget, maxK)
     editNearDupPairsLsh(docs, idCol, textCol, maxDist, threshold, k, bands,
-      maxDocFreq, scope)
+      maxDocFreq, scope, pinLayout = n >= PinLayoutMinDocs)
   }
 
   /** Incremental NEAR-dup dedup — [[incrementalExactSurvivors]]'s fuzzy
@@ -586,20 +629,17 @@ object Dedup {
   def incrementalNearDupSurvivors(df: DataFrame, idCol: String, textCol: String,
       incomingPred: Column, threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
       maxDocFreq: Long = DefaultMaxDocFreq,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      pinLayout: Boolean = false): DataFrame = {
     val pred = coalesce(incomingPred, lit(false))
     val tagged = df.withColumn("_inc", pred)
     // one shingle table for BOTH sides: sizes and intersections live in the
     // same df-capped space, so verified Jaccard is consistent everywhere.
-    // Cache layout pinned by idCol at session width, same reasoning as
-    // [[minhashLshPairs]]: AQE must not size the cached partitioning from
-    // compressed shuffle bytes under compute-dense sessions.
-    val hashed = scope.cached(capDocFreq(
+    // Cache layout conditionally pinned by idCol — see [[pinCacheLayout]].
+    val hashed = scope.cached(pinCacheLayout(capDocFreq(
       shingleSet(tagged, idCol, textCol)
         .select(col(idCol), xxhash64(col("shingle")).as("sh")),
-      maxDocFreq)
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        col(idCol)))
+      maxDocFreq), col(idCol), force = pinLayout))
     val flags = tagged.select(col(idCol), col("_inc"))
     val buckets = bandBuckets(
       minhashSignaturesHashed(hashed, idCol, k), idCol, k, bands,
@@ -640,9 +680,10 @@ object Dedup {
       incomingPred: Column, threshold: Double = 0.8, missTarget: Double = 1e-3,
       maxK: Int = 512, maxDocFreq: Long = DefaultMaxDocFreq,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val (k, bands) = minhashOperatingPoint(df.count(), threshold, missTarget, maxK)
+    val n = df.count()
+    val (k, bands) = minhashOperatingPoint(n, threshold, missTarget, maxK)
     incrementalNearDupSurvivors(df, idCol, textCol, incomingPred, threshold,
-      k, bands, maxDocFreq, scope)
+      k, bands, maxDocFreq, scope, pinLayout = n >= PinLayoutMinDocs)
   }
 
   /** SimHash via bit votes: sig bit b = 1 iff Σ_tokens (bit b of hash ? +1 : -1) > 0.

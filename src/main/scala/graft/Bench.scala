@@ -70,6 +70,32 @@ object Bench {
     if (l.isNaN) "" else f"$l%.2f"
   }
 
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line.
+    * Hypervisor CPU steal is INVISIBLE to loadavg and to the quiet gates
+    * built on it (r12: two quiet-gated sweeps published 80.6 s and 99.3 s
+    * for identical untouched sections while a 32-way burn measured 6%+
+    * steal) — on a shared host the guest can be slow while looking idle.
+    * Recording steal per section/run makes that contamination readable in
+    * the artifact instead of masquerading as a regression.
+    */
+  private def cpuStealTotal(): (Long, Long) =
+    try {
+      val line = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next()
+      val v = line.split("\\s+").drop(1).map(_.toLong)
+      (if (v.length > 7) v(7) else 0L, v.sum)
+    } catch { case _: Exception => (0L, 0L) }
+
+  /** Percent of CPU time stolen by the hypervisor since `before`, as a
+    * string ("" if unreadable).
+    */
+  private def stealPctSince(before: (Long, Long)): String = {
+    val (s0, t0) = before
+    val (s1, t1) = cpuStealTotal()
+    if (t1 <= t0) "" else f"${100.0 * (s1 - s0) / (t1 - t0)}%.1f"
+  }
+
   /** Cumulative stop-the-world GC milliseconds across all collectors. */
   private def gcMs(): Long = {
     import scala.jdk.CollectionConverters._
@@ -304,13 +330,14 @@ object Bench {
     val sweepGateLoad = waitForQuietDedicated(3.0,
       math.min(420L, math.max(0L, remainingS - 600L)).toInt)
     val sectionLoads =
-      scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+      scala.collection.mutable.LinkedHashMap.empty[String, (String, String, String)]
     sections.foreach { section =>
       spark.stop()
       System.gc() // let the ContextCleaner reap the dead session's refs
       val fresh = freshSession(cpus)
       spark = fresh._1; listener = fresh._2
       val sectionStartLoad = loadavgStr()
+      val sectionStartSteal = cpuStealTotal()
       section.foreach { name =>
         var s = measure(spark, listener, fns(name), sfDir)
         // inconsistent iterations (median ≫ best) = a load spike mid-query:
@@ -324,7 +351,8 @@ object Bench {
         }
         stats(name) = s
       }
-      sectionLoads(section.head.take(1)) = (sectionStartLoad, loadavgStr())
+      sectionLoads(section.head.take(1)) =
+        (sectionStartLoad, loadavgStr(), stealPctSince(sectionStartSteal))
     }
 
     // ---- 10× scale rows (r6 ask #3): synthesize once, run the headline
@@ -437,8 +465,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
-    val sectionLoadsJson = sectionLoads.map { case (p, (s0, s1)) =>
-      "\"" + p + "\":\"" + s0 + "→" + s1 + "\""
+    val sectionLoadsJson = sectionLoads.map { case (p, (s0, s1, st)) =>
+      "\"" + p + "\":\"" + s0 + "→" + s1 + " steal " + st + "%\""
     }.mkString("{", ",", "}")
     val fullJson =
       f"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"queries":$qs,"query_spread":$spread,"crypto":$crypto,"page":$page,"scale10x":$scale10x,"scale100x":$scale100x,"heap8g":$heap8g,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_grid_gate":"$gridLoad","loadavg_sweep_gate":"$sweepGateLoad","section_loads":$sectionLoadsJson,"loadavg_end":"$loadEnd","heap_gb":$heapGb%.1f,"sweep_wall_s":$sweepSec}"""
@@ -517,8 +545,10 @@ object Bench {
     md ++= f"- data: `$sfDir`, local[$cpus], heap $heapGb%.1f GB, " +
       f"loadavg $loadStart → $loadEnd, bench wall ${sweepSec}s\n"
     md ++= s"- quiet gates (load when released): grid $gridLoad, sweep " +
-      s"$sweepGateLoad; per-section start→end load: " +
-      sectionLoads.map { case (p, (a, b)) => s"$p $a→$b" }.mkString(", ") + "\n"
+      s"$sweepGateLoad; per-section start→end load (and hypervisor CPU " +
+      s"steal, which loadavg cannot see): " +
+      sectionLoads.map { case (p, (a, b, st)) =>
+        s"$p $a→$b steal $st%" }.mkString(", ") + "\n"
     md ++= f"- **query sweep: ${results.size} queries, total ${r3(total)} s**" +
       (if (errorNames.nonEmpty) s", ERRORS: ${errorNames.mkString(", ")}" else
         ", no errors") + "\n\n"
@@ -636,7 +666,7 @@ object Bench {
     */
   private final case class ScaleRun(sec: Double, n: Long, maxTask: Long,
       maxIn: Long, maxShuf: Long, load: String, gcS: Double, taskS: Double,
-      taskGcS: Double)
+      taskGcS: Double, stealPct: String)
 
   private def measureScaleRun(spark: SparkSession,
       listener: TaskStatsListener, fn: (SparkSession, String) => DataFrame,
@@ -645,6 +675,7 @@ object Bench {
     System.gc() // same pre-collect discipline as the sweep's measure()
     Thread.sleep(200)
     val load = loadavgStr()
+    val steal0 = cpuStealTotal()
     val gc0 = gcMs()
     listener.reset()
     val t0 = System.nanoTime()
@@ -652,7 +683,8 @@ object Bench {
     val sec = (System.nanoTime() - t0) / 1e9
     ScaleRun(sec, n, listener.maxTaskMs.get(), listener.maxInput.get(),
       listener.maxShuffleRead.get(), load, (gcMs() - gc0) / 1e3,
-      listener.taskMs.get() / 1e3, listener.taskGcMs.get() / 1e3)
+      listener.taskMs.get() / 1e3, listener.taskGcMs.get() / 1e3,
+      stealPctSince(steal0))
   }
 
   /** One scale row with the sweep's discipline (VERDICT r7 #3 — the r7 10×
@@ -747,7 +779,7 @@ object Bench {
       val floorS = r.taskS / math.max(1, cores)
       val wallOverCore = if (floorS > 0) r.sec / floorS else 0.0
       val json =
-        f""""$key":{"sec":${r.sec}%.3f,"form":"$name","runs_s":$allRuns,"retries":$extra$err,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"cores":$cores,"core_floor_s":$floorS%.1f,"wall_over_core":$wallOverCore%.2f,"disk_avail_gb":${diskAvailGb(dir)}%.1f}"""
+        f""""$key":{"sec":${r.sec}%.3f,"form":"$name","runs_s":$allRuns,"retries":$extra$err,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","steal_pct":"${r.stealPct}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"cores":$cores,"core_floor_s":$floorS%.1f,"wall_over_core":$wallOverCore%.2f,"disk_avail_gb":${diskAvailGb(dir)}%.1f}"""
       (json, Some(key -> r.sec))
     }
   }
@@ -780,6 +812,21 @@ object Bench {
     graft.ops.Dedup.minhashLshPairsAuto(
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
       threshold = 0.8)
+
+  // The registry 64/16 operating point with the result-invariant cache-
+  // layout pin (Dedup.pinCacheLayout) forced on — what a production caller
+  // of the FIXED point would run at corpus scale. Measured r12: unpinned,
+  // the fixed form's 100x shingle-cache partitions deserialize 60-110 MB at
+  // the default session and the verify stage STRADDLES the 5 s straggler
+  // bar (best runs published 4.5-5.8 s max tasks across attempts); pinned,
+  // 3-4.7 s max tasks at the same ~34 s wall. A compute-dense rowConf
+  // (192/16 MB, the d06 treatment) was measured WORSE here - 81 s wall,
+  // task-seconds 1152->2340 - d03's many small stages pay width fixed
+  // costs that d06's single dominant join does not.
+  private def d03Pinned(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashLshPairs(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      threshold = 0.8, pinLayout = true)
 
   /** The protection hot path at 100× (VERDICT r11 "What's missing" #1): the
     * q27/q28 per-value encrypt kernel materialized over every token of the
@@ -899,7 +946,7 @@ object Bench {
     * bar-checked without touching the checker.
     */
   private[graft] val scale100xTargets: Seq[(String, String, (SparkSession, String) => DataFrame)] = Seq(
-    ("d03_100x", "d03_minhash_lsh", SparkEntry.queries("d03_minhash_lsh")),
+    ("d03_100x", "d03_minhash_lsh@pinLayout", d03Pinned _),
     ("d03auto_100x", "d03_minhash_lsh@opAuto", d03Auto _),
     ("d13_100x", "d13_incremental_neardup",
       SparkEntry.queries("d13_incremental_neardup")),
@@ -976,7 +1023,8 @@ object Bench {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m",
         // the shingle+minhash scan stage is compute-dense per input byte
         // (like s07's signature scan): smaller splits bound its straggler
-        "spark.sql.files.maxPartitionBytes" -> "16m"))
+        "spark.sql.files.maxPartitionBytes" -> "16m"),
+      )
     try {
       ScalingRehearsal.synthesizeScaled(spark0, sfDir, workDir, 100)
       ScalingRehearsal.synthesizeScaledEmbeddings(spark0, sfDir, workDir, 100)

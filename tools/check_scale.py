@@ -81,6 +81,18 @@ def main():
                 bad.append(f"{k}: wall {r.get('sec')} s is {ratio:.2f}x the "
                            f"core-bound floor {floor_s:.1f} s, bar is <= "
                            f"{MAX_WALL_OVER_CORE} - scheduling waste")
+    for k in expected:
+        r = rows.get(k) or {}
+        try:
+            steal = float(r.get("steal_pct", ""))
+        except (TypeError, ValueError):
+            steal = None
+        # advisory, not a bar: hypervisor steal is environment, not engine,
+        # but a best-run taken at high steal understates the engine —
+        # re-measure when the host quiets (r12: loadavg gates can't see it)
+        if steal is not None and steal > 5.0:
+            print(f"note: {k} best run saw {steal}% hypervisor CPU steal - "
+                  "wall is an upper bound; re-measure on a quieter host")
     for k in sorted(rows):
         if k not in expected:
             print(f"note: extra row {k} (not bar-checked)")

@@ -84,7 +84,11 @@ object Bench {
         java.nio.file.Paths.get("/proc/stat")), "UTF-8")
         .linesIterator.next()
       val v = line.split("\\s+").drop(1).map(_.toLong)
-      (if (v.length > 7) v(7) else 0L, v.sum)
+      // total = first 8 fields only (user nice system idle iowait irq
+      // softirq steal): the kernel already folds guest/guest_nice into
+      // user/nice, so including fields 9-10 double-counts guest time in
+      // the denominator and understates steal_pct (ADVICE r12)
+      (if (v.length > 7) v(7) else 0L, v.take(8).sum)
     } catch { case _: Exception => (0L, 0L) }
 
   /** Percent of CPU time stolen by the hypervisor since `before`, as a
@@ -351,7 +355,11 @@ object Bench {
         }
         stats(name) = s
       }
-      sectionLoads(section.head.take(1)) =
+      // keyed by the section's HEAD QUERY NAME, not its first letter
+      // (ADVICE r12: two non-adjacent sections sharing an initial — e.g.
+      // s01.. similarity and st01.. streaming — would silently overwrite
+      // each other's load/steal entry under single-letter keys)
+      sectionLoads(section.head) =
         (sectionStartLoad, loadavgStr(), stealPctSince(sectionStartSteal))
     }
 
@@ -666,7 +674,7 @@ object Bench {
     */
   private final case class ScaleRun(sec: Double, n: Long, maxTask: Long,
       maxIn: Long, maxShuf: Long, load: String, gcS: Double, taskS: Double,
-      taskGcS: Double, stealPct: String)
+      taskGcS: Double, stealPct: String, ccRounds: Int)
 
   private def measureScaleRun(spark: SparkSession,
       listener: TaskStatsListener, fn: (SparkSession, String) => DataFrame,
@@ -678,13 +686,18 @@ object Bench {
     val steal0 = cpuStealTotal()
     val gc0 = gcMs()
     listener.reset()
+    // Convergence-round telemetry for iterative ops (VERDICT r12 #3: d06's
+    // 38 % run spread needed attribution — an extra large/small-star round
+    // is expected behavior, ambient noise is not). Reset before the run so
+    // a row that never runs CC reports -1 and the field is omitted.
+    graft.ops.ConnectedComponents.lastRunRounds = -1
     val t0 = System.nanoTime()
     val n = fn(spark, dir).count()
     val sec = (System.nanoTime() - t0) / 1e9
     ScaleRun(sec, n, listener.maxTaskMs.get(), listener.maxInput.get(),
       listener.maxShuffleRead.get(), load, (gcMs() - gc0) / 1e3,
       listener.taskMs.get() / 1e3, listener.taskGcMs.get() / 1e3,
-      stealPctSince(steal0))
+      stealPctSince(steal0), graft.ops.ConnectedComponents.lastRunRounds)
   }
 
   /** One scale row with the sweep's discipline (VERDICT r7 #3 — the r7 10×
@@ -769,6 +782,12 @@ object Bench {
       val r = runs.minBy(_.sec)
       val allRuns = runs.map(x => f"${x.sec}%.3f").mkString("[", ",", "]")
       val err = if (errorRuns > 0) s""","error_runs":$errorRuns""" else ""
+      // cc_rounds aligns 1:1 with runs_s (VERDICT r12 #3) — present only
+      // when the row actually ran connected components
+      val ccRounds =
+        if (runs.exists(_.ccRounds >= 0))
+          s""","cc_rounds":${runs.map(_.ccRounds).mkString("[", ",", "]")}"""
+        else ""
       // Task-second accounting (VERDICT r11 #2): `core_floor_s` is the wall
       // a perfectly-scheduled run would take on this session's cores
       // (task-seconds / cores); `wall_over_core` near 1 proves the wall is
@@ -779,7 +798,7 @@ object Bench {
       val floorS = r.taskS / math.max(1, cores)
       val wallOverCore = if (floorS > 0) r.sec / floorS else 0.0
       val json =
-        f""""$key":{"sec":${r.sec}%.3f,"form":"$name","runs_s":$allRuns,"retries":$extra$err,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","steal_pct":"${r.stealPct}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"cores":$cores,"core_floor_s":$floorS%.1f,"wall_over_core":$wallOverCore%.2f,"disk_avail_gb":${diskAvailGb(dir)}%.1f}"""
+        f""""$key":{"sec":${r.sec}%.3f,"form":"$name","runs_s":$allRuns,"retries":$extra$err$ccRounds,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","steal_pct":"${r.stealPct}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"cores":$cores,"core_floor_s":$floorS%.1f,"wall_over_core":$wallOverCore%.2f,"disk_avail_gb":${diskAvailGb(dir)}%.1f}"""
       (json, Some(key -> r.sec))
     }
   }

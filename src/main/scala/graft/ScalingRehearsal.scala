@@ -196,7 +196,7 @@ object ScalingRehearsal {
       spark.read.parquet(s"$outDir/documents.parquet")
         .select(explode(split(col("text"), "\\s+")).as("v"))
         .filter(length(col("v")) > 0)
-        .repartition(32 * (factor / 10))
+        .repartition(math.max(1, 32 * factor / 10))
         .write.mode("overwrite").parquet(s"$outDir/values.parquet")
     }
 

@@ -27,7 +27,9 @@ object StageProbe {
 
   def main(args: Array[String]): Unit = {
     val workDir = args.headOption.getOrElse("/tmp/graft_scale100x")
-    val query = args.lift(1).getOrElse("s07auto")
+    // empty string falls back too (ADVICE r12: SCALING.md's example passed
+    // "" as the query, which resolved to SparkEntry.queries("") and threw)
+    val query = args.lift(1).filter(_.nonEmpty).getOrElse("s07auto")
     val configs = if (args.length > 2) args.drop(2).toSeq else Seq("")
     configs.foreach { confStr =>
       SparkSessionCleanup()

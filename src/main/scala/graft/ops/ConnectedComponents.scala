@@ -39,6 +39,15 @@ object ConnectedComponents {
   @transient private lazy val log =
     org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Rounds the most recent [[run]] in this JVM took to converge — bench
+    * telemetry (ADVICE r12: the INFO log line is invisible under the
+    * bench sessions' ERROR log level, so the d06 scale rows couldn't
+    * attribute a slow run to an extra large/small-star round). -1 until a
+    * run completes. Driver-side, set once per run at convergence; bench
+    * rows run serially per JVM, so last-writer is the row's own run.
+    */
+  @volatile var lastRunRounds: Int = -1
+
 
   /** Label every node reachable from `edges` with the minimum node id in its
     * component. Returns (node, rep) — one row per distinct endpoint; nodes
@@ -91,8 +100,11 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds")
-    // rounds × shuffles is the scale risk of any iterative op — log the
+    // rounds × shuffles is the scale risk of any iterative op — record the
     // observed count so a scale run's telemetry records convergence cost
+    // (the field, not the log line, is what the bench reads: bench sessions
+    // run at ERROR log level)
+    lastRunRounds = round
     log.info(s"connected components converged in $round large/small-star rounds")
     // every edge is (child, root = component minimum); roots appear only on
     // the v side and each child has exactly one root.

@@ -100,6 +100,60 @@ object Bench {
     if (t1 <= t0) "" else f"${100.0 * (s1 - s0) / (t1 - t0)}%.1f"
   }
 
+  /** Machine-calibration loop (VERDICT r12 #1): a FIXED deterministic
+    * single-thread CPU workload — the jvm_string_xor kernel over a pinned
+    * synthetic buffer — whose only cross-run variable is the machine.
+    * Two rounds of wall comparisons have been environment noise (r11:
+    * loadavg 6.14; r12: clean gates, 0.0 % measured per-section steal,
+    * still +15 % on untouched sections — sub-section steal spikes slip
+    * through the sampling), so every sweep publishes `cal_rows_per_s`
+    * sampled per section and the summary reports section walls normalized
+    * by cal/baseline alongside the raw walls. Values are index-derived
+    * (no RNG, no data files): the buffer is bit-identical on every box.
+    */
+  private val CalN = 1000000
+  private lazy val calValues: Array[org.apache.spark.unsafe.types.UTF8String] = {
+    Array.tabulate(CalN) { i =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        f"cal$i%07d|${i * 2654435761L}%016x")
+    }
+  }
+  private lazy val calCryptor = graft.core.CellCryptor(
+    org.apache.spark.sql.types.StringType,
+    graft.core.ProtectionContext("cal-key", "cal"),
+    CryptoCodec.Xor, perValue = true)
+  @volatile private var calSink = 0L
+
+  /** One calibration sample: best-of-`iters` single-thread XOR encrypt
+    * pass over the pinned buffer, in rows/s. Best-of (not avg): within a
+    * ~0.5 s window the fastest iteration is the machine's clean speed —
+    * ambient spikes can only slow iterations down. ~0.3-0.5 s per call.
+    */
+  private[graft] def calSample(iters: Int = 5, warmup: Int = 1): Double = {
+    var sink = 0L
+    val times = (0 until warmup + iters).map { _ =>
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < calValues.length) {
+        sink += calCryptor.encryptCell(calValues(i)).length; i += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }.drop(warmup)
+    calSink += sink // defeat DCE
+    CalN / times.min
+  }
+
+  /** Pinned clean-machine calibration baseline (rows/s), measured by
+    * `graft.CalProbe` on THIS box at loadavg 1.2 (r13: 22 samples, clean
+    * medians 21.7–23.8 M, best 25.1 M, one 10.5 M ambient spike). Pinned at
+    * the typical-clean median, so normalized ≈ raw on a clean round.
+    * Cross-round normalization: clean-equivalent wall = raw wall ×
+    * (cal_run / CalBaselineRowsPerS). Re-pin via CalProbe if the hardware
+    * changes — the value documents the box the baseline walls were
+    * measured on, not a universal constant.
+    */
+  private[graft] val CalBaselineRowsPerS: Double = 2.30e7
+
   /** Cumulative stop-the-world GC milliseconds across all collectors. */
   private def gcMs(): Long = {
     import scala.jdk.CollectionConverters._
@@ -333,8 +387,11 @@ object Bench {
     // recorded instead so a reader can see exactly which sections ran hot.
     val sweepGateLoad = waitForQuietDedicated(3.0,
       math.min(420L, math.max(0L, remainingS - 600L)).toInt)
-    val sectionLoads =
-      scala.collection.mutable.LinkedHashMap.empty[String, (String, String, String)]
+    // per section: (load start, load end, steal %, cal start M rows/s,
+    // cal end M rows/s) — the cal samples are the machine-speed probe the
+    // summary normalizes section walls by (VERDICT r12 #1)
+    val sectionLoads = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, String, String, Double, Double)]
     sections.foreach { section =>
       spark.stop()
       System.gc() // let the ContextCleaner reap the dead session's refs
@@ -342,6 +399,7 @@ object Bench {
       spark = fresh._1; listener = fresh._2
       val sectionStartLoad = loadavgStr()
       val sectionStartSteal = cpuStealTotal()
+      val sectionCal0 = calSample()
       section.foreach { name =>
         var s = measure(spark, listener, fns(name), sfDir)
         // inconsistent iterations (median ≫ best) = a load spike mid-query:
@@ -360,7 +418,8 @@ object Bench {
       // s01.. similarity and st01.. streaming — would silently overwrite
       // each other's load/steal entry under single-letter keys)
       sectionLoads(section.head) =
-        (sectionStartLoad, loadavgStr(), stealPctSince(sectionStartSteal))
+        (sectionStartLoad, loadavgStr(), stealPctSince(sectionStartSteal),
+          sectionCal0, calSample())
     }
 
     // ---- 10× scale rows (r6 ask #3): synthesize once, run the headline
@@ -473,11 +532,18 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
-    val sectionLoadsJson = sectionLoads.map { case (p, (s0, s1, st)) =>
-      "\"" + p + "\":\"" + s0 + "→" + s1 + " steal " + st + "%\""
+    val sectionLoadsJson = sectionLoads.map { case (p, (s0, s1, st, c0, c1)) =>
+      f""""$p":"$s0→$s1 steal $st%% cal ${c0 / 1e6}%.1f/${c1 / 1e6}%.1f""""
     }.mkString("{", ",", "}")
+    // cal_rows_per_s: the run's best observed machine speed (the cleanest
+    // window); per-section samples live in section_loads. Normalization
+    // uses the per-section MEAN of the start/end samples (the machine's
+    // effective speed while the section ran), never this best figure.
+    val calBest =
+      if (sectionLoads.isEmpty) 0.0
+      else sectionLoads.values.flatMap(v => Seq(v._4, v._5)).max
     val fullJson =
-      f"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"queries":$qs,"query_spread":$spread,"crypto":$crypto,"page":$page,"scale10x":$scale10x,"scale100x":$scale100x,"heap8g":$heap8g,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_grid_gate":"$gridLoad","loadavg_sweep_gate":"$sweepGateLoad","section_loads":$sectionLoadsJson,"loadavg_end":"$loadEnd","heap_gb":$heapGb%.1f,"sweep_wall_s":$sweepSec}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"queries":$qs,"query_spread":$spread,"crypto":$crypto,"page":$page,"scale10x":$scale10x,"scale100x":$scale100x,"heap8g":$heap8g,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_grid_gate":"$gridLoad","loadavg_sweep_gate":"$sweepGateLoad","section_loads":$sectionLoadsJson,"cal_rows_per_s":$calBest%.0f,"cal_baseline_rows_per_s":$CalBaselineRowsPerS%.0f,"loadavg_end":"$loadEnd","heap_gb":$heapGb%.1f,"sweep_wall_s":$sweepSec}"""
     // The driver captures only the LAST ~2 KB of stdout, so the full ~4 KB
     // line never parsed (BENCH_r1..r3 all "parsed": null). Persist the full
     // JSON to a file and print a compact (<2 KB) summary as the final line.
@@ -555,11 +621,33 @@ object Bench {
     md ++= s"- quiet gates (load when released): grid $gridLoad, sweep " +
       s"$sweepGateLoad; per-section start→end load (and hypervisor CPU " +
       s"steal, which loadavg cannot see): " +
-      sectionLoads.map { case (p, (a, b, st)) =>
+      sectionLoads.map { case (p, (a, b, st, _, _)) =>
         s"$p $a→$b steal $st%" }.mkString(", ") + "\n"
     md ++= f"- **query sweep: ${results.size} queries, total ${r3(total)} s**" +
       (if (errorNames.nonEmpty) s", ERRORS: ${errorNames.mkString(", ")}" else
         ", no errors") + "\n\n"
+    // Calibration-normalized section walls (VERDICT r12 #1): raw walls are
+    // NOT comparable across rounds on this box — r11 ran at loadavg 6.14,
+    // r12 ran clean-gated at 0.0 % measured steal and still published +15 %
+    // on untouched sections (sub-section steal slips through per-section
+    // sampling). The single-thread calibration kernel samples the machine's
+    // effective speed at each section's start/end; normalized wall = raw ×
+    // (cal_mean / baseline) is the clean-box-equivalent figure. COMPARE
+    // ROUNDS ON THIS TABLE (or per-query med/best), never on raw walls.
+    md ++= f"\n## Section walls, calibration-normalized (baseline " +
+      f"${CalBaselineRowsPerS / 1e6}%.1f M rows/s single-thread XOR; " +
+      "compare rounds here, not on raw walls)\n\n" +
+      "| section (head query) | raw s | cal start/end M rows/s | " +
+      "normalized s |\n|---|---|---|---|\n"
+    sections.foreach { section =>
+      sectionLoads.get(section.head).foreach { case (_, _, _, c0, c1) =>
+        val raw = section.flatMap(results.get).sum
+        val calMean = (c0 + c1) / 2
+        val norm = raw * calMean / CalBaselineRowsPerS
+        md ++= f"| ${section.head} (${section.size} queries) | ${r3(raw)} " +
+          f"| ${c0 / 1e6}%.1f/${c1 / 1e6}%.1f | ${r3(norm)} |\n"
+      }
+    }
     md ++= "## Slowest five (published value; sweep median unless an " +
       "isolated re-run measured lower)\n\n| query | sec | med | min | max | gc_s | max task ms |\n|---|---|---|---|---|---|---|\n"
     results.toSeq.sortBy(-_._2).take(5).foreach { case (k, v) =>
@@ -674,7 +762,7 @@ object Bench {
     */
   private final case class ScaleRun(sec: Double, n: Long, maxTask: Long,
       maxIn: Long, maxShuf: Long, load: String, gcS: Double, taskS: Double,
-      taskGcS: Double, stealPct: String, ccRounds: Int)
+      taskGcS: Double, stealPct: String, ccRounds: Int, calMrows: Double)
 
   private def measureScaleRun(spark: SparkSession,
       listener: TaskStatsListener, fn: (SparkSession, String) => DataFrame,
@@ -691,13 +779,17 @@ object Bench {
     // is expected behavior, ambient noise is not). Reset before the run so
     // a row that never runs CC reports -1 and the field is omitted.
     graft.ops.ConnectedComponents.lastRunRounds = -1
+    // machine-speed probe immediately before the run (VERDICT r12 #1):
+    // attributes a slow run to a slow machine window, per run — the
+    // per-row steal sampling alone missed sub-window spikes in r12
+    val cal = calSample()
     val t0 = System.nanoTime()
     val n = fn(spark, dir).count()
     val sec = (System.nanoTime() - t0) / 1e9
     ScaleRun(sec, n, listener.maxTaskMs.get(), listener.maxInput.get(),
       listener.maxShuffleRead.get(), load, (gcMs() - gc0) / 1e3,
       listener.taskMs.get() / 1e3, listener.taskGcMs.get() / 1e3,
-      stealPctSince(steal0), graft.ops.ConnectedComponents.lastRunRounds)
+      stealPctSince(steal0), graft.ops.ConnectedComponents.lastRunRounds, cal)
   }
 
   /** One scale row with the sweep's discipline (VERDICT r7 #3 — the r7 10×
@@ -788,6 +880,9 @@ object Bench {
         if (runs.exists(_.ccRounds >= 0))
           s""","cc_rounds":${runs.map(_.ccRounds).mkString("[", ",", "]")}"""
         else ""
+      // per-run machine speed in M rows/s, aligned with runs_s
+      val calRuns = runs.map(x => f"${x.calMrows / 1e6}%.1f")
+        .mkString(""","cal_mrows_per_run":[""", ",", "]")
       // Task-second accounting (VERDICT r11 #2): `core_floor_s` is the wall
       // a perfectly-scheduled run would take on this session's cores
       // (task-seconds / cores); `wall_over_core` near 1 proves the wall is
@@ -798,7 +893,7 @@ object Bench {
       val floorS = r.taskS / math.max(1, cores)
       val wallOverCore = if (floorS > 0) r.sec / floorS else 0.0
       val json =
-        f""""$key":{"sec":${r.sec}%.3f,"form":"$name","runs_s":$allRuns,"retries":$extra$err$ccRounds,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","steal_pct":"${r.stealPct}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"cores":$cores,"core_floor_s":$floorS%.1f,"wall_over_core":$wallOverCore%.2f,"disk_avail_gb":${diskAvailGb(dir)}%.1f}"""
+        f""""$key":{"sec":${r.sec}%.3f,"form":"$name","runs_s":$allRuns,"retries":$extra$err$ccRounds$calRuns,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","steal_pct":"${r.stealPct}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"cores":$cores,"core_floor_s":$floorS%.1f,"wall_over_core":$wallOverCore%.2f,"disk_avail_gb":${diskAvailGb(dir)}%.1f}"""
       (json, Some(key -> r.sec))
     }
   }

@@ -2200,6 +2200,54 @@ $prRounds
       SELECT COUNT(*) AS n,
         CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS price_cents,
         MIN(l_returnflag) AS min_flag, MAX(l_returnflag) AS max_flag
-      FROM lineitem"""))
+      FROM lineitem""")),
+
+    // ------------------------------------------------------- streaming
+    // The streaming surface's registry oracle row (VERDICT r12 #4 — every
+    // other first-class family is DuckDB-gated; streaming was ScalaTest
+    // only): the bounded-state streaming exact dedup
+    // ([[graft.streaming.StreamOps.dedupDocumentStream]]: canonical-text
+    // fingerprint → watermark → dropDuplicatesWithinWatermark) run as a
+    // REAL stream — file source → stateful dedup → parquet sink under
+    // `Trigger.AvailableNow` — then the SINK is oracle-checked against the
+    // batch d01 semantics. The streaming contract is "exactly one survivor
+    // per canonical-text group, WHICH member unspecified" (state insertion
+    // order is task-scheduling-dependent), so the checked projection is
+    // group-invariant: each group's fingerprint with its survivor count.
+    // A leaked duplicate (n_out = 2), a dropped group, or a wrong
+    // fingerprint all hash-fail against DuckDB's recompute.
+    ("st01_stream_dedup", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st01_").toString
+      // event time synthesized deterministically from doc_id, wrapped at
+      // one hour so every duplicate pair sits inside the 24 h state
+      // horizon at ANY scale factor (the batch-equivalence condition;
+      // production sets the horizon from its real ingest dedup window and
+      // state stays bounded by it, not by stream length)
+      rd(s, dir, "documents")
+        .withColumn("ts",
+          timestamp_seconds(lit(1700000000L) + col("doc_id") % 3600))
+        .write.mode("overwrite").parquet(s"$tmp/src")
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType), StructField("ts", TimestampType))))
+        .parquet(s"$tmp/src")
+      graft.streaming.StreamOps.dedupDocumentStream(stream, "text", "ts", "24 hours")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(s"$tmp/sink")
+        .groupBy("fp").agg(count(lit(1)).as("n_out"))
+        .orderBy("fp")
+    }, Some("""
+      SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        CAST(1 AS BIGINT) AS n_out
+      FROM documents GROUP BY 1 ORDER BY fp"""))
   )
 }

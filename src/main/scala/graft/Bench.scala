@@ -1061,7 +1061,10 @@ object Bench {
     */
   private[graft] val scale100xTargets: Seq[(String, String, (SparkSession, String) => DataFrame)] = Seq(
     ("d03_100x", "d03_minhash_lsh@pinLayout", d03Pinned _),
-    ("d03auto_100x", "d03_minhash_lsh@opAuto", d03Auto _),
+    // form IS the registry query d25 (r13: the auto point graduated to a
+    // first-class oracle row), so the 100× row and the CORRECTNESS row
+    // name the same code path
+    ("d03auto_100x", "d25_minhash_lsh_auto", d03Auto _),
     ("d13_100x", "d13_incremental_neardup",
       SparkEntry.queries("d13_incremental_neardup")),
     ("s07_100x", "s07_cosine_neardup_lsh@t0.9auto", s07Production _),

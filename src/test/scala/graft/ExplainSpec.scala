@@ -190,6 +190,66 @@ class ExplainSpec extends SparkSpec {
     assertNoQuadraticJoins("s02", plan)
   }
 
+  test("d03 cache-layout pin: present iff the session coalesces byte-driven") {
+    // Plan-pin BOTH branches of Dedup.pinCacheLayout's conditional (VERDICT
+    // r12 #5): the pin is a repartition-by-doc_id of the cached shingle
+    // table, applied ONLY when AQE's coalescing is byte-driven
+    // (parallelismFirst=false — the regime where AQE coalesces the cache
+    // into deserialize-fat partitions) or when the auto forms force it at
+    // PinLayoutMinDocs+ docs. A future AQE default change that silently
+    // inverted the trade must fail here, not in a 100× bench run. The
+    // RepartitionByExpression node is asserted on the ANALYZED plan — the
+    // cache substitutes an InMemoryRelation into the physical plan, but
+    // the logical tree still carries the operator's own shape.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def analyzedPlan(): String = {
+      spark.catalog.clearCache() // each build caches its shingle table
+      val df = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        threshold = 0.8)
+      val plan = df.queryExecution.analyzed.toString
+      spark.catalog.clearCache()
+      plan
+    }
+    val key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val before = spark.conf.getOption(key)
+    try {
+      // default session (parallelism-first coalescing), demo corpus far
+      // below PinLayoutMinDocs: AQE guards the layout, the pin must NOT
+      // pay 32-task fixed costs on kilobyte partitions (+40-50 % measured)
+      spark.conf.set(key, "true")
+      val unpinned = analyzedPlan()
+      assert(!unpinned.contains("RepartitionByExpression"),
+        s"d03 must not pin the cache layout under parallelism-first AQE " +
+          s"below PinLayoutMinDocs:\n$unpinned")
+      // byte-driven coalescing (the compute-dense session the 100× rows
+      // tune): AQE stops guarding parallelism, so the operator must
+      spark.conf.set(key, "false")
+      val pinned = analyzedPlan()
+      assert(pinned.contains("RepartitionByExpression"),
+        s"d03 must pin the cache layout by doc_id under byte-driven AQE " +
+          s"coalescing:\n$pinned")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("d03 cache-layout pin: the auto forms' force override pins at any session") {
+    // the third branch: force=true (what minhashLshPairsAuto passes at
+    // PinLayoutMinDocs+ docs) pins regardless of the AQE policy — measured
+    // at 100× as the 26.2→21.9 s win on d03's auto form
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      threshold = 0.8, pinLayout = true)
+    val plan = df.queryExecution.analyzed.toString
+    spark.catalog.clearCache()
+    assert(plan.contains("RepartitionByExpression"),
+      s"pinLayout=true must repartition the shingle cache by doc_id:\n$plan")
+  }
+
   test("s11 IVF-PQ: the list scan is an equality broadcast-hash join on cid") {
     // THE IVF point: the scan must touch only probed lists via an equality
     // join on cid — if this degrades to a nested-loop/cartesian against

@@ -698,7 +698,13 @@ object Bench {
         }
       } else if (json.contains("error"))
         md ++= s"\n## $title\n\nERROR: $json\n"
-    scaleTable("scale10x (synthesized 10× corpus)", scale10x, scale10xSecs)
+    // ADVISORY marker (VERDICT r12 #7): the 10× rows ride the sweep with
+    // its cheap protocol (2 runs + retry bars, but no per-run quiet gate
+    // and no committed-artifact merge) — they shape the scaling curve but
+    // are not evidence rows; the 100× artifact is where the bars live.
+    scaleTable("scale10x (synthesized 10× corpus) — ADVISORY: sweep-protocol " +
+      "runs without the 100× per-run quiet gates; cite bench_scale100x.json " +
+      "rows as scale evidence, these only shape the curve", scale10x, scale10xSecs)
     val t100 = "scale100x (synthesized 100× corpus" +
       (if (scale100x.contains("\"source\""))
         "; rows from the committed `bench_scale100x.json` dedicated 96 GB run)"

@@ -93,6 +93,20 @@ def main():
         if steal is not None and steal > 5.0:
             print(f"note: {k} best run saw {steal}% hypervisor CPU steal - "
                   "wall is an upper bound; re-measure on a quieter host")
+        # r13: per-run machine-speed probe (single-thread cal kernel,
+        # M rows/s; clean bare-JVM box ~23, and ~15-18 is typical right
+        # after a quiet gate releases at loadavg ~2). Like steal, advisory
+        # not a bar - but a PUBLISHED (best) run whose pre-run cal sat far
+        # below clean speed was measured on a degraded machine window and
+        # its wall is an upper bound.
+        cals = r.get("cal_mrows_per_run", [])
+        runs = r.get("runs_s", [])
+        if cals and runs and len(cals) == len(runs):
+            best_cal = cals[runs.index(min(runs))]
+            if best_cal < 0.55 * 23.0:
+                print(f"note: {k} published run's pre-run cal was "
+                      f"{best_cal} M rows/s (clean ~23) - measured on a "
+                      "degraded machine window; wall is an upper bound")
     for k in sorted(rows):
         if k not in expected:
             print(f"note: extra row {k} (not bar-checked)")

@@ -2263,6 +2263,87 @@ $prRounds
     }, Some("""
       SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         CAST(1 AS BIGINT) AS n_out
-      FROM documents GROUP BY 1 ORDER BY fp"""))
+      FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    // Watermarked windowed aggregation + in-stream protection, oracle-
+    // pinned INCLUDING the append-mode emission contract: a window emits
+    // exactly when the final watermark (max event time − 2 h) passes its
+    // end, so the oracle reproduces both the aggregate values (encrypt →
+    // decrypt round trip is the identity on the payload) and the emitted
+    // window SET. The source is written as ONE file so AvailableNow
+    // processes one data micro-batch — no cross-batch late-arrival drops,
+    // which would make the emitted set depend on file ordering. The
+    // max(ts) of every testdata SF is not hour-aligned (checked), so no
+    // window end sits exactly on the watermark boundary.
+    ("st02_stream_windowed_agg", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st02_").toString
+      rd(s, dir, "events").coalesce(1).write.parquet(s"$tmp/src")
+      val stream = s.readStream
+        .schema(graft.streaming.StreamOps.rawEventSchema).parquet(s"$tmp/src")
+      graft.streaming.StreamOps.hourlyProtectedAgg(stream)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(s"$tmp/sink").orderBy("hour", "event_type")
+    }, Some(s"""
+      WITH agg AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+          date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
+          event_type, COUNT(*) AS n,
+          CAST(SUM(${centsSql("value")}) AS BIGINT) AS value_cents,
+          CAST(SUM(length(props)) AS BIGINT) AS payload_chars
+        FROM events GROUP BY 1, 2, 3)
+      SELECT hour, event_type, n, value_cents, payload_chars
+      FROM agg
+      WHERE wend <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+      ORDER BY hour, event_type""")),
+
+    // Streaming decontamination, oracle-pinned: the exact gram-hash
+    // membership probe is a STATELESS projection (no join, no watermark,
+    // no state), so the emitted set is deterministic regardless of
+    // micro-batching — the formulation that survives an unbounded ingest.
+    // Same contract and oracle shape as d10; the gram set is built once
+    // from the static benchmark split (a batch job), the corpus side
+    // arrives as a stream.
+    ("st03_stream_decontaminate", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val docs = rd(s, dir, "documents")
+      val gramSet = Decontamination.benchmarkGramSet(docs, "doc_id", "text",
+        col("doc_id") % 10 === 0, n = 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st03_").toString
+      docs.filter(col("doc_id") % 10 =!= 0).write.parquet(s"$tmp/src")
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType))))
+        .parquet(s"$tmp/src")
+      graft.streaming.StreamOps.decontaminateStream(stream, gramSet, "text", n = 8)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(s"$tmp/sink")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                    FROM documents),
+      g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+      bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0),
+      dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (s)
+                WHERE g.doc_id % 10 <> 0)
+      SELECT d.doc_id, d.lang FROM documents d
+      WHERE d.doc_id % 10 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+      ORDER BY d.doc_id"""))
   )
 }

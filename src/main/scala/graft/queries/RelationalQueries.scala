@@ -436,6 +436,30 @@ object RelationalQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Z-order (Morton) clustering key — the write-side layout primitive for
+    // multi-dimension scan pruning (graft.ops.Layout; the locality /
+    // file-skipping property itself is spec-gated in OpsSpec, where a box
+    // query over a zorderWrite layout is shown to skip most files while a
+    // single-column sort skips none on the second dimension). The oracle
+    // replays the five mask-shift spread stages in SQL, so a drifted mask,
+    // shift, or interleave order hash-fails. Top-200 under (zkey, rowid)
+    // keeps the output deterministic and SF-independent.
+    ("q50_zorder_key", (s: SparkSession, dir: String) => {
+      import graft.ops.Layout
+      rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          Layout.zorderKey2(pmod(col("l_partkey"), lit(65536)),
+            pmod(col("l_suppkey"), lit(65536))).as("zkey"))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+        .limit(200)
+    }, Some(s"""
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        CAST(${graft.ops.Layout.zorderKeySql("l_partkey % 65536",
+          "l_suppkey % 65536")} AS BIGINT) AS zkey
+      FROM lineitem
+      ORDER BY zkey, l_orderkey, l_linenumber LIMIT 200""")),
+
     // --------------------------------------------------- grouping analytics
     ("q09_rollup", (s: SparkSession, dir: String) => {
       rd(s, dir, "lineitem")

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -125,10 +125,11 @@ object StreamOps {
     * column — a constant captured in a HOF lambda would otherwise be
     * rebuilt per element (the lambda-capture rule).
     */
-  def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
+  def withSimhash(df: DataFrame, textCol: String, out: String,
+      tokenHash: Column => Column = t => xxhash64(t)): DataFrame = {
     val powers = array((0 until 64).map(b => lit(1L << b)): _*)
     df.withColumn("_toks", graft.ops.TextOps.tokens(col(textCol)))
-      .withColumn("_hashes", transform(col("_toks"), t => xxhash64(t)))
+      .withColumn("_hashes", transform(col("_toks"), t => tokenHash(t)))
       .withColumn("_pw", powers)
       .withColumn("_votes",
         aggregate(col("_hashes"), array_repeat(lit(0), 64),
@@ -151,10 +152,19 @@ object StreamOps {
     * State: one 64-bit signature per distinct doc per horizon.
     */
   def nearDupDedupDocumentStream(docs: DataFrame, textCol: String = "text",
-      tsCol: String = "ts", withinWatermark: String = "1 hour"): DataFrame =
-    withSimhash(docs, textCol, "simhash")
+      tsCol: String = "ts", withinWatermark: String = "1 hour",
+      tokenHash: Column => Column = t => xxhash64(t)): DataFrame =
+    withSimhash(docs, textCol, "simhash", tokenHash)
       .withWatermark(tsCol, withinWatermark)
       .dropDuplicatesWithinWatermark("simhash")
+
+  /** The md5-chain token hash (low 60 bits of the digest as a BIGINT) —
+    * the oracle-replayable twin of the xxhash64 default, same chain as the
+    * batch d05/d08 SimHash oracles. Bits 60..63 of the resulting signature
+    * always vote −1 and stay clear, matching the 60-bit oracle recompute.
+    */
+  val md5TokenHash: Column => Column =
+    t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
   /** Streaming near-dup dedup that CLOSES the hamming-≤3 tail in-stream
     * (r5's deferred item): the 64-bit SimHash splits into four 16-bit bands;

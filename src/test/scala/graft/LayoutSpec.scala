@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Layout, Sketches}
+
+/** Z-order layout (the write-side pruning primitive) and the count-min
+  * sketch: the properties the registry oracles can't see — actual file
+  * skipping for a box query, and the CMS guarantee under adversarial
+  * collisions.
+  */
+class LayoutSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+
+  test("morton key: Column form, SQL form, and driver form agree bit-for-bit") {
+    val rows = lineitem.limit(64)
+      .select(pmod(col("l_partkey"), lit(65536)).as("a"),
+        pmod(col("l_suppkey"), lit(65536)).as("b"),
+        Layout.zorderKey2(pmod(col("l_partkey"), lit(65536)),
+          pmod(col("l_suppkey"), lit(65536))).as("z"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("z") ===
+        Layout.mortonOf(r.getAs[Long]("a"), r.getAs[Long]("b")))
+    }
+    // the SQL replica (the q50 oracle) through Spark's own SQL engine
+    lineitem.limit(64).createOrReplaceTempView("li_z")
+    val sqlRows = spark.sql(
+      s"""SELECT ${Layout.zorderKeySql("l_partkey % 65536", "l_suppkey % 65536")} AS z,
+            l_partkey % 65536 AS a, l_suppkey % 65536 AS b FROM li_z""").collect()
+    sqlRows.foreach { r =>
+      assert(r.getAs[Long]("z") ===
+        Layout.mortonOf(r.getAs[Long]("a"), r.getAs[Long]("b")))
+    }
+  }
+
+  test("morton key is monotone in each coordinate") {
+    for (a <- Seq(0L, 1L, 77L, 65535L); b <- Seq(0L, 1L, 300L, 65535L)) {
+      if (a < 65535L)
+        assert(Layout.mortonOf(a, b) < Layout.mortonOf(a + 1, b))
+      if (b < 65535L)
+        assert(Layout.mortonOf(a, b) < Layout.mortonOf(a, b + 1))
+    }
+  }
+
+  test("zorderWrite: box query skips most files; a round-robin layout skips none") {
+    val tmpZ = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    val tmpN = java.nio.file.Files.createTempDirectory("graft_naive_").toString
+    // a full 256×256 grid over the 16-bit key space (sf0.001's real key
+    // domains are too narrow to exercise pruning — every key would sit
+    // inside any interesting box)
+    val grid = spark.range(65536L)
+      .select(col("id"),
+        shiftleft(col("id").bitwiseAND(lit(255L)), 8).as("ca"),
+        shiftleft(shiftright(col("id"), 8).bitwiseAND(lit(255L)), 8).as("cb"))
+    val a = col("ca")
+    val b = col("cb")
+    val nFiles = 16
+    Layout.zorderWrite(grid, a, b, tmpZ, nFiles)
+    // naive comparator: same zkey column, but round-robin placement — every
+    // file's footer range spans nearly the whole key space
+    grid.withColumn("zkey", Layout.zorderKey2(a, b))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(tmpN)
+
+    // range partitioning ⇒ per-file key intervals are disjoint
+    val zStats = spark.read.parquet(tmpZ)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("zkey").as("zmin"), max("zkey").as("zmax"))
+      .orderBy("zmin").collect()
+    assert(zStats.length > 4, "range partitioner should emit many files")
+    zStats.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("zmax") <= hi.getAs[Long]("zmin"),
+          "zorder files must cover disjoint key intervals")
+      case _ =>
+    }
+
+    // a small 2-D box: both dims constrained
+    val (aLo, aHi, bLo, bHi) = (0L, 2047L, 0L, 2047L)
+    val (keepZ, totalZ) = Layout.zorderFilesFor(spark, tmpZ, aLo, aHi, bLo, bHi)
+    val (keepN, totalN) = Layout.zorderFilesFor(spark, tmpN, aLo, aHi, bLo, bHi)
+    assert(keepZ.size.toDouble / totalZ <= 0.5,
+      s"zorder layout should skip at least half the files for a 1/1024 box, kept ${keepZ.size}/$totalZ")
+    assert(keepN.size.toDouble >= totalN * 0.9,
+      s"round-robin layout should skip ~nothing, kept ${keepN.size}/$totalN")
+
+    // soundness: the kept files contain every box row
+    val expected = grid
+      .filter(a.between(aLo, aHi) && b.between(bLo, bHi)).count()
+    assert(expected === 64L, "8×8 grid cells inside the box")
+    val got = spark.read.parquet(keepZ: _*)
+      .filter(col("ca").between(aLo, aHi) && col("cb").between(bLo, bHi))
+      .count()
+    assert(got === expected, "file pruning must not drop box rows")
+  }
+
+  test("count-min sketch never underestimates and is exact for unique-bucket tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha alpha beta"), (2L, "alpha beta gamma delta"),
+      (3L, "beta beta epsilon zeta"), (4L, "alpha zeta zeta zeta"))
+      .toDF("doc_id", "text")
+    val hh = Sketches.heavyHitters(docs, "text", k = 10, depth = 3, width = 1024)
+      .collect()
+    assert(hh.length === 6)
+    hh.foreach { r =>
+      assert(r.getAs[Long]("no_underestimate") === 1L,
+        s"CMS must never underestimate: $r")
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"))
+    }
+    // with 16 distinct (seed, token) cells in a width-1024 sketch the
+    // collision odds are negligible — every estimate should be exact here
+    val exact = hh.count(r => r.getAs[Long]("cms_est") === r.getAs[Long]("exact_cnt"))
+    assert(exact === 6, "tiny corpus in a wide sketch: estimates must be exact")
+    val alpha = hh.find(_.getAs[String]("tok") == "alpha").get
+    assert(alpha.getAs[Long]("exact_cnt") === 5L)
+  }
+
+  test("count-min sketch size is depth x width cells at most, regardless of corpus") {
+    val docs = spark.read.parquet(s"$sf/../sf0.001/documents.parquet")
+    val toks = docs.select(explode(split(col("text"), "\\s+")).as("tok"))
+    val sketch = Sketches.countMinSketch(toks, "tok", depth = 3, width = 64)
+    assert(sketch.count() <= 3L * 64)
+    // every cell count is positive and the total mass equals depth x tokens
+    val mass = sketch.agg(sum("cnt")).head.getLong(0)
+    assert(mass === 3L * toks.count())
+  }
+}

@@ -948,6 +948,23 @@ object Bench {
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
       threshold = 0.8, pinLayout = true)
 
+  /** t05's projection with evaluation forced (the filter references every
+    * computed column, so column pruning cannot elide the regexes under the
+    * scale protocol's count()); the predicate is a tautology — all three
+    * counts are non-negative — so `rows` stays the corpus row count.
+    */
+  private def tokenize100x(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long")
+          .as("n_word_tokens"),
+        size(expr("regexp_extract_all(text, '[^a-z0-9\\\\s]+', 0)")).cast("long")
+          .as("n_punct_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]{1,4}', 0)")).cast("long")
+          .as("n_subword4"))
+      .filter(col("n_word_tokens") + col("n_punct_tokens") +
+        col("n_subword4") >= 0)
+
   /** t23's PRODUCTION path at 100×: the count-min sketch alone (the
     * registry row also computes exact per-token counts — that vocabulary-
     * sized shuffle is the verification harness, not what a 100 TB run
@@ -1116,9 +1133,12 @@ object Bench {
     // the text-tokenization hot path (r13): three regex extracts per doc
     // over the 0.5 M-doc corpus — stateless scan+project, the per-doc
     // compute shape every text-quality op shares, so a non-scan-bound wall
-    // here flags the whole t-section
-    ("t05_100x", "t05_token_bpe",
-      SparkEntry.queries("t05_token_bpe")),
+    // here flags the whole t-section. NOT the bare registry fn: under the
+    // scale protocol's count(), Catalyst prunes an unreferenced projection
+    // (a first measurement published 0.32 s — a row-count scan, no regex
+    // ran), so like protect100x the row filters on the computed columns to
+    // force per-row evaluation
+    ("t05_100x", "t05_token_bpe@forced", tokenize100x _),
     // the fixed-memory frequency sketch at corpus scale (r13): ~28 M
     // tokens fold into 3×1024 count-min cells via map-side partial agg —
     // the only thing shuffled IS the sketch, so wall must track the scan
@@ -1183,6 +1203,22 @@ object Bench {
         // the shingle+minhash scan stage is compute-dense per input byte
         // (like s07's signature scan): smaller splits bound its straggler
         "spark.sql.files.maxPartitionBytes" -> "16m"),
+      // pure compute-dense scan (three regexes per doc, no shuffle at
+      // all): at default 128 MB splits the whole ~700 task-second row is
+      // ~32 tasks of ~23 s — wall_over_core 1.02 but every task IS a
+      // straggler by the 5 s bar. The d06/s07 16 MB treatment measured
+      // 9.7 s max tasks and 6 MB+1 MB-open-cost measured 13 s: the corpus
+      // compresses ~10:1 (copies), so the whole 0.5 M-doc table is 70 MB
+      // in 320 ~220 KB files and ~755 task-seconds of regex — ~11 task-
+      // SECONDS per compressed MB. Split sizing must follow COMPUTE
+      // density, not IO bytes: one file per task (open cost below the
+      // file size, split budget below 2 files) bounds tasks at ~2.4 s.
+      // Same lesson at 100 TB: a codec-dense column wants splits sized in
+      // task-seconds, and the open-cost default (4 MB) silently repacks
+      // small files however small the split budget is.
+      "t05_100x" -> Seq(
+        "spark.sql.files.maxPartitionBytes" -> "262144",
+        "spark.sql.files.openCostInBytes" -> "65536"),
       )
     try {
       ScalingRehearsal.synthesizeScaled(spark0, sfDir, workDir, 100)

@@ -42,6 +42,33 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge two count-min sketches (same depth/width/hash chain) by
+    * cell-wise addition — THE property that makes the sketch a corpus-scale
+    * structure: per-day / per-shard sketches fold into the global one
+    * without revisiting any token stream. Exactly equal (not just
+    * approximately) to sketching the concatenated corpus, because each
+    * cell is a plain sum — LayoutSpec pins that equality.
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("seed", "bucket")
+      .agg(sum("cnt").as("cnt"))
+
+  /** Point estimates from a sketch for a small set of probe tokens
+    * (broadcast the sketch — depth·width cells — never the corpus).
+    */
+  def estimateFor(sketch: DataFrame, probes: DataFrame, tokCol: String,
+      depth: Int = 3, width: Int = 1024): DataFrame =
+    probes
+      .select(col(tokCol).as("tok"),
+        explode(array((0 until depth).map(d =>
+          struct(lit(d).as("seed"),
+            cmsBucket(col(tokCol), d, width).as("bucket"))): _*)).as("sb"))
+      .select(col("tok"), col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("seed", "bucket"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
   /** Exact top-k heavy hitters with their count-min estimates side by side:
     * (token, exact count, CMS estimate, the CMS no-underestimate guarantee
     * as a checked column). The exact counts are the verification harness —

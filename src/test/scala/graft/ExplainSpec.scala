@@ -263,4 +263,34 @@ class ExplainSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"s11 probes/scan must broadcast, not merge-join:\n$plan")
   }
+
+  test("t23 CMS: sketch aggregation is partial (map-side combine), probe joins broadcast") {
+    // THE sketch point: the corpus-sized token stream must collapse to
+    // depth×width cells BEFORE the exchange — a final-only aggregation
+    // would shuffle every token occurrence. Two HashAggregate phases per
+    // aggregation (partial + final) and no merge join anywhere.
+    val plan = executedPlan("t23_heavy_hitters_cms")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"t23 expects partial+final hash aggregations:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"t23 sketch probe must be a broadcast join:\n$plan")
+    assertNoQuadraticJoins("t23", plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"t23's only join is the depth×width-cell sketch probe — it must broadcast:\n$plan")
+  }
+
+  test("q50 z-order key: pure projection + top-k, no full sort, no join") {
+    // the key computation is codegen'd bit arithmetic in the scan's
+    // projection; ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    // (per-partition heaps), never a global Sort
+    val plan = executedPlan("q50_zorder_key")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q50 must plan ORDER BY+LIMIT as top-k, not a global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"q50 is a single-table projection — no joins:\n$plan")
+    // executedPlan.toString renders a whole-stage-codegen'd operator with a
+    // "*(stageId)" prefix (e.g. "*(1) Project"), not the word itself
+    assert(plan.contains("*(1) Project"),
+      s"q50's bit arithmetic must stay inside whole-stage codegen:\n$plan")
+  }
 }

@@ -121,6 +121,37 @@ class LayoutSpec extends SparkSpec {
     assert(alpha.getAs[Long]("exact_cnt") === 5L)
   }
 
+  test("count-min merge: per-shard sketches fold to EXACTLY the whole-corpus sketch") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toks = docs.select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val shard1 = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val shard2 = docs.filter(col("doc_id") % 2 =!= 0)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val whole = Sketches.countMinSketch(toks, "tok", depth = 3, width = 256)
+    val merged = Sketches.merge(
+      Sketches.countMinSketch(shard1, "tok", depth = 3, width = 256),
+      Sketches.countMinSketch(shard2, "tok", depth = 3, width = 256))
+    // cell-wise sums: merged must equal whole exactly, not approximately
+    assert(merged.exceptAll(whole).count() === 0L)
+    assert(whole.exceptAll(merged).count() === 0L)
+  }
+
+  test("estimateFor: probes against a merged sketch honor the CMS guarantee; unseen token reads 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry")).toDF("doc_id", "text")
+    val toks = docs.select(explode(split(col("text"), "\\s+")).as("tok"))
+    val sketch = Sketches.countMinSketch(toks, "tok", depth = 3, width = 1024)
+    val probes = Seq("apple", "banana", "cherry", "durian").toDF("tok")
+    val est = Sketches.estimateFor(sketch, probes, "tok", depth = 3, width = 1024)
+      .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("cms_est")).toMap
+    assert(est("apple") >= 2L && est("banana") >= 2L && est("cherry") >= 1L)
+    assert(est("durian") === 0L, "a token no corpus token ever hashed with must read 0")
+  }
+
   test("count-min sketch size is depth x width cells at most, regardless of corpus") {
     val docs = spark.read.parquet(s"$sf/../sf0.001/documents.parquet")
     val toks = docs.select(explode(split(col("text"), "\\s+")).as("tok"))

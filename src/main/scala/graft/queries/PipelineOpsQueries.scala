@@ -2425,6 +2425,49 @@ $prRounds
         .orderBy("simhash")
     }, Some(s"""$simhashMd5Cte
       SELECT DISTINCT simhash, CAST(1 AS BIGINT) AS n_out
-      FROM sig ORDER BY simhash"""))
+      FROM sig ORDER BY simhash""")),
+
+    // The streaming count-min sketch as its own oracle row: the ONE
+    // stateful streaming aggregation whose full output is deterministic
+    // under ANY micro-batching (cells are commutative sums — no watermark,
+    // no order dependence, state bounded a priori at depth×width rows), so
+    // unlike st01/st04 no group-invariant projection is needed: DuckDB
+    // recomputes every cell exactly. Complete-mode memory sink; the batch
+    // twin is t23's `cells` CTE.
+    ("st05_stream_sketch", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st05_").toString
+      rd(s, dir, "documents").write.mode("overwrite").parquet(s"$tmp/src")
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType))))
+        .parquet(s"$tmp/src")
+      val q = graft.streaming.StreamOps.sketchDocumentStream(stream, "text",
+          depth = 3, width = 1024)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("st05_sketch_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st05_sketch_out")
+        .select(col("seed").cast("long").as("seed"), col("bucket"), col("cnt"))
+        .orderBy("seed", "bucket")
+    }, Some {
+      def nib(i: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) || ':' || tok), $i, 1)) - 1)"
+      s"""
+      WITH t AS (SELECT tok
+                 FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+                       FROM documents)
+                 WHERE length(tok) > 0),
+      seeds AS (SELECT unnest(range(0, 3)) AS seed)
+      SELECT seed, ((${nib(30)} * 256 + ${nib(31)} * 16 + ${nib(32)}) % 1024) AS bucket,
+        count(*) AS cnt
+      FROM t CROSS JOIN seeds
+      GROUP BY 1, 2 ORDER BY seed, bucket"""
+    })
   )
 }

@@ -232,6 +232,24 @@ object StreamOps {
     graft.ops.Decontamination.decontaminateBySet(
       docs, benchmarkGramSet, textCol, lit(false), n)
 
+  /** Streaming count-min sketch: the groupBy-aggregation form of
+    * [[graft.ops.Sketches.countMinSketch]] over an unbounded document
+    * stream. The state IS the sketch — the rare stateful streaming
+    * aggregation that needs NO watermark to stay bounded, because state
+    * rows are (seed, bucket) CELLS, not stream keys: at most depth·width
+    * of them however long the stream runs. Emit complete/update; the
+    * result is cell-identical to the batch sketch over the same docs
+    * (StreamingSpec), and cross-shard merges stay a cell-wise add
+    * ([[graft.ops.Sketches.merge]]) — so a 100 TB/day ingest keeps one
+    * always-current frequency structure without ever revisiting data.
+    */
+  def sketchDocumentStream(docs: DataFrame, textCol: String = "text",
+      depth: Int = 3, width: Int = 1024): DataFrame =
+    graft.ops.Sketches.countMinSketch(
+      docs.select(explode(graft.ops.TextOps.tokens(col(textCol))).as("tok"))
+        .filter(length(col("tok")) > 0),
+      "tok", depth, width)
+
   /** Batch reference computation for the streaming agg (same expressions,
     * same results — used by the equivalence spec).
     */

@@ -140,6 +140,39 @@ class StreamingSpec extends SparkSpec {
     assert(gotFps.size <= wantFps.size)
   }
 
+  test("streaming count-min sketch is cell-identical to the batch sketch") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft-sketch-stream").toString
+    // two arrival batches: the sketch must accumulate across micro-batches
+    for (name <- Seq("a.parquet", "b.parquet"))
+      Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+        Paths.get(s"$tmp/$name"), StandardCopyOption.REPLACE_EXISTING)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.option("maxFilesPerTrigger", "1")
+      .schema(docSchema).parquet(tmp)
+    val q = StreamOps.sketchDocumentStream(stream, "text", depth = 3, width = 256)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sketch_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sketch_out")
+    // the stream saw the corpus TWICE → every cell is exactly 2× the batch
+    val docs = graft.queries.GraftTables.read(spark, "/root/testdata/sf0.001", "documents")
+    val batch = graft.ops.Sketches.countMinSketch(
+      docs.select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0), "tok", depth = 3, width = 256)
+      .withColumn("cnt", col("cnt") * 2)
+    assert(got.count() > 0 && got.count() <= 3L * 256,
+      "sketch state must stay bounded by depth x width")
+    assert(got.exceptAll(batch).count() === 0L &&
+      batch.exceptAll(got).count() === 0L,
+      "streaming sketch cells must equal the (doubled) batch sketch")
+  }
+
   test("stream-static incremental dedup equals the batch daily-ingest form") {
     import org.apache.spark.sql.types._
     import graft.ops.{Dedup, TextOps}

@@ -93,6 +93,23 @@ object Layout {
     spread(a) | (spread(b) << 1)
   }
 
+  /** Driver-side Morton inverse: recover the (a, b) coordinates of a key —
+    * the direction a debugging session needs when a file's [zmin, zmax]
+    * footer range is to be read back as box corners. Exact inverse of
+    * [[mortonOf]] (LayoutSpec round-trips the full 16-bit grid diagonal
+    * plus random points).
+    */
+  def mortonInverse(z: Long): (Long, Long) = {
+    def unspread(v: Long): Long = {
+      var x = v & 0x55555555L
+      x = (x | (x >> 1)) & 0x33333333L
+      x = (x | (x >> 2)) & 0x0f0f0f0fL
+      x = (x | (x >> 4)) & 0x00ff00ffL
+      (x | (x >> 8)) & 0x0000ffffL
+    }
+    (unspread(z), unspread(z >> 1))
+  }
+
   /** The q50 oracle's SQL replica of [[spread16]] (string-built so the five
     * stages cannot drift from the Column form above).
     */

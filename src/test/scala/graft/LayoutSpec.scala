@@ -38,6 +38,15 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("morton inverse round-trips every key form") {
+    // full diagonal + edges + a deterministic pseudo-random scatter
+    val pts = (0L to 65535L by 257L) ++ Seq(0L, 1L, 65534L, 65535L)
+    for (a <- pts; b <- Seq(a, 65535L - a, (a * 31L + 7L) % 65536L)) {
+      val z = Layout.mortonOf(a, b)
+      assert(Layout.mortonInverse(z) === (a, b), s"round trip failed at ($a, $b)")
+    }
+  }
+
   test("morton key is monotone in each coordinate") {
     for (a <- Seq(0L, 1L, 77L, 65535L); b <- Seq(0L, 1L, 300L, 65535L)) {
       if (a < 65535L)

@@ -460,6 +460,38 @@ object RelationalQueries {
       FROM lineitem
       ORDER BY zkey, l_orderkey, l_linenumber LIMIT 200""")),
 
+    // The z-order WRITER's data fidelity through the oracle gate: q50 pins
+    // the key computation; this row pins that zorderWrite (range exchange +
+    // within-file sort + parquet round trip) preserves the row set exactly
+    // — a dropped/duplicated row under repartitionByRange would shift a
+    // bucket's count or checksum. Buckets are zkey residue classes (top
+    // bits would collapse to one bucket at small SFs' narrow key domains),
+    // so the aggregate stays 64 compact rows at any SF while every row
+    // contributes to a count and two checksums.
+    ("q51_zorder_write_fidelity", (s: SparkSession, dir: String) => {
+      import graft.ops.Layout
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q51_").toString
+      Layout.zorderWrite(
+        rd(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")),
+        pmod(col("l_partkey"), lit(65536)), pmod(col("l_suppkey"), lit(65536)),
+        tmp, numFiles = 16)
+      s.read.parquet(tmp)
+        .groupBy(pmod(col("zkey"), lit(64)).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("ok_sum"),
+          sum(col("zkey")).as("zkey_sum"))
+        .orderBy("zbucket")
+    }, Some(s"""
+      WITH z AS (SELECT l_orderkey,
+        CAST(${graft.ops.Layout.zorderKeySql("l_partkey % 65536",
+          "l_suppkey % 65536")} AS BIGINT) AS zkey
+      FROM lineitem)
+      SELECT zkey % 64 AS zbucket, COUNT(*) AS n,
+        CAST(SUM(l_orderkey) AS BIGINT) AS ok_sum,
+        CAST(SUM(zkey) AS BIGINT) AS zkey_sum
+      FROM z GROUP BY 1 ORDER BY zbucket""")),
+
     // --------------------------------------------------- grouping analytics
     ("q09_rollup", (s: SparkSession, dir: String) => {
       rd(s, dir, "lineitem")

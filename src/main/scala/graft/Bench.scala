@@ -1143,7 +1143,20 @@ object Bench {
     // tokens fold into 3×1024 count-min cells via map-side partial agg —
     // the only thing shuffled IS the sketch, so wall must track the scan
     ("t23_100x", "t23_heavy_hitters_cms@sketchOnly",
-      sketch100x _))
+      sketch100x _),
+    // the remaining three operator families, so EVERY family has a
+    // quiet-gated 100× row (r13): iterative graph (PageRank over the
+    // 100× disjoint-copy co-purchase graph — rounds × shuffles at 100×
+    // edge count), bounded-state streaming (the st04 near-dup stream
+    // holds ~0.5 M signature states inside one watermark horizon), and
+    // the multimodal container-parse kernel (mapPartitions — count()
+    // cannot prune an opaque per-row decode)
+    ("g01_100x", "g01_pagerank",
+      SparkEntry.queries("g01_pagerank")),
+    ("st04_100x", "st04_stream_neardup",
+      SparkEntry.queries("st04_stream_neardup")),
+    ("m01_100x", "m01_media_features",
+      SparkEntry.queries("m01_media_features")))
 
   private[graft] def scale100xExpectedKeys: Seq[String] = scale100xTargets.map(_._1)
 
@@ -1219,11 +1232,22 @@ object Bench {
       "t05_100x" -> Seq(
         "spark.sql.files.maxPartitionBytes" -> "262144",
         "spark.sql.files.openCostInBytes" -> "65536"),
+      // same compute-dense-per-compressed-byte shape as t05 (the corpus
+      // compresses ~10:1): per-doc payload construction + container parse
+      // (m01), and the per-doc HOF SimHash + stateful dedup (st04), both
+      // scan the same small-file 100× documents table
+      "m01_100x" -> Seq(
+        "spark.sql.files.maxPartitionBytes" -> "262144",
+        "spark.sql.files.openCostInBytes" -> "65536"),
+      "st04_100x" -> Seq(
+        "spark.sql.files.maxPartitionBytes" -> "262144",
+        "spark.sql.files.openCostInBytes" -> "65536"),
       )
     try {
       ScalingRehearsal.synthesizeScaled(spark0, sfDir, workDir, 100)
       ScalingRehearsal.synthesizeScaledEmbeddings(spark0, sfDir, workDir, 100)
       ScalingRehearsal.synthesizeScaledValues(spark0, sfDir, workDir, 100)
+      ScalingRehearsal.synthesizeScaledLineitem(spark0, sfDir, workDir, 100)
       var spark = spark0
       var listener = listener0
       val out = selected.map { case (key, name, fn) =>

@@ -209,15 +209,24 @@ object ScalingRehearsal {
     * `l_orderkey % 20 = 0` subsample the graph queries select.
     */
   def synthesize10xLineitem(spark: SparkSession, sfDir: String, outDir: String): Long =
-    reuseOrSynth(spark, outDir, "lineitem", sfDir, 10) {
+    synthesizeScaledLineitem(spark, sfDir, outDir, 10)
+
+  /** Factor-N lineitem projection, same disjoint-copy scheme as the 10×
+    * form (both keys offset per copy; orderkey offset rounded to a
+    * multiple of 20 so every copy keeps the graph queries' `% 20 = 0`
+    * subsample): node and edge count scale N× at constant density.
+    */
+  def synthesizeScaledLineitem(spark: SparkSession, sfDir: String,
+      outDir: String, factor: Int): Long =
+    reuseOrSynth(spark, outDir, "lineitem", sfDir, factor) {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_partkey")
       val okOff = (li.agg(max(col("l_orderkey"))).head.getLong(0) / 20L + 1L) * 20L
       val pkOff = li.agg(max(col("l_partkey"))).head.getLong(0) + 1L
-      li.crossJoin(spark.range(10).toDF("copy"))
+      li.crossJoin(spark.range(factor).toDF("copy"))
         .select((col("l_orderkey") + col("copy") * okOff).as("l_orderkey"),
           (col("l_partkey") + col("copy") * pkOff).as("l_partkey"))
-        .repartition(32).write.mode("overwrite")
+        .repartition(math.max(32, 32 * factor / 10)).write.mode("overwrite")
         .parquet(s"$outDir/lineitem.parquet")
     }
 

@@ -28,7 +28,7 @@ re-derive cleanly with contaminated scale evidence.
 import json
 import sys
 
-MIN_ROWS = 12  # r13: r12's 10 + t05 (tokenization hot path) + t23 (CMS sketch)
+MIN_ROWS = 15  # r13: r12's 10 + t05/t23 (text) + g01/st04/m01 (graph/streaming/multimodal)
 MAX_TASK_MS = 5000
 MAX_LOAD = 4.0
 MAX_WALL_OVER_CORE = 2.0

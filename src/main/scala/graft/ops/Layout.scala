@@ -23,10 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Inclusive upper bound of each Morton coordinate: the key interleaves
+    * 16 bits per dimension, so every caller must deliver coordinates in
+    * [0, 65535] (pmod / bucketize first). Out-of-domain values would WRAP
+    * under the masking below and silently land in the wrong key interval —
+    * [[zorderFilesFor]] and [[zorderRanges]] reject them loudly instead
+    * (ADVICE r13).
+    */
+  val CoordMax: Long = 65535L
+
   /** Spread the low 16 bits of a non-negative column so bit i lands at
     * bit 2i — the classic mask-shift Morton spread (public domain bit
     * trick; see e.g. "Bit Twiddling Hacks", interleave by binary magic
-    * numbers).
+    * numbers). Domain: [0, [[CoordMax]]]; higher bits are masked off, so
+    * the CALLER must reduce (pmod) first or distinct coordinates collide.
     */
   def spread16(c: Column): Column = {
     val x0 = c.cast("long").bitwiseAND(lit(0xffffL))
@@ -49,11 +59,16 @@ object Layout {
     * column is persisted: it is the skip index.
     */
   def zorderWrite(df: DataFrame, a: Column, b: Column, outDir: String,
-      numFiles: Int): Unit =
+      numFiles: Int): Unit = {
+    // a pre-existing zkey column would be silently overwritten in the
+    // persisted layout (ADVICE r13) — refuse loudly instead
+    require(!df.columns.contains("zkey"),
+      "input already has a 'zkey' column; rename it before zorderWrite")
     df.withColumn("zkey", zorderKey2(a, b))
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(outDir)
+  }
 
   /** File-level skip set for a box query over a [[zorderWrite]] layout:
     * per-file zkey min/max (from the persisted key — the same numbers a
@@ -61,25 +76,125 @@ object Layout {
     * interval [z(aLo,bLo), z(aHi,bHi)]. Monotonicity makes the interval
     * sound (every box row's key is inside it), so reading only the
     * returned files is CORRECT, just possibly more than minimal (the
-    * coarse interval is the standard one-range Z-envelope; BIGMIN range
-    * splitting would tighten it further).
+    * coarse interval is the standard one-range Z-envelope;
+    * [[zorderFilesForSplit]] is the tightened multi-range form).
     *
     * Driver-side work is one aggregate over file names — O(numFiles) rows,
     * never data-sized.
     */
   def zorderFilesFor(spark: org.apache.spark.sql.SparkSession, dir: String,
       aLo: Long, aHi: Long, bLo: Long, bHi: Long): (Seq[String], Long) = {
-    require(aLo <= aHi && bLo <= bHi, "empty box")
+    requireBox(aLo, aHi, bLo, bHi)
     val zLo = mortonOf(aLo, bLo)
     val zHi = mortonOf(aHi, bHi)
-    val stats = spark.read.parquet(dir)
+    val stats = fileStats(spark, dir)
+    val keep = stats.filter { case (_, zmin, zmax) =>
+      zmax >= zLo && zmin <= zHi }.map(_._1)
+    (keep, stats.length.toLong)
+  }
+
+  /** File-level skip set via SPLIT Z-ranges (the BIGMIN/LITMAX refinement
+    * the coarse envelope concedes in [[zorderFilesFor]]'s doc): the box is
+    * decomposed into ≤ `maxRanges` disjoint zkey intervals by quadrant
+    * recursion — an aligned 2^k square either lies outside the box (its
+    * whole contiguous z-interval is SKIPPED, including the seam gaps the
+    * one-range envelope keeps), inside it (emitted verbatim), or straddles
+    * it (recursed). Emitted in increasing z; adjacent intervals are merged
+    * and, when more than `maxRanges` survive, the smallest inter-range gaps
+    * are re-covered first — merging only ever OVER-covers, so soundness is
+    * unconditional while the range count stays index-friendly. A file is
+    * read iff its [zmin, zmax] overlaps some range, so a box hugging the
+    * curve's seam skips the files the coarse interval was forced to keep
+    * (LayoutSpec pins both soundness and the strict improvement).
+    *
+    * Same driver cost shape as the coarse form: O(numFiles · log ranges)
+    * after one O(numFiles) stats aggregate — never data-sized.
+    */
+  def zorderFilesForSplit(spark: org.apache.spark.sql.SparkSession,
+      dir: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      maxRanges: Int = 64): (Seq[String], Long) = {
+    val ranges = zorderRanges(aLo, aHi, bLo, bHi, maxRanges)
+    val stats = fileStats(spark, dir)
+    val los = ranges.map(_._1).toArray
+    val keep = stats.filter { case (_, zmin, zmax) =>
+      // candidate range = last one starting at or before zmax
+      val i = {
+        val p = java.util.Arrays.binarySearch(los, zmax)
+        if (p >= 0) p else -(p + 1) - 1
+      }
+      i >= 0 && ranges(i)._2 >= zmin
+    }.map(_._1)
+    (keep, stats.length.toLong)
+  }
+
+  /** The box's zkey cover as ≤ `maxRanges` disjoint, increasing intervals
+    * (driver-side, pure). The exact cover can hold O(perimeter) intervals;
+    * the merge step trades range count for over-read bytes explicitly —
+    * maxRanges = 1 degenerates to the coarse envelope, so the split cover
+    * is never worse.
+    */
+  def zorderRanges(aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      maxRanges: Int = 64): Seq[(Long, Long)] = {
+    requireBox(aLo, aHi, bLo, bHi)
+    require(maxRanges >= 1, s"maxRanges must be >= 1, got $maxRanges")
+    val exact = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // quadrant order (b-half, then a-half) IS increasing-z order because a's
+    // bits sit at even positions and b's just above — so `exact` needs no
+    // sort and adjacent-merge is a single pass
+    def rec(ca: Long, cb: Long, size: Long): Unit = {
+      val caHi = ca + size - 1
+      val cbHi = cb + size - 1
+      if (caHi < aLo || ca > aHi || cbHi < bLo || cb > bHi) ()
+      else if (ca >= aLo && caHi <= aHi && cb >= bLo && cbHi <= bHi) {
+        val z0 = mortonOf(ca, cb) // aligned square ⇒ contiguous z-interval
+        val r = (z0, z0 + size * size - 1)
+        if (exact.nonEmpty && exact.last._2 + 1 == r._1)
+          exact(exact.length - 1) = (exact.last._1, r._2)
+        else exact += r
+      } else {
+        val h = size / 2
+        rec(ca, cb, h); rec(ca + h, cb, h)
+        rec(ca, cb + h, h); rec(ca + h, cb + h, h)
+      }
+    }
+    rec(0L, 0L, CoordMax + 1)
+    if (exact.length <= maxRanges) exact.toSeq
+    else {
+      // close the smallest gaps first: each merge adds gap-many over-read
+      // keys, so greedy-by-gap minimizes total over-cover for the budget
+      val mergeAt = (1 until exact.length)
+        .map(i => (exact(i)._1 - exact(i - 1)._2 - 1, i))
+        .sortBy(_._1).take(exact.length - maxRanges).map(_._2).toSet
+      val out = scala.collection.mutable.ArrayBuffer(exact.head)
+      (1 until exact.length).foreach { i =>
+        if (mergeAt(i)) out(out.length - 1) = (out.last._1, exact(i)._2)
+        else out += exact(i)
+      }
+      out.toSeq
+    }
+  }
+
+  private def requireBox(aLo: Long, aHi: Long, bLo: Long, bHi: Long): Unit = {
+    require(aLo <= aHi && bLo <= bHi, "empty box")
+    // out-of-domain bounds would WRAP under mortonOf's 16-bit masks and
+    // silently skip files containing matching rows (ADVICE r13)
+    require(aLo >= 0 && aHi <= CoordMax && bLo >= 0 && bHi <= CoordMax,
+      s"box coordinates must lie in [0, $CoordMax]: " +
+        s"got a=[$aLo,$aHi] b=[$bLo,$bHi]")
+  }
+
+  /** Per-file zkey min/max from the persisted key — the same numbers a
+    * parquet footer carries. O(numFiles) rows to the driver, never
+    * data-sized.
+    */
+  private def fileStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[(String, Long, Long)] =
+    spark.read.parquet(dir)
       .groupBy(input_file_name().as("file"))
       .agg(min("zkey").as("zmin"), max("zkey").as("zmax"))
       .collect()
-    val keep = stats.filter(r => r.getAs[Long]("zmax") >= zLo &&
-      r.getAs[Long]("zmin") <= zHi).map(_.getAs[String]("file")).toSeq
-    (keep, stats.length.toLong)
-  }
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("zmin"),
+        r.getAs[Long]("zmax")))
 
   /** Driver-side Morton key (same bit layout as [[zorderKey2]]). */
   def mortonOf(a: Long, b: Long): Long = {

@@ -20,6 +20,12 @@ object Sketches {
     */
   def cmsBucket(tok: Column, seed: Int, width: Int): Column = {
     require(width > 0 && width <= 4096, s"width must be in (0, 4096], got $width")
+    // the 12-bit digest is reduced mod width: a width that does not divide
+    // 4096 makes low buckets ceil(4096/width)-likely and high ones
+    // floor(4096/width) — a silent estimate-quality skew (ADVICE r13), so
+    // only divisors of 4096 (powers of two up to 4096) are accepted
+    require(4096 % width == 0,
+      s"width must divide 4096 for uniform buckets, got $width")
     conv(substring(md5(concat_ws(":", lit(seed.toString), tok)), 30, 3), 16, 10)
       .cast("long") % width
   }

@@ -2274,7 +2274,7 @@ $prRounds
     ("st01_stream_dedup", (s: SparkSession, dir: String) => {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st01_").toString
+      val tmp = QueryUtil.scratchDir("graft_st01_")
       // event time synthesized deterministically from doc_id, wrapped at
       // one hour so every duplicate pair sits inside the 24 h state
       // horizon at ANY scale factor (the batch-equivalence condition;
@@ -2317,7 +2317,7 @@ $prRounds
     // window end sits exactly on the watermark boundary.
     ("st02_stream_windowed_agg", (s: SparkSession, dir: String) => {
       import org.apache.spark.sql.streaming.Trigger
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st02_").toString
+      val tmp = QueryUtil.scratchDir("graft_st02_")
       rd(s, dir, "events").coalesce(1).write.parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(graft.streaming.StreamOps.rawEventSchema).parquet(s"$tmp/src")
@@ -2355,7 +2355,7 @@ $prRounds
       val docs = rd(s, dir, "documents")
       val gramSet = Decontamination.benchmarkGramSet(docs, "doc_id", "text",
         col("doc_id") % 10 === 0, n = 8)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st03_").toString
+      val tmp = QueryUtil.scratchDir("graft_st03_")
       docs.filter(col("doc_id") % 10 =!= 0).write.parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(StructType(Seq(
@@ -2401,7 +2401,7 @@ $prRounds
     ("st04_stream_neardup", (s: SparkSession, dir: String) => {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st04_").toString
+      val tmp = QueryUtil.scratchDir("graft_st04_")
       rd(s, dir, "documents")
         .withColumn("ts",
           timestamp_seconds(lit(1700000000L) + col("doc_id") % 3600))
@@ -2437,7 +2437,7 @@ $prRounds
     ("st05_stream_sketch", (s: SparkSession, dir: String) => {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st05_").toString
+      val tmp = QueryUtil.scratchDir("graft_st05_")
       rd(s, dir, "documents").write.mode("overwrite").parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(StructType(Seq(

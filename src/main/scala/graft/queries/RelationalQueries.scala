@@ -470,7 +470,7 @@ object RelationalQueries {
     // contributes to a count and two checksums.
     ("q51_zorder_write_fidelity", (s: SparkSession, dir: String) => {
       import graft.ops.Layout
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q51_").toString
+      val tmp = QueryUtil.scratchDir("graft_q51_")
       Layout.zorderWrite(
         rd(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey")),
@@ -491,6 +491,43 @@ object RelationalQueries {
         CAST(SUM(l_orderkey) AS BIGINT) AS ok_sum,
         CAST(SUM(zkey) AS BIGINT) AS zkey_sum
       FROM z GROUP BY 1 ORDER BY zbucket""")),
+
+    // The READ side of the z-order story through the oracle gate (r14 —
+    // closes the BIGMIN item the module named): a 2-D box query answered by
+    // reading ONLY the files the SPLIT Z-range cover (Layout.zorderRanges,
+    // quadrant-recursion BIGMIN form) keeps — the aggregate must equal
+    // DuckDB's over the FULL table, so a split cover that drops a file
+    // containing box rows hash-fails (soundness through the data, not just
+    // the spec). The gate bit pins that the split cover never reads more
+    // files than the coarse one-range envelope; the strict seam-box
+    // improvement is pinned in LayoutSpec where the key domain is wide
+    // enough to matter.
+    ("q52_zorder_pruned_scan", (s: SparkSession, dir: String) => {
+      import graft.ops.Layout
+      val tmp = QueryUtil.scratchDir("graft_q52_")
+      Layout.zorderWrite(
+        rd(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")),
+        pmod(col("l_partkey"), lit(65536)), pmod(col("l_suppkey"), lit(65536)),
+        tmp, numFiles = 16)
+      val (aLo, aHi, bLo, bHi) = (64L, 1600L, 16L, 72L)
+      val (coarse, _) = Layout.zorderFilesFor(s, tmp, aLo, aHi, bLo, bHi)
+      val (split, _) = Layout.zorderFilesForSplit(s, tmp, aLo, aHi, bLo, bHi)
+      s.read.parquet(split: _*)
+        .filter(pmod(col("l_partkey"), lit(65536)).between(aLo, aHi) &&
+          pmod(col("l_suppkey"), lit(65536)).between(bLo, bHi))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("ok_sum"),
+          sum(col("l_partkey") * 100000 + col("l_suppkey")).as("ps_sum"))
+        .select(col("n"), col("ok_sum"), col("ps_sum"),
+          lit(if (split.size <= coarse.size) 1L else 0L).as("split_no_worse"))
+    }, Some("""
+      SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS ok_sum,
+        CAST(SUM(l_partkey * 100000 + l_suppkey) AS BIGINT) AS ps_sum,
+        CAST(1 AS BIGINT) AS split_no_worse
+      FROM lineitem
+      WHERE l_partkey % 65536 BETWEEN 64 AND 1600
+        AND l_suppkey % 65536 BETWEEN 16 AND 72""")),
 
     // --------------------------------------------------- grouping analytics
     ("q09_rollup", (s: SparkSession, dir: String) => {

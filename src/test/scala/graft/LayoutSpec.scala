@@ -108,6 +108,81 @@ class LayoutSpec extends SparkSpec {
     assert(got === expected, "file pruning must not drop box rows")
   }
 
+  private def covered(rs: Seq[(Long, Long)], z: Long): Boolean =
+    rs.exists(r => z >= r._1 && z <= r._2)
+
+  test("zorderRanges: exact cover is disjoint, increasing, and exactly the box") {
+    val (aLo, aHi, bLo, bHi) = (3L, 300L, 129L, 40000L)
+    val rs = Layout.zorderRanges(aLo, aHi, bLo, bHi, maxRanges = Int.MaxValue)
+    rs.sliding(2).foreach {
+      case Seq((_, h1), (l2, _)) => assert(h1 < l2, "disjoint and increasing")
+      case _ =>
+    }
+    // exact quadtree cover: total keys covered == box area (no over-read)
+    assert(rs.map(r => r._2 - r._1 + 1).sum ===
+      (aHi - aLo + 1) * (bHi - bLo + 1))
+    // every sampled box point is covered; seam-adjacent outside points are not
+    for (a <- Seq(aLo, aHi, 77L, 256L); b <- Seq(bLo, bHi, 1024L, 32768L, 39999L))
+      assert(covered(rs, Layout.mortonOf(a, b)), s"box point ($a,$b) must be covered")
+    for ((a, b) <- Seq((aLo - 1, bLo), (aHi + 1, bHi), (aLo, bLo - 1),
+        (aHi, bHi + 1), (0L, 0L), (65535L, 65535L)))
+      assert(!covered(rs, Layout.mortonOf(a, b)),
+        s"outside point ($a,$b) must not be covered by the exact cover")
+  }
+
+  test("zorderRanges: merged covers stay sound; maxRanges=1 degenerates to the coarse envelope") {
+    val (aLo, aHi, bLo, bHi) = (100L, 5000L, 30000L, 35000L) // crosses the b=32768 seam
+    val exact = Layout.zorderRanges(aLo, aHi, bLo, bHi, maxRanges = Int.MaxValue)
+    for (m <- Seq(1, 4, 16, 64)) {
+      val rs = Layout.zorderRanges(aLo, aHi, bLo, bHi, maxRanges = m)
+      assert(rs.length <= m)
+      // merging only over-covers: every exact range sits inside a merged one
+      exact.foreach { case (lo, hi) =>
+        assert(rs.exists(r => r._1 <= lo && hi <= r._2),
+          s"maxRanges=$m dropped keys of an exact range")
+      }
+    }
+    assert(Layout.zorderRanges(aLo, aHi, bLo, bHi, maxRanges = 1) ===
+      Seq((Layout.mortonOf(aLo, bLo), Layout.mortonOf(aHi, bHi))))
+  }
+
+  test("zorderRanges rejects out-of-domain boxes that would wrap under the 16-bit masks") {
+    intercept[IllegalArgumentException] {
+      Layout.zorderRanges(0L, 65536L, 0L, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zorderFilesFor(spark, "/nonexistent", -1L, 10L, 0L, 10L)
+    }
+  }
+
+  test("split envelope: sound, and strictly better than coarse on a seam-crossing box") {
+    val tmpZ = java.nio.file.Files.createTempDirectory("graft_zsplit_").toString
+    val grid = spark.range(65536L)
+      .select(col("id"),
+        shiftleft(col("id").bitwiseAND(lit(255L)), 8).as("ca"),
+        shiftleft(shiftright(col("id"), 8).bitwiseAND(lit(255L)), 8).as("cb"))
+    Layout.zorderWrite(grid, col("ca"), col("cb"), tmpZ, 16)
+    // box crossing the b = 32768 seam: the coarse one-range envelope spans
+    // the whole inter-half z gap, the split cover skips it
+    val (aLo, aHi, bLo, bHi) = (0L, 2047L, 32512L, 33535L)
+    val (coarse, total) = Layout.zorderFilesFor(spark, tmpZ, aLo, aHi, bLo, bHi)
+    val (split, total2) = Layout.zorderFilesForSplit(spark, tmpZ, aLo, aHi, bLo, bHi)
+    assert(total === total2)
+    assert(split.toSet.subsetOf(coarse.toSet),
+      "split ranges lie inside the coarse interval, so kept files must too")
+    assert(split.size < coarse.size,
+      s"split must prune strictly more on a seam box: split ${split.size} " +
+        s"vs coarse ${coarse.size} of $total")
+    // soundness: the kept files contain every box row
+    val expected = grid.filter(col("ca").between(aLo, aHi) &&
+      col("cb").between(bLo, bHi)).count()
+    assert(expected === 32L)
+    val got = spark.read.parquet(split: _*)
+      .filter(col("ca").between(aLo, aHi) && col("cb").between(bLo, bHi))
+      .count()
+    assert(got === expected, "split file pruning must not drop box rows")
+  }
+
   test("count-min sketch never underestimates and is exact for unique-bucket tokens") {
     import spark.implicits._
     val docs = Seq(

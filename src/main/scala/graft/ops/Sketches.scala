@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-memory frequency sketches for corpus statistics.
@@ -74,6 +75,127 @@ object Sketches {
       .join(broadcast(sketch), Seq("seed", "bucket"), "left")
       .groupBy("tok")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
+  // ------------------------------------------------------------------ HLL
+  // The CMS treatment for DISTINCT counting (VERDICT r13 #7): t11's
+  // approx_count_distinct is a black box whose sketch Spark never exposes,
+  // so per-shard sketches could not fold into a global count without
+  // re-reading data. This explicit register table is the mergeable form:
+  // per (group, register) keep max(rank); merge = cell-wise MAX, exactly
+  // equal to sketching the whole corpus (max is associative/commutative
+  // over any sharding). 1024 registers (m=2^10 — standard error
+  // 1.04/√m ≈ 3.3%, and ~2.4% in the small-range linear-counting regime;
+  // m=256 measured 6.5% on the 500-doc fixture, outside a 5% gate), ranks
+  // from 48 hash bits. The whole chain is md5-derived INTEGER arithmetic —
+  // replayable in DuckDB nibble by nibble, no float anywhere before the
+  // estimate.
+
+  /** HLL register count (m = 2^10). */
+  val HllRegisters = 1024
+
+  /** MSB smear: propagate the highest set bit down so
+    * bit_count(smear(v)) = position of the MSB (1-based), 0 for v = 0.
+    */
+  private def smear(c: Column): Column =
+    Seq(1, 2, 4, 8, 16, 32).foldLeft(c)((v, sh) =>
+      v.bitwiseOR(shiftrightunsigned(v, sh)))
+
+  /** The HLL register table of `keyCol` (the distinct-count key):
+    * one row per (groupCols..., register) with the max rank observed.
+    * digest = md5(key); register = first 3 hex chars mod 1024 (uniform —
+    * 1024 divides 4096); rank = leading-zero count of the next 48 bits + 1
+    * (= 49 − MSB position, 49 when all 48 bits are zero) — integer smear +
+    * bit_count, so DuckDB reproduces every cell exactly.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val d = md5(col(keyCol))
+    val reg = (conv(substring(d, 1, 3), 16, 10).cast("long") % HllRegisters)
+      .as("register")
+    val w = conv(substring(d, 4, 12), 16, 10).cast("long")
+    val rank = (lit(49) - bit_count(smear(w))).cast("long").as("rank")
+    df.select(groupCols.map(col) :+ reg :+ rank: _*)
+      .groupBy("register", groupCols: _*)
+      .agg(max("rank").as("rank"))
+  }
+
+  /** Merge HLL register tables by cell-wise MAX — exactly the whole-corpus
+    * table (LayoutSpec pins the equality), so per-day/per-shard register
+    * tables fold into a global distinct-count without revisiting data.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val keys = a.columns.filter(_ != "rank").toSeq
+    a.unionByName(b).groupBy(keys.map(col): _*).agg(max("rank").as("rank"))
+  }
+
+  /** Distinct-count estimate from a register table (per group): the
+    * standard HLL harmonic estimator with the small-range linear-counting
+    * correction (below 2.5·m with empty registers, m·ln(m/V) is the
+    * better estimator). Registers never observed count as rank 0
+    * (2^-0 = 1 each). Float enters HERE only — cells stay integers.
+    */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String] = Nil): DataFrame = {
+    val m = HllRegisters.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val grouped =
+      if (groupCols.isEmpty) regs.groupBy()
+      else regs.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(sum(pow(lit(2.0), -col("rank"))).as("hsum"),
+        count(lit(1)).as("filled"))
+      .withColumn("zeros", lit(m) - col("filled"))
+      .withColumn("raw",
+        lit(alpha * m * m) / (col("hsum") + col("zeros")))
+      .withColumn("hll_est",
+        when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m) * log(lit(m) / col("zeros")))
+          .otherwise(col("raw")))
+      .drop("hsum", "filled", "zeros", "raw")
+  }
+
+  // ------------------------------------------------ histogram (quantiles)
+  // The CMS treatment for QUANTILES (VERDICT r13 #7): t14's
+  // percentile_approx sketch is equally unmergeable at the DataFrame
+  // level. A fixed-bin histogram over a bounded integer domain is the
+  // explicit form: cells = (group, bin, cnt) with bin = value div
+  // binWidth; merge = cell-wise SUM (exact, like the CMS); any quantile
+  // read off the cumulative histogram is within binWidth of the true
+  // value a priori. domain/binWidth cells regardless of corpus size.
+
+  /** Fixed-bin histogram cells of a non-negative integer column. */
+  def histogram(df: DataFrame, valueCol: Column, binWidth: Long,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    df.select(groupCols.map(col) :+ floor(valueCol / binWidth).cast("long").as("bin"): _*)
+      .groupBy("bin", groupCols: _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histogram cell tables by cell-wise addition — exactly the
+    * whole-corpus histogram (LayoutSpec pins the equality).
+    */
+  def histogramMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val keys = a.columns.filter(_ != "cnt").toSeq
+    a.unionByName(b).groupBy(keys.map(col): _*).agg(sum("cnt").as("cnt"))
+  }
+
+  /** Quantile estimate from a histogram: midpoint of the first bin whose
+    * cumulative count reaches ⌈q·total⌉ per group — error ≤ binWidth.
+    */
+  def histogramQuantile(hist: DataFrame, q: Double, binWidth: Long,
+      groupCols: Seq[String]): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0, 1], got $q")
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    hist
+      .withColumn("cum", sum("cnt").over(byGroup.orderBy("bin")))
+      .withColumn("total", sum("cnt").over(byGroup))
+      .filter(col("cum") >= ceil(col("total") * q))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min("bin").as("qbin"))
+      .withColumn("est",
+        (col("qbin") * binWidth + binWidth / 2).cast("double"))
+      .drop("qbin")
+  }
 
   /** Exact top-k heavy hitters with their count-min estimates side by side:
     * (token, exact count, CMS estimate, the CMS no-underestimate guarantee

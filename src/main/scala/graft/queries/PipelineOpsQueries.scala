@@ -2103,6 +2103,92 @@ $prRounds
       FROM est ORDER BY exact_cnt DESC, tok"""
     }),
 
+    // The MERGEABLE distinct-count sketch (VERDICT r13 #7): t11 gates the
+    // black-box approx_count_distinct; this row gates the explicit HLL
+    // register table (Sketches.hllRegisters) whose cells DuckDB recomputes
+    // nibble-for-nibble — register from 12 md5 bits mod 1024, rank = 49 −
+    // MSB position of the next 48 bits via integer smear + bit_count, no
+    // float anywhere. merge_ok pins in-data that two per-shard register tables
+    // fold (cell-wise MAX) to EXACTLY the whole-corpus table — the
+    // property that makes a distinct count a 100 TB structure (per-day
+    // sketches → global count without re-reading). Estimate accuracy is
+    // pinned in LayoutSpec (hllEstimate within 5% of exact).
+    ("t24_hll_registers_merge", (s: SparkSession, dir: String) => {
+      import graft.ops.Sketches
+      val docs = rd(s, dir, "documents")
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+      val whole = Sketches.hllRegisters(docs, "fp")
+      val merged = Sketches.hllMerge(
+        Sketches.hllRegisters(docs.filter(col("doc_id") % 2 === 0), "fp"),
+        Sketches.hllRegisters(docs.filter(col("doc_id") % 2 =!= 0), "fp"))
+      whole.as("w")
+        .join(merged.as("m"), Seq("register"), "full_outer")
+        .select(col("register"), col("w.rank").as("rank"),
+          (col("w.rank") <=> col("m.rank")).cast("long").as("merge_ok"))
+        .orderBy("register")
+    }, Some {
+      def nib(i: Int) =
+        s"CAST(strpos('0123456789abcdef', substr(d, $i, 1)) - 1 AS BIGINT)"
+      val w48 = (0 until 12)
+        .map(j => s"${nib(4 + j)} * ${1L << (4 * (11 - j))}")
+        .mkString("(", " + ", ")")
+      s"""
+      WITH f AS (SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+                 FROM documents),
+      h AS (SELECT md5(fp) AS d FROM f),
+      v AS (SELECT (${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)}) % 1024 AS register,
+              $w48 AS w FROM h),
+      s1 AS (SELECT register, (w | (w >> 1)) AS w FROM v),
+      s2 AS (SELECT register, (w | (w >> 2)) AS w FROM s1),
+      s4 AS (SELECT register, (w | (w >> 4)) AS w FROM s2),
+      s8 AS (SELECT register, (w | (w >> 8)) AS w FROM s4),
+      s16 AS (SELECT register, (w | (w >> 16)) AS w FROM s8),
+      s32 AS (SELECT register, (w | (w >> 32)) AS w FROM s16),
+      r AS (SELECT register, 49 - bit_count(w) AS rank FROM s32)
+      SELECT register, CAST(MAX(rank) AS BIGINT) AS rank,
+        CAST(1 AS BIGINT) AS merge_ok
+      FROM r GROUP BY register ORDER BY register"""
+    }),
+
+    // The MERGEABLE quantile sketch (VERDICT r13 #7, t14's sibling): a
+    // fixed-bin histogram over exact price cents — cells = (flag, bin,
+    // cnt), bin = pc div 4096, merge = cell-wise SUM, so per-shard
+    // histograms fold to EXACTLY the whole-corpus histogram (merge_ok pins
+    // it in-data; LayoutSpec pins it as a property). The median read off
+    // the MERGED histogram must land within one binWidth of the exact
+    // interpolated median (approx_ok) — the a priori sketch bound, ~0.1%
+    // at lineitem's price scale. domain/4096 cells regardless of rows.
+    ("t25_histogram_quantile_merge", (s: SparkSession, dir: String) => {
+      import graft.ops.Sketches
+      val bw = 4096L
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"),
+          cents(col("l_extendedprice")).as("pc"))
+      val whole = Sketches.histogram(li, col("pc"), bw, Seq("l_returnflag"))
+      val merged = Sketches.histogramMerge(
+        Sketches.histogram(li.filter(col("l_orderkey") % 2 === 0),
+          col("pc"), bw, Seq("l_returnflag")),
+        Sketches.histogram(li.filter(col("l_orderkey") % 2 =!= 0),
+          col("pc"), bw, Seq("l_returnflag")))
+      val mergeOk = whole.as("w")
+        .join(merged.as("m"), Seq("bin", "l_returnflag"), "full_outer")
+        .groupBy("l_returnflag")
+        .agg(min((col("w.cnt") <=> col("m.cnt")).cast("long")).as("merge_ok"))
+      val est = Sketches.histogramQuantile(merged, 0.5, bw, Seq("l_returnflag"))
+      li.groupBy("l_returnflag")
+        .agg(percentile(col("pc"), lit(0.5)).as("p50_exact"))
+        .join(est, "l_returnflag").join(mergeOk, "l_returnflag")
+        .select(col("l_returnflag"), col("p50_exact"),
+          (abs(col("est") - col("p50_exact")) <= lit(bw.toDouble))
+            .cast("long").as("approx_ok"),
+          col("merge_ok"))
+        .orderBy("l_returnflag")
+    }, Some(s"""
+      SELECT l_returnflag,
+        quantile_cont(${centsSql("l_extendedprice")}, 0.5) AS p50_exact,
+        CAST(1 AS BIGINT) AS approx_ok, CAST(1 AS BIGINT) AS merge_ok
+      FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {
       // REAL container decode (r5 verdict gap #1): every doc becomes a

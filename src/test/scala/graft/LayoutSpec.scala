@@ -236,6 +236,69 @@ class LayoutSpec extends SparkSpec {
     assert(est("durian") === 0L, "a token no corpus token ever hashed with must read 0")
   }
 
+  test("HLL registers: shard merge equals whole corpus; estimate within 5% of exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
+    val whole = Sketches.hllRegisters(docs, "fp")
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegisters(docs.filter(col("doc_id") % 2 === 0), "fp"),
+      Sketches.hllRegisters(docs.filter(col("doc_id") % 2 =!= 0), "fp"))
+    assert(merged.exceptAll(whole).count() === 0L)
+    assert(whole.exceptAll(merged).count() === 0L)
+    // at most m register rows, whatever the corpus size
+    assert(whole.count() <= Sketches.HllRegisters.toLong)
+    val exact = docs.select("fp").distinct().count().toDouble
+    val est = Sketches.hllEstimate(merged).head.getAs[Double]("hll_est")
+    assert(math.abs(est - exact) <= 0.05 * exact,
+      s"HLL estimate $est vs exact $exact drifts beyond 5%")
+  }
+
+  test("HLL rank matches a reference leading-zero computation") {
+    import spark.implicits._
+    val keys = (0 until 256).map(i => s"key-$i").toDF("k")
+    val rows = keys.select(col("k"),
+        md5(col("k")).as("d"))
+      .collect()
+    val regs = Sketches.hllRegisters(keys, "k").collect()
+      .map(r => r.getAs[Long]("register") -> r.getAs[Long]("rank")).toMap
+    // reference recompute on the driver: register = first byte of
+    // md5(md5-able key)... the op hashes the RAW key, so recompute that
+    val byReg = scala.collection.mutable.Map.empty[Long, Long]
+    rows.foreach { r =>
+      val d = r.getAs[String]("d")
+      val reg = java.lang.Long.parseLong(d.substring(0, 3), 16) % 1024
+      val w = java.lang.Long.parseLong(d.substring(3, 15), 16)
+      val rank = if (w == 0) 49L else 49L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      byReg(reg) = math.max(byReg.getOrElse(reg, 0L), rank)
+    }
+    assert(regs === byReg.toMap)
+  }
+
+  test("histogram sketch: shard merge equals whole; quantile within one binWidth") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"),
+        col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+    val bw = 4096L
+    val whole = Sketches.histogram(li, col("pc"), bw, Seq("l_returnflag"))
+    val merged = Sketches.histogramMerge(
+      Sketches.histogram(li.filter(col("l_orderkey") % 2 === 0), col("pc"),
+        bw, Seq("l_returnflag")),
+      Sketches.histogram(li.filter(col("l_orderkey") % 2 =!= 0), col("pc"),
+        bw, Seq("l_returnflag")))
+    assert(merged.exceptAll(whole).count() === 0L)
+    assert(whole.exceptAll(merged).count() === 0L)
+    val est = Sketches.histogramQuantile(merged, 0.5, bw, Seq("l_returnflag"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("est")).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(percentile(col("pc"), lit(0.5)).as("p"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("p")).toMap
+    exact.foreach { case (flag, p) =>
+      assert(math.abs(est(flag) - p) <= bw.toDouble,
+        s"flag $flag: histogram median ${est(flag)} vs exact $p beyond binWidth $bw")
+    }
+  }
+
   test("count-min sketch size is depth x width cells at most, regardless of corpus") {
     val docs = spark.read.parquet(s"$sf/../sf0.001/documents.parquet")
     val toks = docs.select(explode(split(col("text"), "\\s+")).as("tok"))

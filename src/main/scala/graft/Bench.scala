@@ -648,6 +648,65 @@ object Bench {
           f"| ${c0 / 1e6}%.1f/${c1 / 1e6}%.1f | ${r3(norm)} |\n"
       }
     }
+    // ---- the FIRST-CLASS cross-round comparison (VERDICT r13 #1): raw
+    // walls are not comparable across rounds on this box (r11 loadavg 6.14;
+    // r12/r13 +15 % on untouched queries under clean gates — sub-section
+    // contamination), so each run persists its per-query CAL-NORMALIZED
+    // walls to bench_norm_baseline.json and compares against the COMMITTED
+    // copy (the previous round's run) over the common query set, per
+    // section. Round-over-round claims cite THIS table; raw walls are for
+    // within-run reading only.
+    val perQueryNorm: Map[String, Double] = sections.flatMap { section =>
+      sectionLoads.get(section.head).toSeq.flatMap { case (_, _, _, c0, c1) =>
+        val mean = (c0 + c1) / 2
+        section.flatMap(q => results.get(q)
+          .map(v => q -> v * mean / CalBaselineRowsPerS))
+      }
+    }.toMap
+    val baselinePath = java.nio.file.Paths.get("bench_norm_baseline.json")
+      .toAbsolutePath
+    val prevNorm: Map[String, Double] =
+      if (!java.nio.file.Files.exists(baselinePath)) Map.empty
+      else try {
+        import org.json4s._
+        (org.json4s.jackson.JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(baselinePath), "UTF-8")) \ "queries") match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty[String, Double]
+        }
+      } catch { case _: Exception => Map.empty }
+    if (prevNorm.nonEmpty) {
+      md ++= "\n## Round-over-round, calibration-normalized (common " +
+        "queries vs the committed bench_norm_baseline.json — cite THIS, " +
+        "never raw walls)\n\n| section (head query) | common | prev s | " +
+        "this s | delta |\n|---|---|---|---|---|\n"
+      var pTot = 0.0
+      var tTot = 0.0
+      sections.foreach { section =>
+        val common = section.filter(q =>
+          prevNorm.contains(q) && perQueryNorm.contains(q))
+        if (common.nonEmpty) {
+          val p = common.map(prevNorm).sum
+          val t = common.map(perQueryNorm).sum
+          pTot += p; tTot += t
+          md ++= f"| ${section.head} | ${common.size} | ${r3(p)} | ${r3(t)} " +
+            f"| ${100 * (t - p) / p}%+.1f%% |\n"
+        }
+      }
+      if (pTot > 0)
+        md ++= f"| **total** | | **${r3(pTot)}** | **${r3(tTot)}** | " +
+          f"**${100 * (tTot - pTot) / pTot}%+.1f%%** |\n"
+    }
+    // persist this run's normalized walls as the next round's baseline
+    val normJson = perQueryNorm.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":${v}%.4f""" }.mkString(",")
+    java.nio.file.Files.write(baselinePath,
+      (s"""{"unix":${System.currentTimeMillis() / 1000},""" +
+        f""""cal_baseline_mrows":${CalBaselineRowsPerS / 1e6}%.1f,""" +
+        s""""queries":{$normJson}}""").getBytes("UTF-8"))
     md ++= "## Slowest five (published value; sweep median unless an " +
       "isolated re-run measured lower)\n\n| query | sec | med | min | max | gc_s | max task ms |\n|---|---|---|---|---|---|---|\n"
     results.toSeq.sortBy(-_._2).take(5).foreach { case (k, v) =>
@@ -768,7 +827,8 @@ object Bench {
     */
   private final case class ScaleRun(sec: Double, n: Long, maxTask: Long,
       maxIn: Long, maxShuf: Long, load: String, gcS: Double, taskS: Double,
-      taskGcS: Double, stealPct: String, ccRounds: Int, calMrows: Double)
+      taskGcS: Double, stealPct: String, ccRounds: Int, calMrows: Double,
+      stBatches: Long, stStateRows: Long, autoPoint: (Int, Int))
 
   private def measureScaleRun(spark: SparkSession,
       listener: TaskStatsListener, fn: (SparkSession, String) => DataFrame,
@@ -785,6 +845,12 @@ object Bench {
     // is expected behavior, ambient noise is not). Reset before the run so
     // a row that never runs CC reports -1 and the field is omitted.
     graft.ops.ConnectedComponents.lastRunRounds = -1
+    // streaming micro-batch/state + ANN operating-point telemetry reset the
+    // same way (VERDICT r13 #2/#3): rows that never stream / never choose
+    // an auto point report -1 and the fields are omitted
+    graft.streaming.StreamOps.lastRunBatches = -1
+    graft.streaming.StreamOps.lastRunStateRows = -1
+    graft.ops.Similarity.lastAutoPoint = (-1, -1)
     // machine-speed probe immediately before the run (VERDICT r12 #1):
     // attributes a slow run to a slow machine window, per run — the
     // per-row steal sampling alone missed sub-window spikes in r12
@@ -795,7 +861,10 @@ object Bench {
     ScaleRun(sec, n, listener.maxTaskMs.get(), listener.maxInput.get(),
       listener.maxShuffleRead.get(), load, (gcMs() - gc0) / 1e3,
       listener.taskMs.get() / 1e3, listener.taskGcMs.get() / 1e3,
-      stealPctSince(steal0), graft.ops.ConnectedComponents.lastRunRounds, cal)
+      stealPctSince(steal0), graft.ops.ConnectedComponents.lastRunRounds, cal,
+      graft.streaming.StreamOps.lastRunBatches,
+      graft.streaming.StreamOps.lastRunStateRows,
+      graft.ops.Similarity.lastAutoPoint)
   }
 
   /** One scale row with the sweep's discipline (VERDICT r7 #3 — the r7 10×
@@ -889,6 +958,18 @@ object Bench {
       // per-run machine speed in M rows/s, aligned with runs_s
       val calRuns = runs.map(x => f"${x.calMrows / 1e6}%.1f")
         .mkString(""","cal_mrows_per_run":[""", ",", "]")
+      // streaming attribution, aligned with runs_s (VERDICT r13 #2: st04's
+      // 22–124 s spread needs per-run fields naming what the slow runs did)
+      val stRuns =
+        if (runs.exists(_.stBatches >= 0))
+          s""","st_batches":${runs.map(_.stBatches).mkString("[", ",", "]")}""" +
+            s""","st_state_rows":${runs.map(_.stStateRows).mkString("[", ",", "]")}"""
+        else ""
+      // ANN auto operating point (VERDICT r13 #3): reproducible from the
+      // artifact alone
+      val opPoint = runs.map(_.autoPoint).find(_._1 >= 0)
+        .map { case (p, t) => s""","op_point":"planes=$p,tables=$t"""" }
+        .getOrElse("")
       // Task-second accounting (VERDICT r11 #2): `core_floor_s` is the wall
       // a perfectly-scheduled run would take on this session's cores
       // (task-seconds / cores); `wall_over_core` near 1 proves the wall is
@@ -899,7 +980,7 @@ object Bench {
       val floorS = r.taskS / math.max(1, cores)
       val wallOverCore = if (floorS > 0) r.sec / floorS else 0.0
       val json =
-        f""""$key":{"sec":${r.sec}%.3f,"form":"$name","runs_s":$allRuns,"retries":$extra$err$ccRounds$calRuns,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","steal_pct":"${r.stealPct}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"cores":$cores,"core_floor_s":$floorS%.1f,"wall_over_core":$wallOverCore%.2f,"disk_avail_gb":${diskAvailGb(dir)}%.1f}"""
+        f""""$key":{"sec":${r.sec}%.3f,"form":"$name","runs_s":$allRuns,"retries":$extra$err$ccRounds$calRuns$stRuns$opPoint,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","steal_pct":"${r.stealPct}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"cores":$cores,"core_floor_s":$floorS%.1f,"wall_over_core":$wallOverCore%.2f,"disk_avail_gb":${diskAvailGb(dir)}%.1f}"""
       (json, Some(key -> r.sec))
     }
   }
@@ -1365,6 +1446,10 @@ object Bench {
     // distinguishes a still-busy machine from our own wake.
     def gatedScenario(name: String, body: () => Unit): String = {
       val load = loadavgStr()
+      // machine-speed probe adjacent to the row (VERDICT r13 #8: the
+      // whole-sweep cal held baseline while jvm_string_xor best halved —
+      // a cal value NEXT TO each grid row says whether that's ambient)
+      val cal = calSample(iters = 3)
       var (times, avg, sd) = measureScenario(body)
       var retried = false
       if (sd > 0.5 * avg) {
@@ -1376,7 +1461,7 @@ object Bench {
       // rows_per_s follows the reference protocol (avg); rows_per_s_best is
       // the best-iteration figure — robust to ambient noise on the fast
       // scenarios, where a few slow iterations can move the avg 30-50%
-      f""""$name":{"avg_ms":$avg%.1f,"min_ms":${times.min}%.1f,"max_ms":${times.max}%.1f,"stdev_ms":$sd%.1f,"rows_per_s":${rows / (avg / 1000)}%.0f,"rows_per_s_best":${rows / (times.min / 1000)}%.0f,"load":"$load","retried":$retried}"""
+      f""""$name":{"avg_ms":$avg%.1f,"min_ms":${times.min}%.1f,"max_ms":${times.max}%.1f,"stdev_ms":$sd%.1f,"rows_per_s":${rows / (avg / 1000)}%.0f,"rows_per_s_best":${rows / (times.min / 1000)}%.0f,"load":"$load","cal_mrows":${cal / 1e6}%.1f,"retried":$retried}"""
     }
 
     val scenarios = for {
@@ -1419,8 +1504,9 @@ object Bench {
     var jvmSink = 0L
     def jvmScenario(name: String, body: () => Unit): String = {
       val load = loadavgStr()
+      val cal = calSample(iters = 3)
       val (times, avg, sd) = measureScenario(body)
-      f""""$name":{"avg_ms":$avg%.1f,"min_ms":${times.min}%.1f,"max_ms":${times.max}%.1f,"stdev_ms":$sd%.1f,"rows_per_s":${rows / (avg / 1000)}%.0f,"rows_per_s_best":${rows / (times.min / 1000)}%.0f,"load":"$load"}"""
+      f""""$name":{"avg_ms":$avg%.1f,"min_ms":${times.min}%.1f,"max_ms":${times.max}%.1f,"stdev_ms":$sd%.1f,"rows_per_s":${rows / (avg / 1000)}%.0f,"rows_per_s_best":${rows / (times.min / 1000)}%.0f,"load":"$load","cal_mrows":${cal / 1e6}%.1f}"""
     }
     val jvmRows = Seq(CryptoCodec.Xor, CryptoCodec.AesDet).flatMap { codec =>
       val cs = jvmCryptor(StringType, codec)
@@ -1522,6 +1608,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e6
       }.drop(Warmup)
       val load = loadavgStr()
+      val cal = calSample(iters = 3)
       var times = lap()
       var avg = times.sum / times.size
       var sd = stdev(times, avg)
@@ -1535,7 +1622,7 @@ object Bench {
         retried = true
       }
       val med = times.sorted.apply(times.size / 2)
-      f""""$name":{"avg_ms":$avg%.1f,"med_ms":$med%.1f,"min_ms":${times.min}%.1f,"max_ms":${times.max}%.1f,"stdev_ms":$sd%.1f,"values_per_s":${n / (avg / 1000)}%.0f,"values_per_s_med":${n / (med / 1000)}%.0f,"values_per_s_best":${n / (times.min / 1000)}%.0f,"mb_per_s":${payload.length / 1e6 / (avg / 1000)}%.1f,"load":"$load","retried":$retried}"""
+      f""""$name":{"avg_ms":$avg%.1f,"med_ms":$med%.1f,"min_ms":${times.min}%.1f,"max_ms":${times.max}%.1f,"stdev_ms":$sd%.1f,"values_per_s":${n / (avg / 1000)}%.0f,"values_per_s_med":${n / (med / 1000)}%.0f,"values_per_s_best":${n / (times.min / 1000)}%.0f,"mb_per_s":${payload.length / 1e6 / (avg / 1000)}%.1f,"load":"$load","cal_mrows":${cal / 1e6}%.1f,"retried":$retried}"""
     }
     out.mkString(s"""{"values":$n,"payload_bytes":${valueBytes.length},""", ",", "}")
   }

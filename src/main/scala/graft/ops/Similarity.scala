@@ -561,11 +561,21 @@ object Similarity {
     * `count()` sizes the corpus, then planes/tables scale together so
     * neither recall nor candidate mass degrades as n grows.
     */
+  /** The (planes, tables) the LAST [[cosineNearDupAuto]] call in this JVM
+    * chose — bench-readable telemetry (VERDICT r13 #3: the s07_100x scale
+    * row must record its operating point so the measurement is
+    * reproducible from the artifact alone; the INFO log line is invisible
+    * under bench sessions' ERROR log level). (-1, -1) until a call runs;
+    * bench rows run serially per JVM, so last-writer is the row's own run.
+    */
+  @volatile var lastAutoPoint: (Int, Int) = (-1, -1)
+
   def cosineNearDupAuto(emb: DataFrame, idCol: String, embCol: String,
       threshold: Double, missTarget: Double = 1e-3, maxTables: Int = 256,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val n = emb.count()
     val (planes, tables) = lshOperatingPoint(n, threshold, missTarget, maxTables)
+    lastAutoPoint = (planes, tables)
     // Signature-compute parallelism scales with the WORK (n·tables·planes
     // plane projections), not the input bytes: ~3.2 M projections per task
     // keeps the heaviest task under ~2 s on one core while staying at the

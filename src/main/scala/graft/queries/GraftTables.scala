@@ -28,8 +28,18 @@ object GraftTables {
   */
 object GraftSession {
   def builder(master: String = "local[32]",
-      shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
+      shufflePartitions: Int = 32): SparkSession.Builder = {
+    // Streaming state-store backend knob (VERDICT r13 #4): the default
+    // HDFS-backed provider keeps every state row on-heap, which is what
+    // degrades the stateful-streaming rows on small heaps; RocksDB keeps
+    // state off-heap/on-disk. Opt-in (SPARK_GRAFT_STATESTORE=rocksdb) —
+    // measured on st04/st01 at 8 GB before deciding the default.
+    val stateStore = sys.env.get("SPARK_GRAFT_STATESTORE") match {
+      case Some("rocksdb") => Some("org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider")
+      case _ => None
+    }
+    val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
@@ -45,4 +55,7 @@ object GraftSession {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
+    stateStore.fold(b)(p =>
+      b.config("spark.sql.streaming.stateStore.providerClass", p))
+  }
 }

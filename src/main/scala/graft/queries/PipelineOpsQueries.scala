@@ -2498,14 +2498,14 @@ $prRounds
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType), StructField("ts", TimestampType))))
         .parquet(s"$tmp/src")
-      graft.streaming.StreamOps.nearDupDedupDocumentStream(stream, "text",
-          "ts", "24 hours", graft.streaming.StreamOps.md5TokenHash)
-        .writeStream.format("parquet")
-        .option("path", s"$tmp/sink")
-        .option("checkpointLocation", s"$tmp/chk")
-        .trigger(Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
+      graft.streaming.StreamOps.runToCompletion(
+        graft.streaming.StreamOps.nearDupDedupDocumentStream(stream, "text",
+            "ts", "24 hours", graft.streaming.StreamOps.md5TokenHash)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/sink")
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(Trigger.AvailableNow())
+          .start())
       s.read.parquet(s"$tmp/sink")
         .groupBy("simhash").agg(count(lit(1)).as("n_out"))
         .orderBy("simhash")

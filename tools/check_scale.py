@@ -99,8 +99,19 @@ def main():
         # not a bar - but a PUBLISHED (best) run whose pre-run cal sat far
         # below clean speed was measured on a degraded machine window and
         # its wall is an upper bound.
-        cals = r.get("cal_mrows_per_run", [])
+        # r14: spread advisory (VERDICT r13 #2) — a published best whose own
+        # runs_s history holds a >3x slower run says "this op sometimes runs
+        # far slower and the row doesn't say why". Advisory, not a bar: the
+        # published value still met every bar, but the row should either be
+        # re-measured quiet or carry attribution (steal / cal_mrows_per_run /
+        # st_batches+st_state_rows / cc_rounds) naming the slow runs' cause.
         runs = r.get("runs_s", [])
+        sec = r.get("sec")
+        if runs and sec and max(runs) > 3.0 * sec:
+            print(f"note: {k} runs_s spread [{min(runs)}..{max(runs)}] vs "
+                  f"published {sec} (> 3x) - re-measure quiet or attribute "
+                  "the slow runs via the per-run fields")
+        cals = r.get("cal_mrows_per_run", [])
         if cals and runs and len(cals) == len(runs):
             best_cal = cals[runs.index(min(runs))]
             if best_cal < 0.55 * 23.0:

@@ -174,6 +174,81 @@ object Layout {
     }
   }
 
+  /** What [[compactSmallFiles]] did, for callers/specs: counts are file
+    * counts, bytes are input data-file bytes (small = below the threshold).
+    */
+  final case class CompactionStats(filesIn: Int, filesKeptAsIs: Int,
+      filesWritten: Int, bytesIn: Long, smallBytesIn: Long)
+
+  /** Small-file compaction — the table-maintenance half of the layout
+    * story. A 100 TB table ingested in many increments accumulates
+    * thousands of KB-sized parquet files; every scan then pays a per-file
+    * open/footer/seek cost that dwarfs the data read, and the driver pays
+    * O(files) planning. Compaction rewrites ONLY the fragments:
+    *
+    *  - files ≥ `smallThresholdBytes` are already well-sized — they are
+    *    carried over byte-for-byte (a pure filesystem copy here; on a
+    *    lakehouse table this is a metadata no-op, the file is simply kept),
+    *    never decoded or re-encoded;
+    *  - files below the threshold are read together and coalesced to
+    *    ⌈smallBytes / targetBytes⌉ outputs. `coalesce` (not `repartition`)
+    *    merges read-splits WITHOUT a shuffle — each output task streams a
+    *    handful of small files end-to-end, so the whole rewrite moves each
+    *    fragmented byte exactly once and moves well-sized bytes zero times.
+    *
+    * Driver-side work is one directory listing, O(numFiles) — never
+    * data-sized. Row-set fidelity is oracle-gated (q54: residue-class
+    * counts/checksums over the compacted dir equal DuckDB's over the
+    * original table); the file-count reduction and the byte-identity of
+    * carried files are pinned in LayoutSpec.
+    */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, targetBytes: Long,
+      smallThresholdBytes: Long): CompactionStats = {
+    require(targetBytes > 0 && smallThresholdBytes > 0,
+      s"sizes must be positive: target=$targetBytes small=$smallThresholdBytes")
+    val conf = spark.sessionState.newHadoopConf()
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(conf)
+    val files = fs.listStatus(inPath).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    val (small, large) = files.partition(_.getLen < smallThresholdBytes)
+    val smallBytes = small.map(_.getLen).sum
+    val nOut =
+      if (small.isEmpty) 0
+      else math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    if (small.nonEmpty) {
+      spark.read.parquet(small.map(_.getPath.toString): _*)
+        .coalesce(nOut)
+        .write.mode("overwrite").parquet(outDir)
+    } else {
+      fs.mkdirs(outPath)
+    }
+    // report what was WRITTEN, not what was requested: coalesce caps at the
+    // scan's partition count (the file-packing reader can open 64 fragments
+    // as fewer splits than ⌈bytes/target⌉), so the actual count is the
+    // directory's
+    val written =
+      if (small.isEmpty) 0
+      else fs.listStatus(outPath).count(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    // carry the well-sized files over unread (rename-in on a lakehouse);
+    // distinct names are guaranteed — spark part-file names carry a UUID
+    large.foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new org.apache.hadoop.fs.Path(outPath, st.getPath.getName),
+        false, conf)
+    }
+    CompactionStats(files.size, large.size, written,
+      files.map(_.getLen).sum, smallBytes)
+  }
+
   private def requireBox(aLo: Long, aHi: Long, bLo: Long, bHi: Long): Unit = {
     require(aLo <= aHi && bLo <= bHi, "empty box")
     // out-of-domain bounds would WRAP under mortonOf's 16-bit masks and

@@ -2554,6 +2554,83 @@ $prRounds
         count(*) AS cnt
       FROM t CROSS JOIN seeds
       GROUP BY 1, 2 ORDER BY seed, bucket"""
-    })
+    }),
+
+    // CUSTOM-STATE streaming (flatMapGroupsWithState) through the oracle
+    // gate: gap-based sessionization whose state is (last event time,
+    // session count, event count) per user — the KeyValueGroupedDataset
+    // surface none of st01–st05 exercises. The source is written as ONE
+    // file so AvailableNow processes one micro-batch (the operator sorts
+    // events per key WITHIN a trigger; cross-batch arrival order is the
+    // same hazard st02 pins away the same way), and the operator runs in
+    // Append mode — file sinks reject update — so the appended rows ARE
+    // the final per-user counters. The oracle is batch q29's
+    // gaps-and-islands recompute verbatim: stream and batch sessionization
+    // proven equal through DuckDB, not just through each other.
+    ("st06_stream_sessionize", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val tmp = QueryUtil.scratchDir("graft_st06_")
+      rd(s, dir, "events").coalesce(1).write.parquet(s"$tmp/src")
+      val stream = s.readStream
+        .schema(graft.streaming.StreamOps.rawEventSchema).parquet(s"$tmp/src")
+      graft.streaming.StreamOps.runToCompletion(
+        graft.streaming.StreamOps
+          .sessionizeStream(stream, 30, OutputMode.Append())
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", s"$tmp/sink")
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(Trigger.AvailableNow())
+          .start())
+      s.read.parquet(s"$tmp/sink").orderBy("user_id")
+    }, Some("""
+      WITH t AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tsu,
+          epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      s AS (
+        SELECT user_id, event_id,
+          SUM(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM t)
+      SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+        COUNT(*) AS n_events
+      FROM s GROUP BY user_id ORDER BY user_id""")),
+
+    // STREAM-STREAM interval join through the oracle gate: for each
+    // purchase, the same user's clicks in the preceding hour — both sides
+    // watermarked so the join state is pruned once click time falls behind
+    // (purchase watermark − 1 h); inner-join matches emit eagerly, so with
+    // a single source micro-batch the sink holds exactly the batch join's
+    // row set. The checked projection is per-purchase (click count + exact
+    // epoch-micros checksum of the matched click times) — group-invariant
+    // over emission order. DuckDB replays the interval join over the full
+    // table.
+    ("st07_stream_interval_join", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = QueryUtil.scratchDir("graft_st07_")
+      rd(s, dir, "events").coalesce(1).write.parquet(s"$tmp/src")
+      val stream = s.readStream
+        .schema(graft.streaming.StreamOps.rawEventSchema).parquet(s"$tmp/src")
+      graft.streaming.StreamOps.runToCompletion(
+        graft.streaming.StreamOps.clickToPurchaseJoin(stream)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/sink")
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(Trigger.AvailableNow())
+          .start())
+      s.read.parquet(s"$tmp/sink")
+        .groupBy("p_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(unix_micros(col("c_ts"))).as("c_ts_us_sum"))
+        .orderBy("p_id")
+    }, Some("""
+      SELECT p.event_id AS p_id, COUNT(*) AS n_clicks,
+        CAST(SUM(epoch_us(c.ts)) AS BIGINT) AS c_ts_us_sum
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+        AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      GROUP BY p.event_id ORDER BY p_id"""))
   )
 }

@@ -529,6 +529,73 @@ object RelationalQueries {
       WHERE l_partkey % 65536 BETWEEN 64 AND 1600
         AND l_suppkey % 65536 BETWEEN 16 AND 72""")),
 
+    // Hive-style partitioned layout + partition-pruned scan — the FIRST
+    // pruning lever on a 100 TB table (z-order's file skipping composes
+    // below it within a partition). The write derives a low-cardinality
+    // partition column (order year, 7 values at any SF) so the directory
+    // fan-out stays bounded; the read's `o_year = 1997` predicate is a
+    // pure partition filter — the scan plans ONLY that directory, never
+    // listing or opening the other years' files (ExplainSpec pins
+    // `PartitionFilters` + `PartitionCount: 1` on exactly this plan shape).
+    // The oracle recomputes the same aggregate over the FULL table with the
+    // same year predicate, so a row lost to (or leaked from) a wrong
+    // partition hash-fails through the data.
+    ("q53_partition_pruned_scan", (s: SparkSession, dir: String) => {
+      val tmp = QueryUtil.scratchDir("graft_q53_")
+      rd(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_year") === 1997)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents
+      FROM orders WHERE year(o_orderdate) = 1997
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Small-file compaction (Layout.compactSmallFiles) through the oracle
+    // gate: a deliberately fragmented copy of `documents` (64 shards) is
+    // bin-packed back to ⌈bytes/target⌉ files — fragments coalesce WITHOUT
+    // a shuffle, well-sized files carry over unread — and the compacted
+    // directory must reproduce DuckDB's residue-class counts/checksums
+    // over the original table, so a row dropped or duplicated by the
+    // rewrite hash-fails. The `compacted` flag pins that the file count
+    // actually fell; the byte-identity of carried-over files and the
+    // mixed small/large split are pinned in LayoutSpec.
+    ("q54_compact_small_files", (s: SparkSession, dir: String) => {
+      import graft.ops.Layout
+      val tmp = QueryUtil.scratchDir("graft_q54_")
+      rd(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(s"$tmp/frag")
+      val smallBytes = {
+        val p = new org.apache.hadoop.fs.Path(s"$tmp/frag")
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        fs.listStatus(p).filter(f => f.isFile &&
+          !f.getPath.getName.startsWith("_")).map(_.getLen).sum
+      }
+      val stats = Layout.compactSmallFiles(s, s"$tmp/frag", s"$tmp/out",
+        targetBytes = math.max(1L, smallBytes / 4),
+        smallThresholdBytes = Long.MaxValue)
+      s.read.parquet(s"$tmp/out")
+        .groupBy(pmod(col("doc_id"), lit(64)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text")).cast("long")).as("chars_sum"))
+        .withColumn("compacted",
+          lit(if (stats.filesWritten + stats.filesKeptAsIs < stats.filesIn) 1L
+              else 0L))
+        .orderBy("bucket")
+    }, Some("""
+      SELECT doc_id % 64 AS bucket, COUNT(*) AS n,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        CAST(SUM(length(text)) AS BIGINT) AS chars_sum,
+        CAST(1 AS BIGINT) AS compacted
+      FROM documents GROUP BY 1 ORDER BY bucket""")),
+
     // --------------------------------------------------- grouping analytics
     ("q09_rollup", (s: SparkSession, dir: String) => {
       rd(s, dir, "lineitem")

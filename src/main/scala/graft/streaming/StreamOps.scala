@@ -78,17 +78,25 @@ object StreamOps {
     * q29_sessionize windows). Events inside one trigger are sorted per key;
     * state carries (last event time, session count, event count) across
     * triggers.
+    *
+    * `mode` is the OPERATOR output mode and must match the sink's: Update
+    * for a memory/console sink that wants per-trigger running counters
+    * (the default), Append for a file sink (file sinks reject update mode;
+    * with a single source micro-batch — the st06 oracle row's shape — the
+    * appended rows ARE the final per-user counters).
     */
   def sessionizeStream(events: org.apache.spark.sql.DataFrame,
-      gapMinutes: Int = 30): Dataset[UserSessions] = {
+      gapMinutes: Int = 30,
+      mode: org.apache.spark.sql.streaming.OutputMode =
+        org.apache.spark.sql.streaming.OutputMode.Update): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val gapMicros = gapMinutes * 60L * 1000000L
     events.select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSessions](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        mode, GroupStateTimeout.NoTimeout) {
         (user: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           val sorted = batch.toSeq.sortBy(_.tsMicros)
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))

@@ -293,4 +293,21 @@ class ExplainSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"),
       s"q50's bit arithmetic must stay inside whole-stage codegen:\n$plan")
   }
+
+  test("q53 hive-partitioned layout: the year predicate prunes partitions at planning time") {
+    // the o_year = 1997 predicate must be a PARTITION filter (directories
+    // never listed/opened), not a data filter evaluated per row — at 100 TB
+    // this is the difference between reading one year and reading seven
+    val plan = executedPlan("q53_partition_pruned_scan")
+    assert("PartitionFilters: \\[[^\\]]*o_year[^\\]]*= 1997\\)"
+        .r.findFirstIn(plan).nonEmpty,
+      s"q53 must plan o_year = 1997 as a partition filter:\n$plan")
+    // nothing left for per-row evaluation: the scan's data-filter and
+    // pushed-filter slots stay empty (the partition column never reaches
+    // row-level filtering)
+    assert(plan.contains("DataFilters: []"),
+      s"q53's scan must not re-evaluate the year per row:\n$plan")
+    assert(plan.contains("PushedFilters: []"),
+      s"q53 has no residual row-group predicate to push:\n$plan")
+  }
 }

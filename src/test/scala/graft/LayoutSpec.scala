@@ -308,4 +308,91 @@ class LayoutSpec extends SparkSpec {
     val mass = sketch.agg(sum("cnt")).head.getLong(0)
     assert(mass === 3L * toks.count())
   }
+
+  private def dataFiles(dir: String): Seq[java.io.File] =
+    new java.io.File(dir).listFiles.toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+
+  test("compactSmallFiles: 64 fragments bin-pack to the target count with the exact row set") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    docs.repartition(64).write.parquet(s"$tmp/frag")
+    val fragFiles = dataFiles(s"$tmp/frag")
+    assert(fragFiles.size === 64)
+    val smallBytes = fragFiles.map(_.length).sum
+    val stats = Layout.compactSmallFiles(spark, s"$tmp/frag", s"$tmp/out",
+      targetBytes = math.max(1L, smallBytes / 4),
+      smallThresholdBytes = Long.MaxValue)
+    assert(stats.filesIn === 64)
+    assert(stats.filesKeptAsIs === 0)
+    // ⌈bytes/target⌉ with target = bytes/4 requests 4-5 outputs; the
+    // file-packing scan may open the fragments as fewer splits (coalesce
+    // never splits), so the bound is one-sided: few, and far below 64
+    assert(stats.filesWritten >= 1 && stats.filesWritten <= 5,
+      s"expected <=5 outputs, got ${stats.filesWritten}")
+    assert(dataFiles(s"$tmp/out").size === stats.filesWritten)
+    // fidelity: exact multiset of rows survives the rewrite
+    val got = spark.read.parquet(s"$tmp/out")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), min("text").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = docs
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), min("text").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === want)
+  }
+
+  test("compactSmallFiles: well-sized files carry over byte-identical, only fragments rewrite") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_mix_").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    // one well-sized file + many fragments, same schema, disjoint rows
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/in")
+    val bigName = dataFiles(s"$tmp/in") match {
+      case Seq(f) => f.getName
+      case fs => fail(s"expected one coalesced file, got ${fs.size}")
+    }
+    docs.filter(col("doc_id") % 2 === 1).repartition(16)
+      .write.mode("append").parquet(s"$tmp/in")
+    val all = dataFiles(s"$tmp/in")
+    assert(all.size === 17)
+    val big = all.find(_.getName == bigName).get
+    // threshold sits between the fragment sizes and the big file's
+    val fragMax = all.filterNot(_.getName == bigName).map(_.length).max
+    assert(fragMax < big.length, "fixture: fragments must be smaller")
+    val stats = Layout.compactSmallFiles(spark, s"$tmp/in", s"$tmp/out",
+      targetBytes = Long.MaxValue / 2, // all fragments into one output
+      smallThresholdBytes = fragMax + 1)
+    assert(stats.filesIn === 17)
+    assert(stats.filesKeptAsIs === 1)
+    assert(stats.filesWritten === 1)
+    // the carried file is byte-identical — never decoded or re-encoded
+    val copied = new java.io.File(s"$tmp/out", bigName)
+    assert(copied.isFile, "carried file must keep its name in the output")
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(big.toPath),
+      java.nio.file.Files.readAllBytes(copied.toPath)),
+      "carried-over file must be byte-identical")
+    // fidelity across the mixed layout
+    val got = spark.read.parquet(s"$tmp/out").agg(count(lit(1)),
+      sum("doc_id"), sum(length(col("text")).cast("long"))).head
+    val want = docs.agg(count(lit(1)),
+      sum("doc_id"), sum(length(col("text")).cast("long"))).head
+    assert(got === want)
+  }
+
+  test("compactSmallFiles: nothing small is a pure carry-over") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_noop_").toString
+    spark.read.parquet(s"$sf/documents.parquet").coalesce(2)
+      .write.parquet(s"$tmp/in")
+    val stats = Layout.compactSmallFiles(spark, s"$tmp/in", s"$tmp/out",
+      targetBytes = 1L << 30, smallThresholdBytes = 1L)
+    assert(stats.filesWritten === 0)
+    assert(stats.filesKeptAsIs === stats.filesIn)
+    assert(dataFiles(s"$tmp/out").size === stats.filesIn)
+    assert(spark.read.parquet(s"$tmp/out").count() ===
+      spark.read.parquet(s"$tmp/in").count())
+  }
 }

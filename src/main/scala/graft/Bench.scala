@@ -958,6 +958,13 @@ object Bench {
       // per-run machine speed in M rows/s, aligned with runs_s
       val calRuns = runs.map(x => f"${x.calMrows / 1e6}%.1f")
         .mkString(""","cal_mrows_per_run":[""", ",", "]")
+      // per-run task-seconds, aligned with runs_s (r14): the engine's work
+      // is deterministic, so a slow run whose OWN task-seconds inflate
+      // proportionally is a throttled machine window (the tasks themselves
+      // ran slower), not operator variance — the field that lets
+      // check_scale.py attribute a spread instead of asking for re-runs
+      val taskRuns = runs.map(x => f"${x.taskS}%.1f")
+        .mkString(""","task_s_per_run":[""", ",", "]")
       // streaming attribution, aligned with runs_s (VERDICT r13 #2: st04's
       // 22–124 s spread needs per-run fields naming what the slow runs did)
       val stRuns =
@@ -980,7 +987,7 @@ object Bench {
       val floorS = r.taskS / math.max(1, cores)
       val wallOverCore = if (floorS > 0) r.sec / floorS else 0.0
       val json =
-        f""""$key":{"sec":${r.sec}%.3f,"form":"$name","runs_s":$allRuns,"retries":$extra$err$ccRounds$calRuns$stRuns$opPoint,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","steal_pct":"${r.stealPct}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"cores":$cores,"core_floor_s":$floorS%.1f,"wall_over_core":$wallOverCore%.2f,"disk_avail_gb":${diskAvailGb(dir)}%.1f}"""
+        f""""$key":{"sec":${r.sec}%.3f,"form":"$name","runs_s":$allRuns,"retries":$extra$err$ccRounds$calRuns$taskRuns$stRuns$opPoint,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","steal_pct":"${r.stealPct}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"cores":$cores,"core_floor_s":$floorS%.1f,"wall_over_core":$wallOverCore%.2f,"disk_avail_gb":${diskAvailGb(dir)}%.1f}"""
       (json, Some(key -> r.sec))
     }
   }
@@ -1071,6 +1078,36 @@ object Bench {
       .select(protect.encrypt_value(col("v"), "bench-key", codec, "v",
         perValue = true).as("ct"))
       .where(length(col("ct")) > 0)
+
+  /** The layout family at 100× (r14 — q50–q54 landed after the 15-row
+    * registry was drawn, so the newest family gets its quiet-gated row):
+    * one full maintenance + read cycle over the 100× lineitem (60 M rows).
+    * The measured wall is dominated by [[graft.ops.Layout.zorderWrite]] —
+    * range exchange on the Morton key + in-file sort + parquet write, the
+    * actual cost center of a periodic re-cluster at 100 TB (every byte
+    * moves exactly once; no global sort) — followed by the BIGMIN-split
+    * pruned box scan over the files just written. The returned one-row
+    * frame carries the box aggregate plus files_read/files_total, so the
+    * at-scale pruning ratio is artifact-derivable; the protocol's count()
+    * forces nothing extra (write, listing, and scan all ran inside fn).
+    */
+  private def layout100x(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val out = s"$dir/lineitem_zorder"
+    val a = pmod(col("l_orderkey"), lit(65536))
+    val b = pmod(col("l_partkey"), lit(65536))
+    Layout.zorderWrite(s.read.parquet(s"$dir/lineitem.parquet"), a, b,
+      out, numFiles = 192)
+    val (aLo, aHi, bLo, bHi) = (1024L, 9215L, 2048L, 6143L)
+    val (split, total) = Layout.zorderFilesForSplit(s, out, aLo, aHi, bLo, bHi)
+    s.read.parquet(split: _*)
+      .filter(pmod(col("l_orderkey"), lit(65536)).between(aLo, aHi) &&
+        pmod(col("l_partkey"), lit(65536)).between(bLo, bHi))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("ok_sum"))
+      .select(col("n"), col("ok_sum"),
+        lit(split.size.toLong).as("files_read"),
+        lit(total).as("files_total"))
+  }
 
   private def scale10xRows(spark: SparkSession, listener: TaskStatsListener,
       sfDir: String): (String, Seq[(String, Double)]) = {
@@ -1237,7 +1274,13 @@ object Bench {
     ("st04_100x", "st04_stream_neardup",
       SparkEntry.queries("st04_stream_neardup")),
     ("m01_100x", "m01_media_features",
-      SparkEntry.queries("m01_media_features")))
+      SparkEntry.queries("m01_media_features")),
+    // the data-layout family (r14): zorderWrite of the full 100× lineitem
+    // + the BIGMIN-split pruned box scan over the result — the write IS
+    // the op (range exchange + in-file sort, no global sort), and the
+    // row's files_read/files_total columns make the at-scale skip ratio
+    // artifact-derivable
+    ("q52_100x", "q52_zorder@write+prunedscan100x", layout100x _))
 
   private[graft] def scale100xExpectedKeys: Seq[String] = scale100xTargets.map(_._1)
 
@@ -1323,6 +1366,28 @@ object Bench {
       "st04_100x" -> Seq(
         "spark.sql.files.maxPartitionBytes" -> "262144",
         "spark.sql.files.openCostInBytes" -> "65536"),
+      // d07's curation composite: default one-wave (32-task) shuffle
+      // stages carry ~4.1 s max tasks on a clean host but straddle the
+      // 5 s bar on slower windows (r14: 5.1-6.3 s at quiet load).
+      // StageProbe A/B: TWO waves (64 partitions, parallelismFirst=false,
+      // 8 MB advisory) halve the straggler (3.2 s) AND cut wall 56→46 s —
+      // the second wave overlaps scheduling slack. The d06-style 16 MB
+      // file-split treatment was probed and measured 2.7× WORSE here
+      // (task-seconds tripled): d07's ~20 cached/windowed stages pay
+      // per-task fixed costs, not per-byte scan costs, so splits must
+      // stay coarse while the shuffle widens.
+      "d07_100x" -> Seq(
+        "spark.sql.shuffle.partitions" -> "64",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m"),
+      // the write's input scan feeds a 60 M-row range exchange: default
+      // 128 MB splits of the ~600 MB table are ~4 M-row shuffle-write
+      // tasks (>5 s); 16 MB splits bound the per-task exposure the same
+      // way d06/s07's scan stages are bounded. The write side is already
+      // 192 ~310 k-row file tasks.
+      "q52_100x" -> Seq(
+        "spark.sql.files.maxPartitionBytes" -> "16m",
+        "spark.sql.files.openCostInBytes" -> "1m"),
       )
     try {
       ScalingRehearsal.synthesizeScaled(spark0, sfDir, workDir, 100)

@@ -41,12 +41,22 @@ object Scale100x {
       case JObject(fields) => fields
       case _ => Nil
     }
-    // the straggler bar, same constant as tools/check_scale.py MAX_TASK_MS
-    def passesBars(v: JValue): Boolean = (v \ "max_task_ms") match {
-      case JInt(ms) => ms < 5000
-      case JLong(ms) => ms < 5000
-      case JDouble(ms) => ms < 5000
-      case _ => false
+    // the straggler + quiet-load bars, same constants as
+    // tools/check_scale.py MAX_TASK_MS / MAX_LOAD (r14: a best run logged
+    // at loadavg 4.01 evicted a load-passing committed row because only
+    // the straggler bar was merge-checked)
+    def passesBars(v: JValue): Boolean = {
+      val taskOk = (v \ "max_task_ms") match {
+        case JInt(ms) => ms < 5000
+        case JLong(ms) => ms < 5000
+        case JDouble(ms) => ms < 5000
+        case _ => false
+      }
+      val loadOk = (v \ "load") match {
+        case JString(l) => scala.util.Try(l.toDouble).toOption.exists(_ < 4.0)
+        case _ => false
+      }
+      taskOk && loadOk
     }
     val existingRows: Map[String, JValue] = existingArtifact
       .map(a => rowsOf(JsonMethods.parse(a) \ "rows").toMap)

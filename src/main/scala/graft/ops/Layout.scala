@@ -52,6 +52,31 @@ object Layout {
   def zorderKey2(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
+  /** Spread the low 16 bits of a non-negative column so bit i lands at
+    * bit 3i — the 3-D Morton spread (same public-domain mask-shift family
+    * as [[spread16]]; the masks are the standard part-by-two chain used
+    * for ≤21-bit 3-D keys, e.g. libmorton). Domain: [0, [[CoordMax]]];
+    * higher bits are masked off, so the caller must reduce (pmod) first.
+    */
+  def spread16By3(c: Column): Column = {
+    val x0 = c.cast("long").bitwiseAND(lit(0xffffL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 32)).bitwiseAND(lit(0x1f00000000ffffL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 16)).bitwiseAND(lit(0x1f0000ff0000ffL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 8)).bitwiseAND(lit(0x100f00f00f00f00fL))
+    val x4 = x3.bitwiseOR(shiftleft(x3, 4)).bitwiseAND(lit(0x10c30c30c30c30c3L))
+    x4.bitwiseOR(shiftleft(x4, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** 48-bit Morton key of THREE 16-bit coordinates — the multi-dimension
+    * clustering key for the common (date, customer, part)-style layout
+    * where box queries constrain any subset of three dimensions. Monotone
+    * in each coordinate like [[zorderKey2]], so per-file zkey min/max
+    * footer pruning stays sound; codegen'd bit arithmetic, no UDF.
+    */
+  def zorderKey3(a: Column, b: Column, c: Column): Column =
+    spread16By3(a).bitwiseOR(shiftleft(spread16By3(b), 1))
+      .bitwiseOR(shiftleft(spread16By3(c), 2))
+
   /** Write `df` clustered by the Morton key of (a, b): range-partition into
     * `numFiles` zkey slices (each output file covers a tight, disjoint key
     * interval — range exchange samples the key, no full sort) and sort rows
@@ -299,6 +324,52 @@ object Layout {
     }
     (unspread(z), unspread(z >> 1))
   }
+
+  /** Driver-side 3-D Morton key (same bit layout as [[zorderKey3]]). */
+  def mortonOf3(a: Long, b: Long, c: Long): Long = {
+    def spread(v: Long): Long = {
+      var x = v & 0xffffL
+      x = (x | (x << 32)) & 0x1f00000000ffffL
+      x = (x | (x << 16)) & 0x1f0000ff0000ffL
+      x = (x | (x << 8)) & 0x100f00f00f00f00fL
+      x = (x | (x << 4)) & 0x10c30c30c30c30c3L
+      (x | (x << 2)) & 0x1249249249249249L
+    }
+    spread(a) | (spread(b) << 1) | (spread(c) << 2)
+  }
+
+  /** Driver-side 3-D Morton inverse — exact inverse of [[mortonOf3]]
+    * (LayoutSpec round-trips grid diagonals plus random points).
+    */
+  def mortonInverse3(z: Long): (Long, Long, Long) = {
+    def unspread(v: Long): Long = {
+      var x = v & 0x1249249249249249L
+      x = (x | (x >> 2)) & 0x10c30c30c30c30c3L
+      x = (x | (x >> 4)) & 0x100f00f00f00f00fL
+      x = (x | (x >> 8)) & 0x1f0000ff0000ffL
+      x = (x | (x >> 16)) & 0x1f00000000ffffL
+      (x | (x >> 32)) & 0xffffL
+    }
+    (unspread(z), unspread(z >> 1), unspread(z >> 2))
+  }
+
+  /** The q55 oracle's SQL replica of [[spread16By3]] (string-built so the
+    * six stages cannot drift from the Column form above; masks interpolate
+    * as decimals, which both engines parse).
+    */
+  def spreadSql3(e: String): String = {
+    // BIGINT cast up front: DuckDB range-checks `<< 32` against the LEFT
+    // operand's width, so an INTEGER-typed input would throw Out of Range
+    val x0 = s"((CAST(($e) AS BIGINT)) & 65535)"
+    val x1 = s"(($x0 | ($x0 << 32)) & ${0x1f00000000ffffL})"
+    val x2 = s"(($x1 | ($x1 << 16)) & ${0x1f0000ff0000ffL})"
+    val x3 = s"(($x2 | ($x2 << 8)) & ${0x100f00f00f00f00fL})"
+    val x4 = s"(($x3 | ($x3 << 4)) & ${0x10c30c30c30c30c3L})"
+    s"(($x4 | ($x4 << 2)) & ${0x1249249249249249L})"
+  }
+
+  def zorderKey3Sql(a: String, b: String, c: String): String =
+    s"(${spreadSql3(a)} | (${spreadSql3(b)} << 1) | (${spreadSql3(c)} << 2))"
 
   /** The q50 oracle's SQL replica of [[spread16]] (string-built so the five
     * stages cannot drift from the Column form above).

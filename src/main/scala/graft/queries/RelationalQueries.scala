@@ -596,6 +596,31 @@ object RelationalQueries {
         CAST(1 AS BIGINT) AS compacted
       FROM documents GROUP BY 1 ORDER BY bucket""")),
 
+    // 3-D Morton clustering key (r14): the multi-dimension layout key for
+    // the common (date, customer, part)-style table where box queries
+    // constrain any subset of three dimensions. The oracle replays all six
+    // mask-shift spread stages × three coordinates in SQL — a drifted
+    // mask, shift, or interleave lane hash-fails. Top-200 under
+    // (zkey3, l_orderkey, l_linenumber) keeps the output deterministic and
+    // SF-independent; the driver-side twin + exact inverse are pinned in
+    // LayoutSpec (grid + random round trips).
+    ("q55_zorder3_key", (s: SparkSession, dir: String) => {
+      import graft.ops.Layout
+      rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          Layout.zorderKey3(pmod(col("l_partkey"), lit(65536)),
+            pmod(col("l_suppkey"), lit(65536)),
+            pmod(col("l_orderkey"), lit(65536))).as("zkey3"))
+        .orderBy(col("zkey3"), col("l_orderkey"), col("l_linenumber"))
+        .limit(200)
+    }, Some(s"""
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        CAST(${graft.ops.Layout.zorderKey3Sql("l_partkey % 65536",
+          "l_suppkey % 65536", "l_orderkey % 65536")} AS BIGINT) AS zkey3
+      FROM lineitem
+      ORDER BY zkey3, l_orderkey, l_linenumber LIMIT 200""")),
+
     // --------------------------------------------------- grouping analytics
     ("q09_rollup", (s: SparkSession, dir: String) => {
       rd(s, dir, "lineitem")

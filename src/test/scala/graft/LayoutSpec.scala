@@ -56,6 +56,49 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("3-D morton: Column, SQL, and driver forms agree; inverse round-trips; monotone") {
+    // Column form vs driver form over real data
+    val rows = lineitem.limit(64)
+      .select(pmod(col("l_partkey"), lit(65536)).as("a"),
+        pmod(col("l_suppkey"), lit(65536)).as("b"),
+        pmod(col("l_orderkey"), lit(65536)).as("c"),
+        Layout.zorderKey3(pmod(col("l_partkey"), lit(65536)),
+          pmod(col("l_suppkey"), lit(65536)),
+          pmod(col("l_orderkey"), lit(65536))).as("z"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("z") === Layout.mortonOf3(r.getAs[Long]("a"),
+        r.getAs[Long]("b"), r.getAs[Long]("c")))
+    }
+    // the SQL replica (the q55 oracle) through Spark's own SQL engine
+    lineitem.limit(64).createOrReplaceTempView("li_z3")
+    spark.sql(s"""SELECT ${Layout.zorderKey3Sql("l_partkey % 65536",
+        "l_suppkey % 65536", "l_orderkey % 65536")} AS z,
+        l_partkey % 65536 AS a, l_suppkey % 65536 AS b,
+        l_orderkey % 65536 AS c FROM li_z3""").collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("z") === Layout.mortonOf3(r.getAs[Long]("a"),
+          r.getAs[Long]("b"), r.getAs[Long]("c")))
+      }
+    // exact inverse over diagonal + edges + deterministic scatter
+    val pts = (0L to 65535L by 509L) ++ Seq(0L, 1L, 65534L, 65535L)
+    for (a <- pts) {
+      val b = (a * 31L + 7L) % 65536L
+      val c = 65535L - a
+      val z = Layout.mortonOf3(a, b, c)
+      assert(Layout.mortonInverse3(z) === ((a, b, c)),
+        s"3-D round trip failed at ($a, $b, $c)")
+    }
+    // monotone in each coordinate (the pruning-soundness property)
+    for (a <- Seq(0L, 77L, 65534L); b <- Seq(1L, 300L, 65534L);
+         c <- Seq(0L, 4097L, 65534L)) {
+      assert(Layout.mortonOf3(a, b, c) < Layout.mortonOf3(a + 1, b, c))
+      assert(Layout.mortonOf3(a, b, c) < Layout.mortonOf3(a, b + 1, c))
+      assert(Layout.mortonOf3(a, b, c) < Layout.mortonOf3(a, b, c + 1))
+    }
+  }
+
   test("zorderWrite: box query skips most files; a round-robin layout skips none") {
     val tmpZ = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
     val tmpN = java.nio.file.Files.createTempDirectory("graft_naive_").toString

@@ -10,11 +10,11 @@ class Scale100xSpec extends AnyFunSuite {
 
   private def art(rows: String) = Some(s"""{"heap_gb":32.0,"rows":{$rows}}""")
   private val passing =
-    """"s07_100x":{"sec":45.2,"max_task_ms":4800,"runs_s":[45.2,46.0],"unix":1}"""
+    """"s07_100x":{"sec":45.2,"max_task_ms":4800,"load":"2.1","runs_s":[45.2,46.0],"unix":1}"""
   private val failingFresh =
-    """"s07_100x":{"sec":64.7,"max_task_ms":9276,"runs_s":[66.8,64.7]}"""
+    """"s07_100x":{"sec":64.7,"max_task_ms":9276,"load":"2.2","runs_s":[66.8,64.7]}"""
   private val passingFresh =
-    """"s07_100x":{"sec":47.0,"max_task_ms":4100,"runs_s":[47.0,48.1]}"""
+    """"s07_100x":{"sec":47.0,"max_task_ms":4100,"load":"2.3","runs_s":[47.0,48.1]}"""
 
   test("a fresh successful row replaces a committed one") {
     val (merged, n) = Scale100x.mergeRows(art(passing), s"{$passingFresh}", 99)
@@ -28,6 +28,17 @@ class Scale100xSpec extends AnyFunSuite {
     assert(n == 0)
     assert(merged.contains("\"sec\":45.2"))
     assert(!merged.contains("9276"))
+  }
+
+  test("a loud-machine re-measure never evicts a quiet committed row (r14)") {
+    // the observed incident: a best run logged at loadavg 4.01 passed the
+    // straggler bar and evicted a load-passing row — the merge now checks
+    // the same quiet bar as tools/check_scale.py
+    val loudFresh =
+      """"s07_100x":{"sec":37.6,"max_task_ms":4684,"load":"4.01","runs_s":[56.5,37.6]}"""
+    val (merged, n) = Scale100x.mergeRows(art(passing), s"{$loudFresh}", 99)
+    assert(n == 0)
+    assert(merged.contains("\"sec\":45.2"))
   }
 
   test("a bar-failing re-measure does replace a bar-failing committed row") {

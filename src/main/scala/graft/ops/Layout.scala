@@ -140,16 +140,23 @@ object Layout {
       maxRanges: Int = 64): (Seq[String], Long) = {
     val ranges = zorderRanges(aLo, aHi, bLo, bHi, maxRanges)
     val stats = fileStats(spark, dir)
+    (filesOverlapping(stats, ranges), stats.length.toLong)
+  }
+
+  /** Files whose [zmin, zmax] overlaps some cover range (ranges disjoint
+    * and increasing — binary search per file).
+    */
+  private def filesOverlapping(stats: Array[(String, Long, Long)],
+      ranges: Seq[(Long, Long)]): Seq[String] = {
     val los = ranges.map(_._1).toArray
-    val keep = stats.filter { case (_, zmin, zmax) =>
+    stats.filter { case (_, zmin, zmax) =>
       // candidate range = last one starting at or before zmax
       val i = {
         val p = java.util.Arrays.binarySearch(los, zmax)
         if (p >= 0) p else -(p + 1) - 1
       }
       i >= 0 && ranges(i)._2 >= zmin
-    }.map(_._1)
-    (keep, stats.length.toLong)
+    }.map(_._1).toSeq
   }
 
   /** The box's zkey cover as ≤ `maxRanges` disjoint, increasing intervals
@@ -183,10 +190,19 @@ object Layout {
       }
     }
     rec(0L, 0L, CoordMax + 1)
+    mergeToBudget(exact, maxRanges)
+  }
+
+  /** Reduce a disjoint increasing cover to ≤ `maxRanges` intervals by
+    * closing the smallest inter-range gaps first: each merge adds gap-many
+    * over-read keys, so greedy-by-gap minimizes total over-cover for the
+    * budget. Merging only ever OVER-covers — soundness is unconditional.
+    */
+  private def mergeToBudget(
+      exact: scala.collection.mutable.ArrayBuffer[(Long, Long)],
+      maxRanges: Int): Seq[(Long, Long)] = {
     if (exact.length <= maxRanges) exact.toSeq
     else {
-      // close the smallest gaps first: each merge adds gap-many over-read
-      // keys, so greedy-by-gap minimizes total over-cover for the budget
       val mergeAt = (1 until exact.length)
         .map(i => (exact(i)._1 - exact(i - 1)._2 - 1, i))
         .sortBy(_._1).take(exact.length - maxRanges).map(_._2).toSet
@@ -197,6 +213,143 @@ object Layout {
       }
       out.toSeq
     }
+  }
+
+  /** Write `df` Hive-partitioned by `partitionCol` AND z-ordered by (a, b)
+    * WITHIN each partition — the two pruning levers composed, which is the
+    * 100 TB layout story: a scan with a partition predicate plans only the
+    * matching directories (q53's lever), and a box predicate inside a
+    * partition skips files by the persisted zkey via [[zorderFilesFor]] /
+    * [[zorderFilesForSplit]] on that partition's directory (q52's lever).
+    *
+    * Mechanics: one range exchange on (partitionCol, zkey) — the sampler
+    * gives each task a contiguous (partition, key) slice, so almost every
+    * task writes ONE file into ONE partition directory covering a tight,
+    * near-disjoint zkey interval; the within-task sort tightens row-group
+    * stats too. Same single-shuffle cost as [[zorderWrite]].
+    */
+  def zorderWritePartitioned(df: DataFrame, partitionCol: String,
+      a: Column, b: Column, outDir: String, numFiles: Int): Unit = {
+    require(!df.columns.contains("zkey"),
+      "input already has a 'zkey' column; rename it before zorderWritePartitioned")
+    require(df.columns.contains(partitionCol),
+      s"partition column '$partitionCol' not in input")
+    df.withColumn("zkey", zorderKey2(a, b))
+      .repartitionByRange(numFiles, col(partitionCol), col("zkey"))
+      .sortWithinPartitions(partitionCol, "zkey")
+      .write.partitionBy(partitionCol).mode("overwrite").parquet(outDir)
+  }
+
+  /** Write `df` clustered by the 3-D Morton key of (a, b, c) — the
+    * three-dimension twin of [[zorderWrite]] for the (date, customer,
+    * part)-style layout q55 pins the key for. Same mechanics: range
+    * exchange on the persisted `zkey3` (samples the key, no full sort),
+    * within-file sort so row-group min/max stats are tight.
+    */
+  def zorderWrite3(df: DataFrame, a: Column, b: Column, c: Column,
+      outDir: String, numFiles: Int): Unit = {
+    require(!df.columns.contains("zkey3"),
+      "input already has a 'zkey3' column; rename it before zorderWrite3")
+    df.withColumn("zkey3", zorderKey3(a, b, c))
+      .repartitionByRange(numFiles, col("zkey3"))
+      .sortWithinPartitions("zkey3")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** 3-D box's zkey3 cover as ≤ `maxRanges` disjoint, increasing intervals
+    * (driver-side, pure) — the octant-recursion BIGMIN form of
+    * [[zorderRanges]]. The 2-D argument generalizes directly: an aligned
+    * 2^k cube's keys are contiguous (its low 3k z-bits range over all
+    * values), and octant order (c-half, then b-half, then a-half) IS
+    * increasing z because a's bits sit at positions 3i, b's at 3i+1, c's
+    * at 3i+2 — so emission needs no sort and adjacent-merge is one pass.
+    *
+    * One 3-D-specific guard the 2-D form doesn't need: the EXACT cover
+    * grows with the box's SURFACE AREA (O((side/s)^2) straddling cells per
+    * level), not its perimeter, so an unbudgeted recursion over a large box
+    * could emit millions of driver-side intervals. A split budget
+    * (64·maxRanges splits, min 4096) caps that: once spent, a straddling
+    * cube is emitted WHOLE — pure over-cover, so soundness is unconditional
+    * and tightness degrades gracefully toward the coarse envelope.
+    * maxRanges = 1 still degenerates exactly to
+    * [z(aLo,bLo,cLo), z(aHi,bHi,cHi)] (LayoutSpec pins it).
+    */
+  def zorderRanges3(aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      cLo: Long, cHi: Long, maxRanges: Int = 64): Seq[(Long, Long)] = {
+    requireBox3(aLo, aHi, bLo, bHi, cLo, cHi)
+    require(maxRanges >= 1, s"maxRanges must be >= 1, got $maxRanges")
+    val exact = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var budget = math.max(4096L, 64L * maxRanges)
+    // every box key lies in the coarse envelope (per-coordinate
+    // monotonicity: min/max over the box land at its corners) — used to
+    // clamp budget-exhausted whole-cube emissions so over-cover never
+    // escapes the envelope and maxRanges=1 degenerates exactly to it
+    val envLo = mortonOf3(aLo, bLo, cLo)
+    val envHi = mortonOf3(aHi, bHi, cHi)
+    def emit(z0: Long, z1: Long): Unit =
+      if (exact.nonEmpty && exact.last._2 + 1 == z0)
+        exact(exact.length - 1) = (exact.last._1, z1)
+      else exact += ((z0, z1))
+    def rec(ca: Long, cb: Long, cc: Long, size: Long): Unit = {
+      val caHi = ca + size - 1
+      val cbHi = cb + size - 1
+      val ccHi = cc + size - 1
+      if (caHi < aLo || ca > aHi || cbHi < bLo || cb > bHi ||
+          ccHi < cLo || cc > cHi) ()
+      else if (ca >= aLo && caHi <= aHi && cb >= bLo && cbHi <= bHi &&
+          cc >= cLo && ccHi <= cHi) {
+        val z0 = mortonOf3(ca, cb, cc) // aligned cube ⇒ contiguous z-interval
+        emit(z0, z0 + size * size * size - 1)
+      } else if (budget <= 0) {
+        // budget spent: over-cover the straddling cube whole, clamped to
+        // the envelope (sound — its box rows' keys lie in the cube's
+        // interval AND in the envelope; a straddling cube holds at least
+        // one box key, so the clamp never empties the interval)
+        val z0 = mortonOf3(ca, cb, cc)
+        emit(math.max(z0, envLo),
+          math.min(z0 + size * size * size - 1, envHi))
+      } else {
+        budget -= 1
+        val h = size / 2
+        // octant order (c-half, then b-half, then a-half) IS increasing z
+        rec(ca, cb, cc, h); rec(ca + h, cb, cc, h)
+        rec(ca, cb + h, cc, h); rec(ca + h, cb + h, cc, h)
+        rec(ca, cb, cc + h, h); rec(ca + h, cb, cc + h, h)
+        rec(ca, cb + h, cc + h, h); rec(ca + h, cb + h, cc + h, h)
+      }
+    }
+    rec(0L, 0L, 0L, CoordMax + 1)
+    mergeToBudget(exact, maxRanges)
+  }
+
+  /** Coarse one-range file skip set for a 3-D box over a [[zorderWrite3]]
+    * layout — the 3-D twin of [[zorderFilesFor]] (sound by per-coordinate
+    * monotonicity of the key; [[zorderFilesForSplit3]] is the tightened
+    * multi-range form).
+    */
+  def zorderFilesFor3(spark: org.apache.spark.sql.SparkSession, dir: String,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      cLo: Long, cHi: Long): (Seq[String], Long) = {
+    requireBox3(aLo, aHi, bLo, bHi, cLo, cHi)
+    val zLo = mortonOf3(aLo, bLo, cLo)
+    val zHi = mortonOf3(aHi, bHi, cHi)
+    val stats = fileStats3(spark, dir)
+    val keep = stats.filter { case (_, zmin, zmax) =>
+      zmax >= zLo && zmin <= zHi }.map(_._1)
+    (keep, stats.length.toLong)
+  }
+
+  /** File-level skip set via SPLIT 3-D Z-ranges — the BIGMIN read path for
+    * [[zorderWrite3]] layouts ([[zorderFilesForSplit]]'s 3-D twin). Same
+    * driver cost shape: O(numFiles · log ranges) after one O(numFiles)
+    * stats aggregate — never data-sized.
+    */
+  def zorderFilesForSplit3(spark: org.apache.spark.sql.SparkSession,
+      dir: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      cLo: Long, cHi: Long, maxRanges: Int = 64): (Seq[String], Long) = {
+    val ranges = zorderRanges3(aLo, aHi, bLo, bHi, cLo, cHi, maxRanges)
+    val stats = fileStats3(spark, dir)
+    (filesOverlapping(stats, ranges), stats.length.toLong)
   }
 
   /** What [[compactSmallFiles]] did, for callers/specs: counts are file
@@ -283,6 +436,15 @@ object Layout {
         s"got a=[$aLo,$aHi] b=[$bLo,$bHi]")
   }
 
+  private def requireBox3(aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      cLo: Long, cHi: Long): Unit = {
+    require(aLo <= aHi && bLo <= bHi && cLo <= cHi, "empty box")
+    require(aLo >= 0 && aHi <= CoordMax && bLo >= 0 && bHi <= CoordMax &&
+      cLo >= 0 && cHi <= CoordMax,
+      s"box coordinates must lie in [0, $CoordMax]: " +
+        s"got a=[$aLo,$aHi] b=[$bLo,$bHi] c=[$cLo,$cHi]")
+  }
+
   /** Per-file zkey min/max from the persisted key — the same numbers a
     * parquet footer carries. O(numFiles) rows to the driver, never
     * data-sized.
@@ -292,6 +454,16 @@ object Layout {
     spark.read.parquet(dir)
       .groupBy(input_file_name().as("file"))
       .agg(min("zkey").as("zmin"), max("zkey").as("zmax"))
+      .collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("zmin"),
+        r.getAs[Long]("zmax")))
+
+  /** [[fileStats]] for a [[zorderWrite3]] layout (persisted key `zkey3`). */
+  private def fileStats3(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[(String, Long, Long)] =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("zkey3").as("zmin"), max("zkey3").as("zmax"))
       .collect()
       .map(r => (r.getAs[String]("file"), r.getAs[Long]("zmin"),
         r.getAs[Long]("zmax")))

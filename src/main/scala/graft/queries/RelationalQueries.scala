@@ -621,6 +621,111 @@ object RelationalQueries {
       FROM lineitem
       ORDER BY zkey3, l_orderkey, l_linenumber LIMIT 200""")),
 
+    // The 3-D BIGMIN read path through the oracle gate (r15 — closes the
+    // "3-D key has no split read path" item): a 3-D box query over a
+    // zorderWrite3 layout answered by reading ONLY the files the octant-
+    // recursion split cover (Layout.zorderRanges3) keeps — the aggregate
+    // must equal DuckDB's over the FULL table, so a cover that drops a file
+    // containing box rows hash-fails through the data. The gate bit pins
+    // split ≤ coarse; the strict seam-box improvement, exact-cover volume,
+    // and the 3-D-specific split-budget soundness are pinned in LayoutSpec.
+    ("q56_zorder3_pruned_scan", (s: SparkSession, dir: String) => {
+      import graft.ops.Layout
+      val tmp = QueryUtil.scratchDir("graft_q56_")
+      Layout.zorderWrite3(
+        rd(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")),
+        pmod(col("l_partkey"), lit(65536)), pmod(col("l_suppkey"), lit(65536)),
+        pmod(col("l_orderkey"), lit(65536)), tmp, numFiles = 16)
+      val (aLo, aHi, bLo, bHi, cLo, cHi) =
+        (64L, 1600L, 16L, 72L, 256L, 16384L)
+      val (coarse, _) = Layout.zorderFilesFor3(s, tmp,
+        aLo, aHi, bLo, bHi, cLo, cHi)
+      val (split, _) = Layout.zorderFilesForSplit3(s, tmp,
+        aLo, aHi, bLo, bHi, cLo, cHi)
+      // an empty keep-set means the box misses every file's key range; a
+      // varargs-empty parquet read would throw an opaque error instead
+      require(split.nonEmpty,
+        s"3-D split cover kept no files for box a=[$aLo,$aHi] b=[$bLo,$bHi] c=[$cLo,$cHi]")
+      s.read.parquet(split: _*)
+        .filter(pmod(col("l_partkey"), lit(65536)).between(aLo, aHi) &&
+          pmod(col("l_suppkey"), lit(65536)).between(bLo, bHi) &&
+          pmod(col("l_orderkey"), lit(65536)).between(cLo, cHi))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("ok_sum"),
+          sum(col("l_partkey") * 100000 + col("l_suppkey")).as("ps_sum"))
+        .select(col("n"), col("ok_sum"), col("ps_sum"),
+          lit(if (split.size <= coarse.size) 1L else 0L).as("split_no_worse"))
+    }, Some("""
+      SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS ok_sum,
+        CAST(SUM(l_partkey * 100000 + l_suppkey) AS BIGINT) AS ps_sum,
+        CAST(1 AS BIGINT) AS split_no_worse
+      FROM lineitem
+      WHERE l_partkey % 65536 BETWEEN 64 AND 1600
+        AND l_suppkey % 65536 BETWEEN 16 AND 72
+        AND l_orderkey % 65536 BETWEEN 256 AND 16384""")),
+
+    // The TWO pruning levers COMPOSED in one row (r15 — q53 proved
+    // partition pruning, q52 z-order file skipping; this row proves they
+    // stack, which is the 100 TB read path end-to-end): lineitem written
+    // Hive-partitioned by ship year AND z-ordered by (part, supp) within
+    // each partition (Layout.zorderWritePartitioned — one range exchange).
+    // The read takes lever 1 by planning a year-filtered scan whose
+    // executed plan must carry the predicate as a PartitionFilter with
+    // empty Data/PushedFilters (the `partition_pruned` bit re-checks q53's
+    // ExplainSpec pin on THIS layout), then lever 2 by BIGMIN-splitting the
+    // box inside the surviving partition directory — `files_pruned` pins
+    // that fewer files are read than the partition holds, i.e. z-order
+    // still bites below partitioning. The aggregate must equal DuckDB's
+    // over the FULL table with both predicates, so a row lost to either
+    // lever hash-fails through the data.
+    ("q57_partition_zorder_composed", (s: SparkSession, dir: String) => {
+      import graft.ops.Layout
+      val tmp = QueryUtil.scratchDir("graft_q57_")
+      Layout.zorderWritePartitioned(
+        rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_shipdate"))
+          .withColumn("l_year", year(col("l_shipdate"))),
+        "l_year",
+        pmod(col("l_partkey"), lit(65536)), pmod(col("l_suppkey"), lit(65536)),
+        tmp, numFiles = 64)
+      // lever 1: the year predicate plans as a partition filter — nothing
+      // left for per-row evaluation (the same properties ExplainSpec pins
+      // for q53, re-checked here on the composed layout)
+      val rootPlan = s.read.parquet(tmp).filter(col("l_year") === 1996)
+        .queryExecution.executedPlan.toString
+      val partitionPruned =
+        "PartitionFilters: \\[[^\\]]*l_year[^\\]]*= 1996\\)".r
+          .findFirstIn(rootPlan).nonEmpty &&
+        rootPlan.contains("DataFilters: []") &&
+        rootPlan.contains("PushedFilters: []")
+      // lever 2: BIGMIN file skipping INSIDE the surviving partition
+      val partDir = s"$tmp/l_year=1996"
+      val (aLo, aHi, bLo, bHi) = (0L, 255L, 0L, 31L)
+      val (split, filesInPartition) =
+        Layout.zorderFilesForSplit(s, partDir, aLo, aHi, bLo, bHi)
+      require(split.nonEmpty,
+        s"split cover kept no files in $partDir for box a=[$aLo,$aHi] b=[$bLo,$bHi]")
+      s.read.parquet(split: _*)
+        .filter(pmod(col("l_partkey"), lit(65536)).between(aLo, aHi) &&
+          pmod(col("l_suppkey"), lit(65536)).between(bLo, bHi))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("ok_sum"),
+          sum(col("l_partkey") * 100000 + col("l_suppkey")).as("ps_sum"))
+        .select(col("n"), col("ok_sum"), col("ps_sum"),
+          lit(if (partitionPruned) 1L else 0L).as("partition_pruned"),
+          lit(if (split.size < filesInPartition) 1L else 0L).as("files_pruned"))
+    }, Some("""
+      SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS ok_sum,
+        CAST(SUM(l_partkey * 100000 + l_suppkey) AS BIGINT) AS ps_sum,
+        CAST(1 AS BIGINT) AS partition_pruned,
+        CAST(1 AS BIGINT) AS files_pruned
+      FROM lineitem
+      WHERE year(l_shipdate) = 1996
+        AND l_partkey % 65536 BETWEEN 0 AND 255
+        AND l_suppkey % 65536 BETWEEN 0 AND 31""")),
+
     // --------------------------------------------------- grouping analytics
     ("q09_rollup", (s: SparkSession, dir: String) => {
       rd(s, dir, "lineitem")

@@ -226,6 +226,112 @@ class LayoutSpec extends SparkSpec {
     assert(got === expected, "split file pruning must not drop box rows")
   }
 
+  test("zorderRanges3: exact cover is disjoint, increasing, and exactly the box") {
+    val (aLo, aHi, bLo, bHi, cLo, cHi) = (3L, 60L, 9L, 200L, 7L, 50L)
+    val rs = Layout.zorderRanges3(aLo, aHi, bLo, bHi, cLo, cHi,
+      maxRanges = Int.MaxValue)
+    rs.sliding(2).foreach {
+      case Seq((_, h1), (l2, _)) => assert(h1 < l2, "disjoint and increasing")
+      case _ =>
+    }
+    // exact octree cover: total keys covered == box volume (no over-read)
+    assert(rs.map(r => r._2 - r._1 + 1).sum ===
+      (aHi - aLo + 1) * (bHi - bLo + 1) * (cHi - cLo + 1))
+    // every sampled box point is covered; seam-adjacent outside points not
+    for (a <- Seq(aLo, aHi, 33L); b <- Seq(bLo, bHi, 128L); c <- Seq(cLo, cHi, 32L))
+      assert(covered(rs, Layout.mortonOf3(a, b, c)),
+        s"box point ($a,$b,$c) must be covered")
+    for ((a, b, c) <- Seq((aLo - 1, bLo, cLo), (aHi + 1, bHi, cHi),
+        (aLo, bLo - 1, cLo), (aHi, bHi + 1, cHi), (aLo, bLo, cLo - 1),
+        (aHi, bHi, cHi + 1), (0L, 0L, 0L), (65535L, 65535L, 65535L)))
+      assert(!covered(rs, Layout.mortonOf3(a, b, c)),
+        s"outside point ($a,$b,$c) must not be covered by the exact cover")
+  }
+
+  test("zorderRanges3: merged covers stay sound; maxRanges=1 degenerates to the coarse envelope") {
+    // crosses the b = 32768 seam (key bit 46)
+    val (aLo, aHi, bLo, bHi, cLo, cHi) = (100L, 5000L, 30000L, 35000L, 7L, 900L)
+    val exact = Layout.zorderRanges3(aLo, aHi, bLo, bHi, cLo, cHi,
+      maxRanges = Int.MaxValue)
+    for (m <- Seq(1, 4, 16, 64)) {
+      val rs = Layout.zorderRanges3(aLo, aHi, bLo, bHi, cLo, cHi, maxRanges = m)
+      assert(rs.length <= m)
+      // merging only over-covers: every exact range sits inside a merged one
+      exact.foreach { case (lo, hi) =>
+        assert(rs.exists(r => r._1 <= lo && hi <= r._2),
+          s"maxRanges=$m dropped keys of an exact range")
+      }
+    }
+    assert(Layout.zorderRanges3(aLo, aHi, bLo, bHi, cLo, cHi, maxRanges = 1) ===
+      Seq((Layout.mortonOf3(aLo, bLo, cLo), Layout.mortonOf3(aHi, bHi, cHi))))
+  }
+
+  test("zorderRanges3: split-budget exhaustion over-covers but never drops box keys") {
+    // a box this large has an exact octree cover in the millions of cells —
+    // the split budget must kick in, keep the range count at the requested
+    // cap, and still cover every box point (over-cover only)
+    val (aLo, aHi, bLo, bHi, cLo, cHi) =
+      (100L, 50000L, 200L, 60000L, 300L, 40000L)
+    val rs = Layout.zorderRanges3(aLo, aHi, bLo, bHi, cLo, cHi, maxRanges = 8)
+    assert(rs.length <= 8)
+    rs.sliding(2).foreach {
+      case Seq((_, h1), (l2, _)) => assert(h1 < l2, "disjoint and increasing")
+      case _ =>
+    }
+    val vol = (aHi - aLo + 1) * (bHi - bLo + 1) * (cHi - cLo + 1)
+    assert(rs.map(r => r._2 - r._1 + 1).sum >= vol,
+      "budgeted cover must still cover at least the box volume")
+    for (a <- Seq(aLo, aHi, 32768L); b <- Seq(bLo, bHi, 4096L);
+        c <- Seq(cLo, cHi, 16384L))
+      assert(covered(rs, Layout.mortonOf3(a, b, c)),
+        s"box point ($a,$b,$c) must survive budget exhaustion")
+  }
+
+  test("zorderRanges3 rejects out-of-domain boxes that would wrap under the 16-bit masks") {
+    intercept[IllegalArgumentException] {
+      Layout.zorderRanges3(0L, 65536L, 0L, 10L, 0L, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zorderFilesFor3(spark, "/nonexistent", 0L, 10L, -1L, 10L, 0L, 10L)
+    }
+  }
+
+  test("3-D split envelope: sound, and strictly better than coarse on a seam-crossing box") {
+    val tmpZ = java.nio.file.Files.createTempDirectory("graft_zsplit3_").toString
+    // 32^3 grid scaled by 2048 so coordinates span the full 16-bit domain
+    val grid = spark.range(32768L)
+      .select(col("id"),
+        shiftleft(col("id").bitwiseAND(lit(31L)), 11).as("ca"),
+        shiftleft(shiftright(col("id"), 5).bitwiseAND(lit(31L)), 11).as("cb"),
+        shiftleft(shiftright(col("id"), 10).bitwiseAND(lit(31L)), 11).as("cc"))
+    Layout.zorderWrite3(grid, col("ca"), col("cb"), col("cc"), tmpZ, 16)
+    // box crossing the c = 32768 seam (key bit 47, the topmost): the coarse
+    // one-range envelope spans nearly the whole key space, the split cover
+    // keeps two compact regions
+    val (aLo, aHi) = (0L, 4095L)
+    val (bLo, bHi) = (0L, 4095L)
+    val (cLo, cHi) = (30720L, 34815L)
+    val (coarse, total) = Layout.zorderFilesFor3(spark, tmpZ,
+      aLo, aHi, bLo, bHi, cLo, cHi)
+    val (split, total2) = Layout.zorderFilesForSplit3(spark, tmpZ,
+      aLo, aHi, bLo, bHi, cLo, cHi)
+    assert(total === total2)
+    assert(split.toSet.subsetOf(coarse.toSet),
+      "split ranges lie inside the coarse interval, so kept files must too")
+    assert(split.size < coarse.size,
+      s"split must prune strictly more on a seam box: split ${split.size} " +
+        s"vs coarse ${coarse.size} of $total")
+    // soundness: the kept files contain every box row
+    val expected = grid.filter(col("ca").between(aLo, aHi) &&
+      col("cb").between(bLo, bHi) && col("cc").between(cLo, cHi)).count()
+    assert(expected === 8L)
+    val got = spark.read.parquet(split: _*)
+      .filter(col("ca").between(aLo, aHi) && col("cb").between(bLo, bHi) &&
+        col("cc").between(cLo, cHi))
+      .count()
+    assert(got === expected, "split file pruning must not drop box rows")
+  }
+
   test("count-min sketch never underestimates and is exact for unique-bucket tokens") {
     import spark.implicits._
     val docs = Seq(

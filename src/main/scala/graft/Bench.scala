@@ -392,6 +392,18 @@ object Bench {
     // summary normalizes section walls by (VERDICT r12 #1)
     val sectionLoads = scala.collection.mutable.LinkedHashMap
       .empty[String, (String, String, String, Double, Double)]
+    // PER-QUERY cal bracketing + steal (VERDICT r14 #1): section-level
+    // probes bracket up to 51 queries, so mid-section host contamination
+    // lands on whichever queries it hits and the section-mean
+    // normalization can't see it — r14's +14.3 % round-over-round residual
+    // was unattributable for exactly this reason. A micro cal sample
+    // (best-of-2, ~0.1 s, untimed) runs between queries; each query is
+    // normalized by the MEAN OF ITS OWN bracketing pair, and its /proc
+    // steal delta is recorded alongside, so any >10 % mover in the
+    // round-over-round table carries its own cal/steal/load attribution.
+    val qCal = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double)]
+    val qSteal = scala.collection.mutable.LinkedHashMap.empty[String, String]
     sections.foreach { section =>
       spark.stop()
       System.gc() // let the ContextCleaner reap the dead session's refs
@@ -400,7 +412,9 @@ object Bench {
       val sectionStartLoad = loadavgStr()
       val sectionStartSteal = cpuStealTotal()
       val sectionCal0 = calSample()
+      var calPrev = sectionCal0
       section.foreach { name =>
+        val stealT0 = cpuStealTotal()
         var s = measure(spark, listener, fns(name), sfDir)
         // inconsistent iterations (median ≫ best) = a load spike mid-query:
         // re-run once behind the quiet gate and keep the better set. A run
@@ -412,6 +426,14 @@ object Bench {
             .copy(retried = true)
         }
         stats(name) = s
+        // the section's last probe is the full sample (it doubles as the
+        // section-end figure); mid-section brackets are the micro probe
+        val calNext =
+          if (name == section.last) calSample()
+          else calSample(iters = 2, warmup = 0)
+        qCal(name) = (calPrev, calNext)
+        qSteal(name) = stealPctSince(stealT0)
+        calPrev = calNext
       }
       // keyed by the section's HEAD QUERY NAME, not its first letter
       // (ADVICE r12: two non-adjacent sections sharing an initial — e.g.
@@ -419,7 +441,7 @@ object Bench {
       // each other's load/steal entry under single-letter keys)
       sectionLoads(section.head) =
         (sectionStartLoad, loadavgStr(), stealPctSince(sectionStartSteal),
-          sectionCal0, calSample())
+          sectionCal0, calPrev)
     }
 
     // ---- 10× scale rows (r6 ask #3): synthesize once, run the headline
@@ -527,7 +549,11 @@ object Bench {
     val spread = stats.map { case (k, s) =>
       val iso = if (s.isolated >= 0) f""","isolated":${s.isolated}%.3f""" else ""
       val err = if (s.errors > 0) s""","errors":${s.errors}""" else ""
-      f""""$k":{"med":${s.med}%.3f,"min":${s.min}%.3f,"max":${s.max}%.3f,"load":"${s.load}","gc_s":${s.gcSec}%.2f,"task_s":${s.taskSec}%.1f,"task_gc_s":${s.taskGcSec}%.1f,"max_task_ms":${s.maxTaskMs},"retried":${s.retried}$err$iso}"""
+      val cal = qCal.get(k).map { case (c0, c1) =>
+        f""","cal_b_mrows":${c0 / 1e6}%.1f,"cal_a_mrows":${c1 / 1e6}%.1f""" }
+        .getOrElse("")
+      val st = qSteal.get(k).map(v => s""","steal_pct":"$v"""").getOrElse("")
+      f""""$k":{"med":${s.med}%.3f,"min":${s.min}%.3f,"max":${s.max}%.3f,"load":"${s.load}","gc_s":${s.gcSec}%.2f,"task_s":${s.taskSec}%.1f,"task_gc_s":${s.taskGcSec}%.1f,"max_task_ms":${s.maxTaskMs},"retried":${s.retried}$cal$st$err$iso}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -656,11 +682,18 @@ object Bench {
     // copy (the previous round's run) over the common query set, per
     // section. Round-over-round claims cite THIS table; raw walls are for
     // within-run reading only.
+    // normalized by each query's OWN bracketing cal pair (r14 #1 — the
+    // section mean smeared mid-section contamination over 51 queries);
+    // queries without a bracket (none in practice) fall back to the
+    // section mean
     val perQueryNorm: Map[String, Double] = sections.flatMap { section =>
       sectionLoads.get(section.head).toSeq.flatMap { case (_, _, _, c0, c1) =>
-        val mean = (c0 + c1) / 2
-        section.flatMap(q => results.get(q)
-          .map(v => q -> v * mean / CalBaselineRowsPerS))
+        val sectionMean = (c0 + c1) / 2
+        section.flatMap(q => results.get(q).map { v =>
+          val mean = qCal.get(q)
+            .map { case (b, a) => (b + a) / 2 }.getOrElse(sectionMean)
+          q -> v * mean / CalBaselineRowsPerS
+        })
       }
     }.toMap
     val baselinePath = java.nio.file.Paths.get("bench_norm_baseline.json")
@@ -699,14 +732,46 @@ object Bench {
       if (pTot > 0)
         md ++= f"| **total** | | **${r3(pTot)}** | **${r3(tTot)}** | " +
           f"**${100 * (tTot - pTot) / pTot}%+.1f%%** |\n"
+      // per-query movers WITH their own attribution (r14 #1's done bar:
+      // every >10 % normalized mover carries the cal/steal/load fields
+      // that name contamination) — only queries big enough for the delta
+      // to be wall, not noise (prev or this ≥ 0.3 s normalized)
+      val movers = prevNorm.keySet.intersect(perQueryNorm.keySet).toSeq
+        .map(q => (q, prevNorm(q), perQueryNorm(q)))
+        .filter { case (_, p, t) =>
+          (p max t) >= 0.3 && math.abs(t - p) > 0.10 * p }
+        .sortBy { case (_, p, t) => -math.abs(t - p) / p }
+      if (movers.nonEmpty) {
+        md ++= "\nPer-query movers > 10 % normalized (each carries its " +
+          "own bracketing-cal pair, /proc steal delta, and loadavg — the " +
+          "attribution fields; a mover whose cal/steal/load are clean on " +
+          "BOTH rounds moved in the engine, anything else moved with the " +
+          "machine):\n\n| query | prev s | this s | delta | cal b/a M " +
+          "rows/s | steal % | load |\n|---|---|---|---|---|---|---|\n"
+        movers.take(20).foreach { case (q, p, t) =>
+          val (cb, ca) = qCal.getOrElse(q, (0.0, 0.0))
+          md ++= f"| $q | ${r3(p)} | ${r3(t)} | ${100 * (t - p) / p}%+.1f%% " +
+            f"| ${cb / 1e6}%.1f/${ca / 1e6}%.1f | ${qSteal.getOrElse(q, "—")} " +
+            f"| ${stats.get(q).map(_.load).getOrElse("—")} |\n"
+        }
+        if (movers.size > 20)
+          md ++= s"\n(${movers.size - 20} more movers in bench_norm_baseline.json)\n"
+      }
     }
-    // persist this run's normalized walls as the next round's baseline
+    // persist this run's normalized walls as the next round's baseline,
+    // each with its attribution fields (cal bracket, steal, load) so a
+    // future round's mover table can cite BOTH sides' machine state
     val normJson = perQueryNorm.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":${v}%.4f""" }.mkString(",")
+    val attrJson = perQueryNorm.keys.toSeq.sorted.map { k =>
+      val (cb, ca) = qCal.getOrElse(k, (0.0, 0.0))
+      f""""$k":{"cal_b_mrows":${cb / 1e6}%.1f,"cal_a_mrows":${ca / 1e6}%.1f,"steal_pct":"${qSteal.getOrElse(k, "")}","load":"${stats.get(k).map(_.load).getOrElse("")}"}"""
+    }.mkString(",")
     java.nio.file.Files.write(baselinePath,
       (s"""{"unix":${System.currentTimeMillis() / 1000},""" +
         f""""cal_baseline_mrows":${CalBaselineRowsPerS / 1e6}%.1f,""" +
-        s""""queries":{$normJson}}""").getBytes("UTF-8"))
+        s""""queries":{$normJson},""" +
+        s""""attribution":{$attrJson}}""").getBytes("UTF-8"))
     md ++= "## Slowest five (published value; sweep median unless an " +
       "isolated re-run measured lower)\n\n| query | sec | med | min | max | gc_s | max task ms |\n|---|---|---|---|---|---|---|\n"
     results.toSeq.sortBy(-_._2).take(5).foreach { case (k, v) =>
@@ -828,7 +893,8 @@ object Bench {
   private final case class ScaleRun(sec: Double, n: Long, maxTask: Long,
       maxIn: Long, maxShuf: Long, load: String, gcS: Double, taskS: Double,
       taskGcS: Double, stealPct: String, ccRounds: Int, calMrows: Double,
-      stBatches: Long, stStateRows: Long, autoPoint: (Int, Int))
+      stBatches: Long, stStateRows: Long, autoPoint: (Int, Int),
+      minhashPoint: (Int, Int, Boolean))
 
   private def measureScaleRun(spark: SparkSession,
       listener: TaskStatsListener, fn: (SparkSession, String) => DataFrame,
@@ -851,6 +917,7 @@ object Bench {
     graft.streaming.StreamOps.lastRunBatches = -1
     graft.streaming.StreamOps.lastRunStateRows = -1
     graft.ops.Similarity.lastAutoPoint = (-1, -1)
+    graft.ops.Dedup.lastAutoPoint = (-1, -1, false)
     // machine-speed probe immediately before the run (VERDICT r12 #1):
     // attributes a slow run to a slow machine window, per run — the
     // per-row steal sampling alone missed sub-window spikes in r12
@@ -864,7 +931,8 @@ object Bench {
       stealPctSince(steal0), graft.ops.ConnectedComponents.lastRunRounds, cal,
       graft.streaming.StreamOps.lastRunBatches,
       graft.streaming.StreamOps.lastRunStateRows,
-      graft.ops.Similarity.lastAutoPoint)
+      graft.ops.Similarity.lastAutoPoint,
+      graft.ops.Dedup.lastAutoPoint)
   }
 
   /** One scale row with the sweep's discipline (VERDICT r7 #3 — the r7 10×
@@ -972,10 +1040,14 @@ object Bench {
           s""","st_batches":${runs.map(_.stBatches).mkString("[", ",", "]")}""" +
             s""","st_state_rows":${runs.map(_.stStateRows).mkString("[", ",", "]")}"""
         else ""
-      // ANN auto operating point (VERDICT r13 #3): reproducible from the
-      // artifact alone
+      // Auto operating point, reproducible from the artifact alone: s07's
+      // hyperplane point (VERDICT r13 #3) or d03auto's MinHash point with
+      // its cache-layout branch (VERDICT r14 #2) — a row runs at most one
       val opPoint = runs.map(_.autoPoint).find(_._1 >= 0)
         .map { case (p, t) => s""","op_point":"planes=$p,tables=$t"""" }
+        .orElse(runs.map(_.minhashPoint).find(_._1 >= 0)
+          .map { case (kk, b, pin) =>
+            s""","op_point":"k=$kk,bands=$b,pin=$pin"""" })
         .getOrElse("")
       // Task-second accounting (VERDICT r11 #2): `core_floor_s` is the wall
       // a perfectly-scheduled run would take on this session's cores
@@ -1100,6 +1172,12 @@ object Bench {
       out, numFiles = 192)
     val (aLo, aHi, bLo, bHi) = (1024L, 9215L, 2048L, 6143L)
     val (split, total) = Layout.zorderFilesForSplit(s, out, aLo, aHi, bLo, bHi)
+    // an empty keep-set (box outside the written key domain — e.g. a later
+    // constant edit) would make the varargs-empty parquet read throw an
+    // opaque error row; fail loudly and attributably instead (ADVICE r14)
+    require(split.nonEmpty,
+      s"BIGMIN split cover kept 0 of $total files for box a=[$aLo,$aHi] " +
+        s"b=[$bLo,$bHi] over $out — box outside the written key domain?")
     s.read.parquet(split: _*)
       .filter(pmod(col("l_orderkey"), lit(65536)).between(aLo, aHi) &&
         pmod(col("l_partkey"), lit(65536)).between(bLo, bHi))

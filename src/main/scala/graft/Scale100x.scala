@@ -24,6 +24,13 @@ object Scale100x {
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
+  /** The merge-time evidence bars — the SAME values tools/check_scale.py
+    * gates on (it reads the artifact's "merge_bars" stamp and fails on
+    * drift, so this object is the single source).
+    */
+  private[graft] val MaxTaskMs = 5000L
+  private[graft] val MaxLoad = 4.0
+
   /** Merge newly-measured rows over the existing artifact's rows: new
     * successful rows (carrying "sec") win; an error row never evicts a
     * previously-committed measurement — and neither does a BAR-FAILING one
@@ -41,20 +48,24 @@ object Scale100x {
       case JObject(fields) => fields
       case _ => Nil
     }
-    // the straggler + quiet-load bars, same constants as
-    // tools/check_scale.py MAX_TASK_MS / MAX_LOAD (r14: a best run logged
-    // at loadavg 4.01 evicted a load-passing committed row because only
-    // the straggler bar was merge-checked)
-    def passesBars(v: JValue): Boolean = {
+    // the straggler + quiet-load bars (r14: a best run logged at loadavg
+    // 4.01 evicted a load-passing committed row because only the straggler
+    // bar was merge-checked). MaxTaskMs/MaxLoad are stamped into the
+    // artifact as "merge_bars" and tools/check_scale.py fails on drift
+    // from its own constants, so the two languages cannot silently diverge.
+    def passesBars(v: JValue, committedRow: Boolean): Boolean = {
       val taskOk = (v \ "max_task_ms") match {
-        case JInt(ms) => ms < 5000
-        case JLong(ms) => ms < 5000
-        case JDouble(ms) => ms < 5000
+        case JInt(ms) => ms < MaxTaskMs
+        case JLong(ms) => ms < MaxTaskMs
+        case JDouble(ms) => ms < MaxTaskMs
         case _ => false
       }
       val loadOk = (v \ "load") match {
-        case JString(l) => scala.util.Try(l.toDouble).toOption.exists(_ < 4.0)
-        case _ => false
+        case JString(l) => scala.util.Try(l.toDouble).toOption.exists(_ < MaxLoad)
+        // a COMMITTED row that predates the load field keeps its seat —
+        // conservative: never evict an older measurement on a missing
+        // field (ADVICE r14); a FRESH row must carry a parseable quiet load
+        case _ => committedRow
       }
       taskOk && loadOk
     }
@@ -63,7 +74,8 @@ object Scale100x {
       .getOrElse(Map.empty)
     val fresh = rowsOf(JsonMethods.parse(newRowsJson)).collect {
       case (k, v: JObject) if (v \ "sec") != JNothing &&
-          (passesBars(v) || !existingRows.get(k).exists(passesBars)) =>
+          (passesBars(v, committedRow = false) ||
+            !existingRows.get(k).exists(passesBars(_, committedRow = true))) =>
         k -> JObject(v.obj :+ ("unix" -> JLong(unix)))
     }
     val freshKeys = fresh.map(_._1).toSet
@@ -109,7 +121,7 @@ object Scale100x {
         val unix = System.currentTimeMillis() / 1000
         val (mergedRows, nFresh) = mergeRows(readExisting(), rowsJson, unix)
         if (nFresh > 0) {
-          val out = f"""{"heap_gb":$heapGb%.1f,"unix":$unix,"sf":"$sfDir","expected_rows":$expectedJson,"rows":$mergedRows}"""
+          val out = f"""{"heap_gb":$heapGb%.1f,"unix":$unix,"sf":"$sfDir","merge_bars":{"max_task_ms":$MaxTaskMs,"max_load":$MaxLoad%.1f},"expected_rows":$expectedJson,"rows":$mergedRows}"""
           java.nio.file.Files.write(path, (out + "\n").getBytes("UTF-8"))
         }
         nFresh

@@ -588,9 +588,21 @@ object Dedup {
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val n = df.count()
     val (k, bands) = minhashOperatingPoint(n, threshold, missTarget, maxK)
+    val pin = n >= PinLayoutMinDocs
+    lastAutoPoint = (k, bands, pin)
     minhashLshPairs(df, idCol, textCol, threshold, k, bands, maxDocFreq, scope,
-      pinLayout = n >= PinLayoutMinDocs)
+      pinLayout = pin)
   }
+
+  /** The (k, bands, pinCacheLayout) the last [[minhashLshPairsAuto]] call
+    * on this JVM chose — benchmark telemetry so a scale row can stamp its
+    * operating point AND layout branch into the committed artifact
+    * (VERDICT r14 #2: d03auto's task-seconds moved +49 % across rounds and
+    * the row could not say whether the auto point or the pin branch moved
+    * with corpus realization). Same pattern as
+    * [[graft.ops.Similarity.lastAutoPoint]].
+    */
+  @volatile var lastAutoPoint: (Int, Int, Boolean) = (-1, -1, false)
 
   /** [[editNearDupPairsLsh]] at the jointly-scaled operating point — the
     * candidate gate (MinHash-LSH) sizes (k, bands) from the corpus the way

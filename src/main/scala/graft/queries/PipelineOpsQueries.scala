@@ -2065,12 +2065,18 @@ $prRounds
 
     // Count-min-sketch heavy hitters, oracle-pinned END TO END: the sketch
     // is depth×width cells regardless of corpus size (the fixed-memory
-    // frequency structure a 100 TB token stream needs — the exact per-token
-    // groupBy here is the verification harness, not the production path),
-    // the bucket hash is the md5 low-12-bit chain DuckDB replays exactly,
-    // and the output pins each top-20 token's exact count NEXT TO its CMS
-    // estimate, so a bucket-assignment bug, a cell-count bug, or a broken
-    // no-underestimate guarantee all hash-fail.
+    // frequency structure a 100 TB token stream needs), the bucket hash is
+    // the md5 low-12-bit chain DuckDB replays exactly, and the output pins
+    // each top-20 token's exact count NEXT TO its CMS estimate, so a
+    // bucket-assignment bug, a cell-count bug, or a broken no-underestimate
+    // guarantee all hash-fail.
+    //
+    // WHICH SIDE RUNS AT 100 TB: only the sketch (Sketches.countMinSketch —
+    // map-side partial aggregation to ≤ depth·width cells per task) plus a
+    // broadcast probe of candidate tokens. The exact per-token groupBy
+    // inside Sketches.heavyHitters is the vocabulary-sized VERIFICATION
+    // harness this oracle row exists to exercise — a production pipeline
+    // never runs it; candidates come from the sketch or a sampled pass.
     ("t23_heavy_hitters_cms", (s: SparkSession, dir: String) => {
       graft.ops.Sketches.heavyHitters(rd(s, dir, "documents"), "text",
           k = 20, depth = 3, width = 1024)
@@ -2631,6 +2637,82 @@ $prRounds
         ON p.user_id = c.user_id
         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-      GROUP BY p.event_id ORDER BY p_id"""))
+      GROUP BY p.event_id ORDER BY p_id""")),
+
+    // The streaming HLL register table (r15 — closes "all sketches, both
+    // modes"): st05 proved the CMS deterministic under any micro-batching
+    // because its cells are commutative sums; the HLL register table has
+    // the same order-invariance with MAX (t24's batch row pins the merge),
+    // so the streamed table must be cell-identical to the batch one —
+    // DuckDB recomputes every (register, max rank) cell nibble-for-nibble.
+    // State is bounded a priori at m = 1024 rows however long the stream
+    // runs. Complete-mode memory sink, st05's shape.
+    ("st08_stream_hll", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = QueryUtil.scratchDir("graft_st08_")
+      rd(s, dir, "documents").write.mode("overwrite").parquet(s"$tmp/src")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$tmp/src").schema).parquet(s"$tmp/src")
+      val q = graft.streaming.StreamOps.hllRegisterStream(
+          stream.withColumn("fp", TextOps.fingerprint(col("text"))), "fp")
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("st08_hll_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st08_hll_out")
+        .select(col("register"), col("rank"))
+        .orderBy("register")
+    }, Some {
+      def nib(i: Int) =
+        s"CAST(strpos('0123456789abcdef', substr(d, $i, 1)) - 1 AS BIGINT)"
+      val w48 = (0 until 12)
+        .map(j => s"${nib(4 + j)} * ${1L << (4 * (11 - j))}")
+        .mkString("(", " + ", ")")
+      s"""
+      WITH f AS (SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+                 FROM documents),
+      h AS (SELECT md5(fp) AS d FROM f),
+      v AS (SELECT (${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)}) % 1024 AS register,
+              $w48 AS w FROM h),
+      s1 AS (SELECT register, (w | (w >> 1)) AS w FROM v),
+      s2 AS (SELECT register, (w | (w >> 2)) AS w FROM s1),
+      s4 AS (SELECT register, (w | (w >> 4)) AS w FROM s2),
+      s8 AS (SELECT register, (w | (w >> 8)) AS w FROM s4),
+      s16 AS (SELECT register, (w | (w >> 16)) AS w FROM s8),
+      s32 AS (SELECT register, (w | (w >> 32)) AS w FROM s16),
+      r AS (SELECT register, 49 - bit_count(w) AS rank FROM s32)
+      SELECT register, CAST(MAX(rank) AS BIGINT) AS rank
+      FROM r GROUP BY register ORDER BY register"""
+    }),
+
+    // The streaming fixed-bin histogram (t25's stream mode — with st08 this
+    // closes the "every sketch family proven in both batch and streaming
+    // modes" claim): cells are plain per-(flag, bin) sums, deterministic
+    // under any micro-batching, state bounded a priori at domain/binWidth
+    // rows per group. DuckDB recomputes the full cell table exactly.
+    ("st09_stream_histogram", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = QueryUtil.scratchDir("graft_st09_")
+      rd(s, dir, "lineitem")
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("pc"))
+        .write.mode("overwrite").parquet(s"$tmp/src")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$tmp/src").schema).parquet(s"$tmp/src")
+      val q = graft.streaming.StreamOps.histogramStream(
+          stream, col("pc"), 4096L, Seq("l_returnflag"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("st09_hist_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st09_hist_out")
+        .select(col("l_returnflag"), col("bin"), col("cnt"))
+        .orderBy("l_returnflag", "bin")
+    }, Some(s"""
+      SELECT l_returnflag,
+        CAST((${centsSql("l_extendedprice")}) // 4096 AS BIGINT) AS bin,
+        COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, bin"""))
   )
 }

@@ -290,6 +290,31 @@ object StreamOps {
         .filter(length(col("tok")) > 0),
       "tok", depth, width)
 
+  /** Streaming HLL register table of `keyCol` — the distinct-count sibling
+    * of [[sketchDocumentStream]]. Cells are (register, max rank): MAX is
+    * commutative/associative, so like the CMS the full table is
+    * deterministic under ANY micro-batching, state is bounded a priori at
+    * m = 1024 rows however long the stream runs, and per-day streamed
+    * tables still fold into a global count via
+    * [[graft.ops.Sketches.hllMerge]]. Complete/update-mode aggregation;
+    * cell-identical to the batch register table over the same rows
+    * (the st08 oracle recomputes every cell in DuckDB).
+    */
+  def hllRegisterStream(rows: DataFrame, keyCol: String): DataFrame =
+    graft.ops.Sketches.hllRegisters(rows, keyCol)
+
+  /** Streaming fixed-bin histogram — the quantile sibling: cells are
+    * (group, bin, count), plain sums, so the table is deterministic under
+    * any micro-batching and state is bounded a priori at domain/binWidth
+    * rows per group. Quantiles read off the live table via
+    * [[graft.ops.Sketches.histogramQuantile]] stay within binWidth of
+    * exact, and shard/stream tables fold via
+    * [[graft.ops.Sketches.histogramMerge]].
+    */
+  def histogramStream(rows: DataFrame, valueCol: org.apache.spark.sql.Column,
+      binWidth: Long, groupCols: Seq[String] = Nil): DataFrame =
+    graft.ops.Sketches.histogram(rows, valueCol, binWidth, groupCols)
+
   /** Batch reference computation for the streaming agg (same expressions,
     * same results — used by the equivalence spec).
     */

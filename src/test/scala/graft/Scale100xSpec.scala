@@ -57,6 +57,26 @@ class Scale100xSpec extends AnyFunSuite {
     assert(merged.contains("\"sec\":45.2"))
   }
 
+  test("a committed row with no load field keeps its seat against a bar-failing fresh row") {
+    // rows merged from pre-load-field artifacts carry no "load"; treating
+    // that as bar-failing would let a fresh row measured at loadavg 9
+    // evict a legitimately-measured older one (ADVICE r14)
+    val committedNoLoad =
+      """"s07_100x":{"sec":45.2,"max_task_ms":4800,"runs_s":[45.2,46.0],"unix":1}"""
+    val loudFresh =
+      """"s07_100x":{"sec":37.6,"max_task_ms":4684,"load":"9.1","runs_s":[56.5,37.6]}"""
+    val (merged, n) = Scale100x.mergeRows(art(committedNoLoad), s"{$loudFresh}", 99)
+    assert(n == 0)
+    assert(merged.contains("\"sec\":45.2"))
+    // a FRESH row without a load field is still held to the bar: it must
+    // not evict a fully-gated committed row
+    val freshNoLoad =
+      """"s07_100x":{"sec":37.6,"max_task_ms":4684,"runs_s":[56.5,37.6]}"""
+    val (merged2, n2) = Scale100x.mergeRows(art(passing), s"{$freshNoLoad}", 99)
+    assert(n2 == 0)
+    assert(merged2.contains("\"sec\":45.2"))
+  }
+
   test("a fresh row for a new key lands regardless of bars") {
     // first measurement of a row: even bar-failing, it is the only
     // evidence there is — the checker will flag it, not the merge

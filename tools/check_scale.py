@@ -46,6 +46,15 @@ def main():
               "at least one row with graft.Scale100x to stamp it")
         sys.exit(1)
     bad = []
+    # the producer stamps its merge-time bars into the artifact; the two
+    # languages duplicating these constants must not silently diverge
+    # (ADVICE r14) - drift is an evidence bug, so it FAILS, not warns
+    mb = art.get("merge_bars")
+    if mb and (mb.get("max_task_ms") != MAX_TASK_MS or
+               mb.get("max_load") != MAX_LOAD):
+        bad.append(f"artifact merge_bars {mb} differ from checker bars "
+                   f"(max_task_ms={MAX_TASK_MS}, max_load={MAX_LOAD}) - "
+                   "Scale100x.MaxTaskMs/MaxLoad and check_scale.py drifted")
     if len(expected) < MIN_ROWS:
         bad.append(f"expected_rows lists {len(expected)} rows, floor is "
                    f"{MIN_ROWS} - rows were deleted from the registry")
@@ -117,18 +126,38 @@ def main():
             # re-measure.
             task_runs = r.get("task_s_per_run", [])
             attributed = False
+            # operator-driven extra work ALSO inflates task-seconds (an
+            # extra CC round, a different auto operating point, extra
+            # stream batches), so inflated task-seconds alone cannot name
+            # the machine (ADVICE r14). Machine attribution now requires:
+            # (a) per-run work counters identical across runs (when the row
+            #     carries any), so the work itself did not grow; and
+            # (b) the slow runs' own pre-run cal probe well below the best
+            #     run's - the direct machine-speed corroboration.
+            work_counters = [r.get(f) for f in
+                             ("cc_rounds", "st_batches", "st_state_rows")]
+            same_work = all(
+                w is None or (isinstance(w, list) and len(set(map(str, w))) <= 1)
+                for w in work_counters)
             if task_runs and len(task_runs) == len(runs):
-                base_task = task_runs[runs.index(min(runs))]
-                slow = [(w, t) for w, t in zip(runs, task_runs)
-                        if w > 3.0 * sec]
-                if base_task > 0 and slow and all(
-                        t > 1.5 * base_task for _, t in slow):
+                best_i = runs.index(min(runs))
+                base_task = task_runs[best_i]
+                slow_is = [i for i, w in enumerate(runs) if w > 3.0 * sec]
+                cals = r.get("cal_mrows_per_run", [])
+                cal_corroborates = bool(
+                    cals and len(cals) == len(runs) and cals[best_i] > 0 and
+                    all(cals[i] < 0.8 * cals[best_i] for i in slow_is))
+                if (base_task > 0 and slow_is and same_work and
+                        cal_corroborates and all(
+                            task_runs[i] > 1.5 * base_task for i in slow_is)):
                     attributed = True
                     print(f"note: {k} spread [{min(runs)}..{max(runs)}] is "
                           "machine-attributed: the slow runs' own "
-                          f"task-seconds ({[t for _, t in slow]} vs "
-                          f"{base_task} published) inflate with the wall - "
-                          "throttled host window, not operator variance")
+                          f"task-seconds ({[task_runs[i] for i in slow_is]} "
+                          f"vs {base_task} on the best run) inflate with "
+                          "the wall AND their pre-run cal sat well below "
+                          "the best run's - throttled host window, not "
+                          "operator variance")
             if not attributed:
                 print(f"note: {k} runs_s spread [{min(runs)}..{max(runs)}] "
                       f"vs published {sec} (> 3x) - re-measure quiet or "
@@ -143,6 +172,18 @@ def main():
     for k in sorted(rows):
         if k not in expected:
             print(f"note: extra row {k} (not bar-checked)")
+    # prose-vs-artifact drift (VERDICT r14 #3): forward the sibling
+    # checker's notes when SCALING.md sits next to the artifact
+    try:
+        import os
+        md = os.path.join(os.path.dirname(os.path.abspath(path)), "SCALING.md")
+        if os.path.exists(md):
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            import check_scaling_prose
+            for n in check_scaling_prose.check(md, path):
+                print("note:", n)
+    except Exception as e:  # advisory only - never fail the bars on it
+        print(f"note: prose check skipped ({e})")
     if bad:
         print("scale100x artifact FAILS the evidence bars:")
         for b in bad:

@@ -143,6 +143,26 @@ object Bench {
     CalN / times.min
   }
 
+  /** Coupling between the single-thread cal kernel and 32-way sweep walls
+    * (r15, resolving VERDICT r14 #1's +14.3 % mystery): the two degrade
+    * DIFFERENTLY under host contention. Measured across the r14→r15
+    * committed pair (130 common queries, engine code untouched): per-query
+    * cal fell to a 0.63× median while raw walls rose only 1.11× — i.e.
+    * wall ∝ cal^-α with α ≈ 0.23 (median-implied; 0.34 least-squares,
+    * R² 0.15 — per-query noise dominates at sub-second walls, the
+    * aggregate is solid). Physically: hypervisor steal / frequency
+    * contention throttles one serial dependent-chain kernel much harder
+    * than a 32-way scan that schedules around a degraded vCPU. LINEAR cal
+    * scaling therefore over-corrects up to ~2× on a degraded window
+    * (r15's raw +7.8 % common-set read as −28 % linear-normalized; r14's
+    * +14.3 % was the same artifact in the other direction), so normalized
+    * walls now scale by (cal/baseline)^α with α pinned here. Re-estimate
+    * from the accumulated cross-round pairs if the hardware changes; the
+    * per-query cal/steal/load attribution fields stay linear-free ground
+    * truth either way.
+    */
+  private[graft] val CalCouplingAlpha = 0.25
+
   /** Pinned clean-machine calibration baseline (rows/s), measured by
     * `graft.CalProbe` on THIS box at loadavg 1.2 (r13: 22 samples, clean
     * medians 21.7–23.8 M, best 25.1 M, one 10.5 M ambient spike). Pinned at
@@ -661,15 +681,18 @@ object Bench {
     // (cal_mean / baseline) is the clean-box-equivalent figure. COMPARE
     // ROUNDS ON THIS TABLE (or per-query med/best), never on raw walls.
     md ++= f"\n## Section walls, calibration-normalized (baseline " +
-      f"${CalBaselineRowsPerS / 1e6}%.1f M rows/s single-thread XOR; " +
-      "compare rounds here, not on raw walls)\n\n" +
+      f"${CalBaselineRowsPerS / 1e6}%.1f M rows/s single-thread XOR, " +
+      f"damped coupling α=$CalCouplingAlpha — the measured wall↔cal " +
+      "relation, linear over-corrects; compare rounds here, not on raw " +
+      "walls)\n\n" +
       "| section (head query) | raw s | cal start/end M rows/s | " +
       "normalized s |\n|---|---|---|---|\n"
     sections.foreach { section =>
       sectionLoads.get(section.head).foreach { case (_, _, _, c0, c1) =>
         val raw = section.flatMap(results.get).sum
         val calMean = (c0 + c1) / 2
-        val norm = raw * calMean / CalBaselineRowsPerS
+        val norm = raw *
+          math.pow(calMean / CalBaselineRowsPerS, CalCouplingAlpha)
         md ++= f"| ${section.head} (${section.size} queries) | ${r3(raw)} " +
           f"| ${c0 / 1e6}%.1f/${c1 / 1e6}%.1f | ${r3(norm)} |\n"
       }
@@ -692,25 +715,41 @@ object Bench {
         section.flatMap(q => results.get(q).map { v =>
           val mean = qCal.get(q)
             .map { case (b, a) => (b + a) / 2 }.getOrElse(sectionMean)
-          q -> v * mean / CalBaselineRowsPerS
+          // damped by the MEASURED wall↔cal coupling, never linear — see
+          // CalCouplingAlpha (linear over-corrects ~2× on degraded hosts)
+          q -> v * math.pow(mean / CalBaselineRowsPerS, CalCouplingAlpha)
         })
       }
     }.toMap
     val baselinePath = java.nio.file.Paths.get("bench_norm_baseline.json")
       .toAbsolutePath
-    val prevNorm: Map[String, Double] =
-      if (!java.nio.file.Files.exists(baselinePath)) Map.empty
+    val (prevNorm: Map[String, Double], prevAlpha: Double) =
+      if (!java.nio.file.Files.exists(baselinePath)) (Map.empty[String, Double], -1.0)
       else try {
         import org.json4s._
-        (org.json4s.jackson.JsonMethods.parse(new String(
-          java.nio.file.Files.readAllBytes(baselinePath), "UTF-8")) \ "queries") match {
+        val j = org.json4s.jackson.JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(baselinePath), "UTF-8"))
+        val qs = (j \ "queries") match {
           case JObject(fields) => fields.collect {
             case (k, JDouble(v)) => k -> v
             case (k, JInt(v)) => k -> v.toDouble
           }.toMap
           case _ => Map.empty[String, Double]
         }
-      } catch { case _: Exception => Map.empty }
+        // a baseline written before the damped model (no "alpha") holds
+        // LINEAR-normalized values — comparing against it mixes models
+        val a = (j \ "alpha") match {
+          case JDouble(v) => v
+          case JInt(v) => v.toDouble
+          case _ => 1.0
+        }
+        (qs, a)
+      } catch { case _: Exception => (Map.empty[String, Double], -1.0) }
+    if (prevNorm.nonEmpty && prevAlpha != CalCouplingAlpha)
+      md ++= f"\nWARNING: committed baseline was normalized with α=" +
+        f"$prevAlpha%.2f, this run uses α=$CalCouplingAlpha — the " +
+        "round-over-round table below mixes normalization models; " +
+        "regenerate the baseline before citing it.\n"
     if (prevNorm.nonEmpty) {
       md ++= "\n## Round-over-round, calibration-normalized (common " +
         "queries vs the committed bench_norm_baseline.json — cite THIS, " +
@@ -770,6 +809,7 @@ object Bench {
     java.nio.file.Files.write(baselinePath,
       (s"""{"unix":${System.currentTimeMillis() / 1000},""" +
         f""""cal_baseline_mrows":${CalBaselineRowsPerS / 1e6}%.1f,""" +
+        s""""alpha":$CalCouplingAlpha,""" +
         s""""queries":{$normJson},""" +
         s""""attribution":{$attrJson}}""").getBytes("UTF-8"))
     md ++= "## Slowest five (published value; sweep median unless an " +
@@ -1187,6 +1227,49 @@ object Bench {
         lit(total).as("files_total"))
   }
 
+  /** The composed-layout cycle over the 100× lineitem (q57's scale twin):
+    * one Hive-partitioned + z-ordered-within-partition write
+    * ([[graft.ops.Layout.zorderWritePartitioned]] — still ONE range
+    * exchange, same shuffle cost as the flat zorderWrite), then the
+    * two-lever read: the partition predicate plans only its directory
+    * (asserted on the plan string) and the BIGMIN split cover prunes files
+    * INSIDE that directory. The synthesized corpus has no date column, so
+    * the partition key is a derived day = l_orderkey pmod 8 — the
+    * low-cardinality-derived-column shape q53/q57 use. The returned row
+    * carries files_read/files_in_partition plus both lever bits, so the
+    * at-scale composition is artifact-derivable.
+    */
+  private def layoutComposed100x(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val out = s"$dir/lineitem_pz"
+    val a = pmod(col("l_orderkey"), lit(65536))
+    val b = pmod(col("l_partkey"), lit(65536))
+    Layout.zorderWritePartitioned(
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("l_day", pmod(col("l_orderkey"), lit(8))),
+      "l_day", a, b, out, numFiles = 192)
+    val rootPlan = s.read.parquet(out).filter(col("l_day") === 3)
+      .queryExecution.executedPlan.toString
+    val partitionPruned =
+      "PartitionFilters: \\[[^\\]]*l_day[^\\]]*= 3\\)".r
+        .findFirstIn(rootPlan).nonEmpty && rootPlan.contains("DataFilters: []")
+    val partDir = s"$out/l_day=3"
+    val (aLo, aHi, bLo, bHi) = (1024L, 9215L, 2048L, 6143L)
+    val (split, inPartition) =
+      Layout.zorderFilesForSplit(s, partDir, aLo, aHi, bLo, bHi)
+    require(split.nonEmpty,
+      s"composed split cover kept 0 of $inPartition files in $partDir " +
+        s"for box a=[$aLo,$aHi] b=[$bLo,$bHi]")
+    s.read.parquet(split: _*)
+      .filter(pmod(col("l_orderkey"), lit(65536)).between(aLo, aHi) &&
+        pmod(col("l_partkey"), lit(65536)).between(bLo, bHi))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("ok_sum"))
+      .select(col("n"), col("ok_sum"),
+        lit(if (partitionPruned) 1L else 0L).as("partition_pruned"),
+        lit(split.size.toLong).as("files_read"),
+        lit(inPartition).as("files_in_partition"))
+  }
+
   private def scale10xRows(spark: SparkSession, listener: TaskStatsListener,
       sfDir: String): (String, Seq[(String, Double)]) = {
     val workDir = sys.env.getOrElse("SPARK_GRAFT_10X_DIR", "/tmp/graft_scale10x")
@@ -1358,7 +1441,14 @@ object Bench {
     // the op (range exchange + in-file sort, no global sort), and the
     // row's files_read/files_total columns make the at-scale skip ratio
     // artifact-derivable
-    ("q52_100x", "q52_zorder@write+prunedscan100x", layout100x _))
+    ("q52_100x", "q52_zorder@write+prunedscan100x", layout100x _),
+    // the COMPOSED layout at 100× (r15, q57's scale twin): Hive-partition
+    // + z-order-within-partition write of the full 100× lineitem, then a
+    // read that takes BOTH pruning levers — the end-to-end 100 TB read
+    // path, measured (q52_100x proves z-order alone; this row proves the
+    // composition carries no hidden write or read penalty at scale)
+    ("q57_100x", "q57_partition_zorder@write+composedread100x",
+      layoutComposed100x _))
 
   private[graft] def scale100xExpectedKeys: Seq[String] = scale100xTargets.map(_._1)
 

@@ -28,7 +28,7 @@ re-derive cleanly with contaminated scale evidence.
 import json
 import sys
 
-MIN_ROWS = 16  # r14: r13's 15 + q52 (data-layout: zorderWrite + BIGMIN-pruned scan)
+MIN_ROWS = 17  # r15: r14's 16 + q57 (composed partition+z-order write/read)
 MAX_TASK_MS = 5000
 MAX_LOAD = 4.0
 MAX_WALL_OVER_CORE = 2.0

@@ -332,6 +332,44 @@ class LayoutSpec extends SparkSpec {
     assert(got === expected, "split file pruning must not drop box rows")
   }
 
+  test("zorderWritePartitioned: both levers hold — partition dirs + in-partition file skipping, row set exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zpart_").toString
+    // 3 partitions × a 64×64 coordinate grid scaled by 1024
+    val grid = spark.range(12288L)
+      .select(col("id"),
+        (col("id") % 3).as("p"),
+        shiftleft(col("id").bitwiseAND(lit(63L)), 10).as("ca"),
+        shiftleft(shiftright(col("id"), 6).bitwiseAND(lit(63L)), 10)
+          .bitwiseAND(lit(65535L)).as("cb"))
+    Layout.zorderWritePartitioned(grid, "p", col("ca"), col("cb"), tmp, 24)
+    // lever 1: the layout is Hive-partitioned — one directory per p value
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    assert(dirs.toSeq === Seq("p=0", "p=1", "p=2"))
+    // lever 2: INSIDE one partition the persisted zkey still skips files
+    // for a small box (the composition q57 gates through data at sf0.01)
+    val (aLo, aHi, bLo, bHi) = (0L, 4095L, 0L, 4095L)
+    val (keep, total) = Layout.zorderFilesForSplit(spark, s"$tmp/p=1",
+      aLo, aHi, bLo, bHi)
+    assert(total >= 4, s"partition should hold several files, got $total")
+    assert(keep.size < total,
+      s"box must skip files inside the partition: kept ${keep.size}/$total")
+    // soundness + fidelity: the kept files contain every box row of p=1,
+    // and the whole layout preserves the row set exactly
+    val expected = grid.filter(col("p") === 1 && col("ca").between(aLo, aHi) &&
+      col("cb").between(bLo, bHi)).count()
+    val got = spark.read.parquet(keep: _*)
+      .filter(col("ca").between(aLo, aHi) && col("cb").between(bLo, bHi))
+      .count()
+    assert(got === expected, "in-partition file pruning must not drop box rows")
+    assert(spark.read.parquet(tmp).count() === 12288L)
+    assert(spark.read.parquet(tmp)
+      .agg(sum(col("id")).cast("long")).head.getLong(0) ===
+      12288L * 12287L / 2)
+  }
+
   test("count-min sketch never underestimates and is exact for unique-bucket tokens") {
     import spark.implicits._
     val docs = Seq(

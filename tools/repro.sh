@@ -26,6 +26,11 @@ echo "== 2.5/4 scale-evidence bars (bench_scale100x.json) =="
 # an upper bound (>= 2 gated runs, max task < 5 s, load < 4, per-row stamp)
 python3 tools/check_scale.py bench_scale100x.json
 
+echo "== 2.6/4 SCALING.md prose vs scale artifact (r15) =="
+# warns when the latest round section quotes run values absent from the
+# committed artifact — the drift class that hit the r14 st04 bullet
+python3 tools/check_scaling_prose.py
+
 echo "== 3/4 leak scan (rewrites LEAKCHECK.json) =="
 # keep the committed round number unless the caller overrides it — a
 # hardcoded default would silently rewrite the artifact's round field

@@ -256,11 +256,16 @@ object Bench {
     }
   }
 
-  /** One query measurement: warmup + iters wall times plus telemetry. */
+  /** One query measurement: warmup + iters wall times plus telemetry.
+    * ccRounds/stBatches/stStateRows are per-run work counters (VERDICT r15
+    * #6: d06 moved +27 % with clean cal/steal/load — the sweep row must
+    * say whether the WORK changed); -1 = the query never ran that op.
+    */
   private final case class QueryStat(
       med: Double, min: Double, max: Double, load: String, gcSec: Double,
       taskSec: Double, taskGcSec: Double, maxTaskMs: Long, retried: Boolean,
-      errors: Int = 0, isolated: Double = -1.0) {
+      errors: Int = 0, isolated: Double = -1.0, ccRounds: Int = -1,
+      stBatches: Long = -1, stStateRows: Long = -1) {
     /** All timed iterations threw: there is no legitimate time to publish. */
     def failed: Boolean = med < 0
     /** Published value: the in-sweep median unless an isolated re-run
@@ -300,6 +305,14 @@ object Bench {
     val load = loadavgStr()
     val gc0 = gcMs()
     listener.reset()
+    // Work-counter telemetry, sweep-side twin of measureScaleRun's reset
+    // (VERDICT r15 #6): the ops are deterministic, so the LAST iteration's
+    // counters are the query's counters — a mover row whose counters match
+    // the baseline's moved with the machine, one whose counters differ
+    // moved in its work.
+    graft.ops.ConnectedComponents.lastRunRounds = -1
+    graft.streaming.StreamOps.lastRunBatches = -1
+    graft.streaming.StreamOps.lastRunStateRows = -1
     // A failed run is recorded as an ERROR, never as a time: timing the
     // exception path published a near-zero "median" for a query that never
     // ran (ADVICE r7) — with telemetry attached, a convincing-looking lie.
@@ -324,7 +337,10 @@ object Bench {
     QueryStat(med, mn, mx, load,
       (gcMs() - gc0) / 1e3, listener.taskMs.get() / 1e3,
       listener.taskGcMs.get() / 1e3, listener.maxTaskMs.get(),
-      retried = false, errors = errors)
+      retried = false, errors = errors,
+      ccRounds = graft.ops.ConnectedComponents.lastRunRounds,
+      stBatches = graft.streaming.StreamOps.lastRunBatches,
+      stStateRows = graft.streaming.StreamOps.lastRunStateRows)
   }
 
   /** The benchmark contract is `sbt 'runMain graft.Bench'`, which forks
@@ -431,8 +447,13 @@ object Bench {
       spark = fresh._1; listener = fresh._2
       val sectionStartLoad = loadavgStr()
       val sectionStartSteal = cpuStealTotal()
+      // sectionLoads telemetry keeps the FULL sample (best-of-5 with
+      // warmup); per-query BRACKETS use the micro probe at EVERY reading —
+      // including the section's first and last (ADVICE r15: mixing probe
+      // fidelities biased boundary-adjacent queries, because min-of-more-
+      // trials systematically reads faster than the best-of-2 micro probe)
       val sectionCal0 = calSample()
-      var calPrev = sectionCal0
+      var calPrev = calSample(iters = 2, warmup = 0)
       section.foreach { name =>
         val stealT0 = cpuStealTotal()
         var s = measure(spark, listener, fns(name), sfDir)
@@ -446,22 +467,21 @@ object Bench {
             .copy(retried = true)
         }
         stats(name) = s
-        // the section's last probe is the full sample (it doubles as the
-        // section-end figure); mid-section brackets are the micro probe
-        val calNext =
-          if (name == section.last) calSample()
-          else calSample(iters = 2, warmup = 0)
+        val calNext = calSample(iters = 2, warmup = 0)
         qCal(name) = (calPrev, calNext)
         qSteal(name) = stealPctSince(stealT0)
         calPrev = calNext
       }
+      // the section-end figure for sectionLoads is its own full sample,
+      // taken SEPARATELY from the uniform micro brackets above
+      val sectionCalEnd = calSample()
       // keyed by the section's HEAD QUERY NAME, not its first letter
       // (ADVICE r12: two non-adjacent sections sharing an initial — e.g.
       // s01.. similarity and st01.. streaming — would silently overwrite
       // each other's load/steal entry under single-letter keys)
       sectionLoads(section.head) =
         (sectionStartLoad, loadavgStr(), stealPctSince(sectionStartSteal),
-          sectionCal0, calPrev)
+          sectionCal0, sectionCalEnd)
     }
 
     // ---- 10× scale rows (r6 ask #3): synthesize once, run the headline
@@ -540,6 +560,67 @@ object Bench {
       }
     }
 
+    // ---- out-of-sample validation of the damped cal model (VERDICT r15
+    // #3: α=0.25 was fit on the very round pair it then explained). Five
+    // FIXED probe queries re-run in a quiet window after the sweep; the
+    // model must predict each probe's quiet wall from its in-sweep wall:
+    // wall ∝ cal^-α ⇒ predicted_quiet = sweep_wall × (cal_sweep/cal_quiet)^α.
+    // Each row also carries the LINEAR prediction so the artifact shows
+    // which model the data favors. When the sweep ran quiet already
+    // (cal contrast < 10 % on every probe) there is no signal and the
+    // verdict says "insufficient_contrast" instead of claiming a pass; on
+    // a FAIL (median |err| > 10 % over the contrast-bearing probes) the
+    // summary flags normalized deltas as advisory until the model earns
+    // trust on a later window.
+    val calProbeQueries = Seq("q01_pricing_summary", "d01_exact_dedup",
+      "d06_neardup_clusters", "t05_token_bpe", "st01_stream_dedup")
+    val (calValidation: String, calValidationVerdict: String) =
+      if (remainingS < 240) ("""{"skipped":"budget"}""", "skipped")
+      else {
+        spark.stop()
+        System.gc()
+        val gateLoad = waitForQuiet(2.0, 240)
+        val fresh = freshSession(cpus)
+        spark = fresh._1; listener = fresh._2
+        val rows = calProbeQueries.flatMap { q =>
+          for {
+            s <- stats.get(q) if !s.failed
+            (cb, ca) <- qCal.get(q)
+          } yield {
+            val c0 = calSample(iters = 2, warmup = 0)
+            val iso = measure(spark, listener, fns(q), sfDir)
+            val c1 = calSample(iters = 2, warmup = 0)
+            val calQuiet = (c0 + c1) / 2
+            val calSweep = (cb + ca) / 2
+            val pred = s.med * math.pow(calSweep / calQuiet, CalCouplingAlpha)
+            val predLin = s.med * (calSweep / calQuiet)
+            val errPct =
+              if (iso.med > 0) 100.0 * (pred - iso.med) / iso.med
+              else Double.NaN
+            val errLinPct =
+              if (iso.med > 0) 100.0 * (predLin - iso.med) / iso.med
+              else Double.NaN
+            (q, s.med, calSweep, iso.med, calQuiet, pred, errPct, errLinPct)
+          }
+        }
+        // a probe carries signal only when the sweep/quiet machine speeds
+        // actually differed — otherwise every model predicts trivially
+        val contrastRows = rows.filter { case (_, _, cs, _, cq, _, e, _) =>
+          cq > 0 && math.abs(cs / cq - 1.0) >= 0.10 && !e.isNaN }
+        val verdict =
+          if (rows.isEmpty) "no_probes"
+          else if (contrastRows.isEmpty) "insufficient_contrast"
+          else {
+            val errs = contrastRows.map(r => math.abs(r._7)).sorted
+            if (errs(errs.size / 2) <= 10.0) "pass" else "fail"
+          }
+        val rowsJson = rows.map { case (q, sm, cs, qm, cq, p, e, el) =>
+          f""""$q":{"sweep_s":$sm%.3f,"cal_sweep_mrows":${cs / 1e6}%.1f,"quiet_s":$qm%.3f,"cal_quiet_mrows":${cq / 1e6}%.1f,"predicted_quiet_s":$p%.3f,"err_pct":$e%.1f,"err_linear_pct":$el%.1f}"""
+        }.mkString(",")
+        (s"""{"alpha":$CalCouplingAlpha,"gate_load":"$gateLoad","verdict":"$verdict","probes":{$rowsJson}}""",
+          verdict)
+      }
+
     // ---- 100× scale rows (VERDICT r7 #5): the headline five on a 100×
     // corpus — one gated, fully-instrumented run each (the two-decade
     // scaling curve). OPT-IN via SPARK_GRAFT_SCALE100X=1 (VERDICT r8 #1b:
@@ -573,7 +654,12 @@ object Bench {
         f""","cal_b_mrows":${c0 / 1e6}%.1f,"cal_a_mrows":${c1 / 1e6}%.1f""" }
         .getOrElse("")
       val st = qSteal.get(k).map(v => s""","steal_pct":"$v"""").getOrElse("")
-      f""""$k":{"med":${s.med}%.3f,"min":${s.min}%.3f,"max":${s.max}%.3f,"load":"${s.load}","gc_s":${s.gcSec}%.2f,"task_s":${s.taskSec}%.1f,"task_gc_s":${s.taskGcSec}%.1f,"max_task_ms":${s.maxTaskMs},"retried":${s.retried}$cal$st$err$iso}"""
+      // per-query work counters (VERDICT r15 #6) — present only when the
+      // query ran the op, so engine-vs-data movement is attributable
+      val work = (if (s.ccRounds >= 0) s""","cc_rounds":${s.ccRounds}""" else "") +
+        (if (s.stBatches >= 0) s""","st_batches":${s.stBatches}""" else "") +
+        (if (s.stStateRows >= 0) s""","st_state_rows":${s.stStateRows}""" else "")
+      f""""$k":{"med":${s.med}%.3f,"min":${s.min}%.3f,"max":${s.max}%.3f,"load":"${s.load}","gc_s":${s.gcSec}%.2f,"task_s":${s.taskSec}%.1f,"task_gc_s":${s.taskGcSec}%.1f,"max_task_ms":${s.maxTaskMs},"retried":${s.retried}$cal$st$work$err$iso}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -588,8 +674,15 @@ object Bench {
     val calBest =
       if (sectionLoads.isEmpty) 0.0
       else sectionLoads.values.flatMap(v => Seq(v._4, v._5)).max
+    def roundsOf(re: scala.util.matching.Regex): Seq[Int] =
+      Option(new java.io.File(".").list()).getOrElse(Array.empty[String])
+        .toSeq.collect { case re(n) => n.toInt }
+    val currentRound: Int =
+      roundsOf("""BENCH_r0*(\d+)\.json""".r).foldLeft(0)(math.max) + 1
+    val prevRound: Int = roundsOf("""bench_norm_r0*(\d+)\.json""".r)
+      .filter(_ < currentRound).foldLeft(-1)(math.max)
     val fullJson =
-      f"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"queries":$qs,"query_spread":$spread,"crypto":$crypto,"page":$page,"scale10x":$scale10x,"scale100x":$scale100x,"heap8g":$heap8g,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_grid_gate":"$gridLoad","loadavg_sweep_gate":"$sweepGateLoad","section_loads":$sectionLoadsJson,"cal_rows_per_s":$calBest%.0f,"cal_baseline_rows_per_s":$CalBaselineRowsPerS%.0f,"loadavg_end":"$loadEnd","heap_gb":$heapGb%.1f,"sweep_wall_s":$sweepSec}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"queries":$qs,"query_spread":$spread,"crypto":$crypto,"page":$page,"scale10x":$scale10x,"scale100x":$scale100x,"heap8g":$heap8g,"cal_validation":$calValidation,"sf":"$sfDir","round":$currentRound,"baseline_round":$prevRound,"loadavg_start":"$loadStart","loadavg_grid_gate":"$gridLoad","loadavg_sweep_gate":"$sweepGateLoad","section_loads":$sectionLoadsJson,"cal_rows_per_s":$calBest%.0f,"cal_baseline_rows_per_s":$CalBaselineRowsPerS%.0f,"loadavg_end":"$loadEnd","heap_gb":$heapGb%.1f,"sweep_wall_s":$sweepSec}"""
     // The driver captures only the LAST ~2 KB of stdout, so the full ~4 KB
     // line never parsed (BENCH_r1..r3 all "parsed": null). Persist the full
     // JSON to a file and print a compact (<2 KB) summary as the final line.
@@ -701,8 +794,8 @@ object Bench {
     // walls are not comparable across rounds on this box (r11 loadavg 6.14;
     // r12/r13 +15 % on untouched queries under clean gates — sub-section
     // contamination), so each run persists its per-query CAL-NORMALIZED
-    // walls to bench_norm_baseline.json and compares against the COMMITTED
-    // copy (the previous round's run) over the common query set, per
+    // walls to this round's bench_norm_r{N}.json and compares against the
+    // COMMITTED previous round's file over the common query set, per
     // section. Round-over-round claims cite THIS table; raw walls are for
     // within-run reading only.
     // normalized by each query's OWN bracketing cal pair (r14 #1 — the
@@ -721,14 +814,34 @@ object Bench {
         })
       }
     }.toMap
-    val baselinePath = java.nio.file.Paths.get("bench_norm_baseline.json")
-      .toAbsolutePath
-    val (prevNorm: Map[String, Double], prevAlpha: Double) =
-      if (!java.nio.file.Files.exists(baselinePath)) (Map.empty[String, Double], -1.0)
+    // Round discipline (VERDICT r15 #2): baselines are PER-ROUND files —
+    // bench_norm_r{N}.json, each stamped with its round — and the
+    // comparison target is the newest baseline from a STRICTLY EARLIER
+    // round, so a mid-round regeneration can never make the table
+    // self-referential (r15's published "+1.8 %" compared against a
+    // baseline regenerated mid-r15 with early-r15 values; the honest
+    // r14→r15 figure, +9.1 %, lived only in a commit message). Current
+    // round = max committed BENCH_r{n}.json + 1: the driver writes
+    // BENCH_r{N}.json only when round N ends, so every run inside round N
+    // agrees on N, re-running within the round only refreshes round N's
+    // own file, and round N−1's baseline is never overwritten.
+    // tools/check_baseline_round.py fails the round when the summary's
+    // comparison target is not a strictly earlier round.
+    val baselinePath = java.nio.file.Paths
+      .get(s"bench_norm_r$currentRound.json").toAbsolutePath
+    val prevPath = java.nio.file.Paths
+      .get(s"bench_norm_r$prevRound.json").toAbsolutePath
+    // prev attribution rides along so the movers table can cite BOTH
+    // sides' machine state and work counters, not just this run's
+    val (prevNorm: Map[String, Double], prevAlpha: Double,
+        prevAttr: Map[String, Map[String, String]]) =
+      if (prevRound < 0 || !java.nio.file.Files.exists(prevPath))
+        (Map.empty[String, Double], -1.0,
+          Map.empty[String, Map[String, String]])
       else try {
         import org.json4s._
         val j = org.json4s.jackson.JsonMethods.parse(new String(
-          java.nio.file.Files.readAllBytes(baselinePath), "UTF-8"))
+          java.nio.file.Files.readAllBytes(prevPath), "UTF-8"))
         val qs = (j \ "queries") match {
           case JObject(fields) => fields.collect {
             case (k, JDouble(v)) => k -> v
@@ -743,17 +856,35 @@ object Bench {
           case JInt(v) => v.toDouble
           case _ => 1.0
         }
-        (qs, a)
-      } catch { case _: Exception => (Map.empty[String, Double], -1.0) }
+        val attr = (j \ "attribution") match {
+          case JObject(fields) => fields.collect {
+            case (k, JObject(av)) => k -> av.collect {
+              case (ak, JString(s)) => ak -> s
+              case (ak, JDouble(d)) => ak -> d.toString
+              case (ak, JInt(i)) => ak -> i.toString
+              case (ak, JLong(l)) => ak -> l.toString
+            }.toMap
+          }.toMap
+          case _ => Map.empty[String, Map[String, String]]
+        }
+        (qs, a, attr)
+      } catch { case _: Exception =>
+        (Map.empty[String, Double], -1.0,
+          Map.empty[String, Map[String, String]]) }
+    if (prevNorm.isEmpty)
+      md ++= s"\nNO round-over-round table: no committed baseline from an " +
+        s"earlier round (this is round $currentRound; newest earlier " +
+        s"bench_norm_r*.json: ${if (prevRound < 0) "none" else prevRound.toString}).\n"
     if (prevNorm.nonEmpty && prevAlpha != CalCouplingAlpha)
       md ++= f"\nWARNING: committed baseline was normalized with α=" +
         f"$prevAlpha%.2f, this run uses α=$CalCouplingAlpha — the " +
         "round-over-round table below mixes normalization models; " +
         "regenerate the baseline before citing it.\n"
     if (prevNorm.nonEmpty) {
-      md ++= "\n## Round-over-round, calibration-normalized (common " +
-        "queries vs the committed bench_norm_baseline.json — cite THIS, " +
-        "never raw walls)\n\n| section (head query) | common | prev s | " +
+      md ++= "\n## Round-over-round, calibration-normalized — this run " +
+        s"(round $currentRound) vs round $prevRound (the committed " +
+        s"bench_norm_r$prevRound.json; cite THIS, never raw walls)\n\n" +
+        "| section (head query) | common | prev s | " +
         "this s | delta |\n|---|---|---|---|---|\n"
       var pTot = 0.0
       var tTot = 0.0
@@ -781,33 +912,83 @@ object Bench {
           (p max t) >= 0.3 && math.abs(t - p) > 0.10 * p }
         .sortBy { case (_, p, t) => -math.abs(t - p) / p }
       if (movers.nonEmpty) {
-        md ++= "\nPer-query movers > 10 % normalized (each carries its " +
-          "own bracketing-cal pair, /proc steal delta, and loadavg — the " +
-          "attribution fields; a mover whose cal/steal/load are clean on " +
-          "BOTH rounds moved in the engine, anything else moved with the " +
-          "machine):\n\n| query | prev s | this s | delta | cal b/a M " +
-          "rows/s | steal % | load |\n|---|---|---|---|---|---|---|\n"
+        md ++= "\nPer-query movers > 10 % normalized (each carries BOTH " +
+          "rounds' attribution — bracketing-cal, steal, load from this " +
+          "run AND from the committed baseline — plus work counters; a " +
+          "mover whose cal/steal/load are clean on BOTH rounds and whose " +
+          "work matches moved in the engine, anything else moved with " +
+          "the machine or its data):\n\n| query | prev s | this s | delta " +
+          "| cal b/a M rows/s | steal % | load | prev steal/load | work " +
+          "prev→this |\n|---|---|---|---|---|---|---|---|---|\n"
         movers.take(20).foreach { case (q, p, t) =>
           val (cb, ca) = qCal.getOrElse(q, (0.0, 0.0))
+          val pa = prevAttr.getOrElse(q, Map.empty)
+          val prevSide = s"${pa.getOrElse("steal_pct", "—")}/" +
+            s"${pa.getOrElse("load", "—")}"
+          def workStr(cc: Long, st: Long): String =
+            if (cc >= 0) s"cc=$cc" else if (st >= 0) s"st=$st" else "—"
+          val workPrev = workStr(
+            pa.get("cc_rounds").flatMap(x =>
+              scala.util.Try(x.toLong).toOption).getOrElse(-1L),
+            pa.get("st_batches").flatMap(x =>
+              scala.util.Try(x.toLong).toOption).getOrElse(-1L))
+          val workThis = stats.get(q)
+            .map(s => workStr(s.ccRounds.toLong, s.stBatches)).getOrElse("—")
+          val work =
+            if (workPrev == "—" && workThis == "—") "—"
+            else s"$workPrev→$workThis"
           md ++= f"| $q | ${r3(p)} | ${r3(t)} | ${100 * (t - p) / p}%+.1f%% " +
             f"| ${cb / 1e6}%.1f/${ca / 1e6}%.1f | ${qSteal.getOrElse(q, "—")} " +
-            f"| ${stats.get(q).map(_.load).getOrElse("—")} |\n"
+            f"| ${stats.get(q).map(_.load).getOrElse("—")} | $prevSide " +
+            f"| $work |\n"
         }
         if (movers.size > 20)
-          md ++= s"\n(${movers.size - 20} more movers in bench_norm_baseline.json)\n"
+          md ++= s"\n(${movers.size - 20} more movers in bench_norm_r$prevRound.json)\n"
       }
     }
-    // persist this run's normalized walls as the next round's baseline,
-    // each with its attribution fields (cal bracket, steal, load) so a
-    // future round's mover table can cite BOTH sides' machine state
+    // the validation table is part of the generated face of the artifact:
+    // a reader deciding whether to trust the normalized deltas sees the
+    // out-of-sample evidence right under them
+    md ++= f"\n## Damped-cal model validation (out-of-sample, " +
+      f"\u03b1=$CalCouplingAlpha — VERDICT r15 #3)\n\n" +
+      s"Verdict: **$calValidationVerdict**" +
+      (calValidationVerdict match {
+        case "fail" =>
+          " — the model MISSED its \u00b110 % bar on this round's quiet " +
+            "re-probes; treat every normalized delta above as ADVISORY " +
+            "and read raw walls alongside until a later window validates."
+        case "insufficient_contrast" =>
+          " — the sweep and the quiet window ran at the same machine " +
+            "speed (cal contrast < 10 % on every probe), so this round " +
+            "cannot distinguish the models; the verdict carries no " +
+            "evidence either way."
+        case "pass" =>
+          " — the damped model predicted the quiet walls of the " +
+            "contrast-bearing probes within \u00b110 % (median)."
+        case other => s" ($other)"
+      }) + "\n\nPer-probe rows (sweep wall \u2192 predicted quiet vs " +
+      "measured quiet; err_linear shows what LINEAR normalization would " +
+      "have predicted) live in bench_full.json `cal_validation`.\n"
+    // persist this run's normalized walls as round {currentRound}'s
+    // baseline file, each query with its attribution fields (cal bracket,
+    // steal, load, work counters) so a future round's mover table can cite
+    // BOTH sides' state. Only round N's own file is (re)written — never an
+    // earlier round's.
     val normJson = perQueryNorm.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":${v}%.4f""" }.mkString(",")
     val attrJson = perQueryNorm.keys.toSeq.sorted.map { k =>
       val (cb, ca) = qCal.getOrElse(k, (0.0, 0.0))
-      f""""$k":{"cal_b_mrows":${cb / 1e6}%.1f,"cal_a_mrows":${ca / 1e6}%.1f,"steal_pct":"${qSteal.getOrElse(k, "")}","load":"${stats.get(k).map(_.load).getOrElse("")}"}"""
+      // work counters ride into the baseline so NEXT round's mover table
+      // can say whether the work itself changed (VERDICT r15 #6)
+      val work = stats.get(k).map { s =>
+        (if (s.ccRounds >= 0) s""","cc_rounds":${s.ccRounds}""" else "") +
+          (if (s.stBatches >= 0) s""","st_batches":${s.stBatches}""" else "")
+      }.getOrElse("")
+      f""""$k":{"cal_b_mrows":${cb / 1e6}%.1f,"cal_a_mrows":${ca / 1e6}%.1f,"steal_pct":"${qSteal.getOrElse(k, "")}","load":"${stats.get(k).map(_.load).getOrElse("")}"$work}"""
     }.mkString(",")
     java.nio.file.Files.write(baselinePath,
-      (s"""{"unix":${System.currentTimeMillis() / 1000},""" +
+      (s"""{"round":$currentRound,""" +
+        s""""unix":${System.currentTimeMillis() / 1000},""" +
         f""""cal_baseline_mrows":${CalBaselineRowsPerS / 1e6}%.1f,""" +
         s""""alpha":$CalCouplingAlpha,""" +
         s""""queries":{$normJson},""" +
@@ -900,9 +1081,28 @@ object Bench {
           "persistently above it a quadratic term. s07's form is the " +
           "AUTO operating point, which itself scales with n — tables ∝ " +
           "n^0.22 at threshold 0.9, so its expected decade factor is " +
-          "~10×·1.7 ≈ 17×, and a measured ~10× is sublinear for it, not " +
-          "quadratic. Its 1× sweep twin runs a different form (registry " +
-          "threshold 0.45), hence no 1× cell.)\n"
+          "~10×·1.7 ≈ 17×, and a measured ~10-17× is sublinear for it, " +
+          "not quadratic. Its 1× sweep twin runs a different form " +
+          "(registry threshold 0.45), hence no 1× cell.)\n"
+        // measured candidate-pair mass (VERDICT r15 #5): the rows stamp
+        // Σ m(m−1)/2 over LSH cells untimed, so the curve can PROVE the
+        // exponent instead of citing the op-point model
+        val mass10 = scala.util.Try(
+          jsonField(scale10x, "s07_10x", "cand_pair_mass").toDouble).toOption
+        val mass100 = scala.util.Try(
+          jsonField(scale100x, "s07_100x", "cand_pair_mass").toDouble).toOption
+        (mass10, mass100) match {
+          case (Some(m10), Some(m100)) if m10 > 0 =>
+            val f = m100 / m10
+            val expo = math.log(f) / math.log(10.0)
+            md ++= f"\ns07 MEASURED candidate-pair mass: ${m10}%.3g @10× → " +
+              f"${m100}%.3g @100× — ${f}%.1f× per decade (n^$expo%.2f; " +
+              "the op-point model predicts n^1.22 ≈ 16.6×/decade, " +
+              "quadratic would be 100×). The wall's decade factor tracks " +
+              "the candidate mass — sub-quadratic by measurement, not by " +
+              "model.\n"
+          case _ => ()
+        }
       }
     }
     md ++= "\n## 8 GB-heap smoke (GC-debt regression guard)\n\n" +
@@ -975,12 +1175,6 @@ object Bench {
       graft.ops.Dedup.lastAutoPoint)
   }
 
-  /** One scale row with the sweep's discipline (VERDICT r7 #3 — the r7 10×
-    * rows had no quiet gate and no retry, and published runs that disagreed
-    * 4.4×): two gated runs; while the best two disagree > 1.5× OR the best
-    * run's max task exceeds 5 s, re-run behind the quiet gate (≤ 2 extra).
-    * Publishes the best run; every wall time lands in `runs_s`.
-    */
   /** Free bytes on the scale corpus/spill filesystem, in GB — recorded
     * per scale row because the binding constraint on this box is the
     * thin-provisioned HOST, so a row can die of ENOSPC while guest df
@@ -998,7 +1192,6 @@ object Bench {
     * rows had no quiet gate and no retry, and published runs that disagreed
     * 4.4×): two gated runs; while the best two disagree > 1.5× OR the best
     * run's max task exceeds 5 s, re-run behind the quiet gate (≤ 2 extra).
-    * Publishes the best run; every wall time lands in `runs_s`.
     *
     * Rows fail INDEPENDENTLY (r10 — the r8 post-mortem asked for this but
     * the code still aborted the whole section): a run that throws (the
@@ -1010,7 +1203,8 @@ object Bench {
   private def scaleRow(spark: SparkSession, listener: TaskStatsListener,
       key: String, name: String, fn: (SparkSession, String) => DataFrame,
       dir: String, measuredRuns: Int = 2,
-      gateEveryRun: Boolean = false): (String, Option[(String, Double)]) = {
+      gateEveryRun: Boolean = false,
+      extraFields: () => String = () => ""): (String, Option[(String, Double)]) = {
     try { fn(spark, dir).count() } catch { case _: Throwable => } // warm
     val runs = scala.collection.mutable.ArrayBuffer.empty[ScaleRun]
     var lastErr: Option[Throwable] = None
@@ -1054,7 +1248,22 @@ object Bench {
       (f""""$key":{"error":"$e","form":"$name","error_runs":$errorRuns,"disk_avail_gb":${diskAvailGb(dir)}%.1f}""",
         None)
     } else {
-      val r = runs.minBy(_.sec)
+      // Publish the WARM MEDIAN, never the min (VERDICT r15 #4: d03auto_100x
+      // published 22.74 from [82.5, 22.7, 46.5, 27.6] — a flattering pick
+      // over a 3.6× spread). Runs are chronological; run #1 may pay cold
+      // corpus IO + JIT, so the published value is the arithmetic median of
+      // runs 2..N (all runs when only one exists; even counts average the
+      // two middles). The cold-start story stays visible in runs_s.
+      // Telemetry comes from the warm run whose wall is closest to the
+      // published value (ties toward the slower run), and the row stamps
+      // "pub":"warm_median" so tools/check_scale.py can recompute the same
+      // rule from runs_s and fail on drift.
+      val warm = (if (runs.length >= 2) runs.drop(1) else runs).toSeq
+      val sortedW = warm.map(_.sec).sorted
+      val pubSec =
+        if (sortedW.length % 2 == 1) sortedW(sortedW.length / 2)
+        else (sortedW(sortedW.length / 2 - 1) + sortedW(sortedW.length / 2)) / 2
+      val r = warm.minBy(x => (math.abs(x.sec - pubSec), -x.sec))
       val allRuns = runs.map(x => f"${x.sec}%.3f").mkString("[", ",", "]")
       val err = if (errorRuns > 0) s""","error_runs":$errorRuns""" else ""
       // cc_rounds aligns 1:1 with runs_s (VERDICT r12 #3) — present only
@@ -1097,10 +1306,14 @@ object Bench {
       // this ratio.
       val cores = spark.sparkContext.defaultParallelism
       val floorS = r.taskS / math.max(1, cores)
-      val wallOverCore = if (floorS > 0) r.sec / floorS else 0.0
+      // ratio from the PUBLISHED wall so check_scale.py's recompute from
+      // the row's own fields (sec / (task_s/cores)) agrees exactly
+      val wallOverCore = if (floorS > 0) pubSec / floorS else 0.0
+      val extraJson = try extraFields() catch { case e: Throwable =>
+        s""","extra_error":"${e.getClass.getSimpleName}"""" }
       val json =
-        f""""$key":{"sec":${r.sec}%.3f,"form":"$name","runs_s":$allRuns,"retries":$extra$err$ccRounds$calRuns$taskRuns$stRuns$opPoint,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","steal_pct":"${r.stealPct}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"cores":$cores,"core_floor_s":$floorS%.1f,"wall_over_core":$wallOverCore%.2f,"disk_avail_gb":${diskAvailGb(dir)}%.1f}"""
-      (json, Some(key -> r.sec))
+        f""""$key":{"sec":$pubSec%.3f,"pub":"warm_median","form":"$name","runs_s":$allRuns,"retries":$extra$err$ccRounds$calRuns$taskRuns$stRuns$opPoint$extraJson,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","steal_pct":"${r.stealPct}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"cores":$cores,"core_floor_s":$floorS%.1f,"wall_over_core":$wallOverCore%.2f,"disk_avail_gb":${diskAvailGb(dir)}%.1f}"""
+      (json, Some(key -> pubSec))
     }
   }
 
@@ -1122,6 +1335,23 @@ object Bench {
     graft.ops.Similarity.cosineNearDupAuto(
       s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
       threshold = 0.9)
+
+  /** Untimed candidate-pair attribution for the s07 scale rows (VERDICT
+    * r15 #5: the 15.3× decade factor needed pair counts to prove the LSH
+    * stays sub-quadratic — tables ∝ n^0.22 makes the EXPECTED mass
+    * ∝ n^1.22, ~16.6×/decade, and only a measured mass can separate that
+    * from a quadratic blow-up). Runs AFTER the timed runs, once per row;
+    * identity for every non-s07 row.
+    */
+  private def s07CandMassExtra(key: String, spark: SparkSession,
+      dir: String): () => String =
+    if (!key.startsWith("s07")) () => ""
+    else { () =>
+      val (mass, maxB, n) = graft.ops.Similarity.lshCandidateMass(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        threshold = 0.9)
+      s""","cand_pair_mass":$mass,"max_bucket":$maxB,"corpus_n":$n"""
+    }
 
   // d03's scale twin at the jointly-scaled MinHash operating point
   // (Dedup.minhashOperatingPoint, r11 — the s07 auto-point treatment for
@@ -1284,7 +1514,8 @@ object Bench {
       ScalingRehearsal.synthesizeScaledEmbeddings(spark, sfDir, workDir, 10)
       waitForQuiet(2.5, 240) // synth is our own load; let the 1-min avg decay
       val out = targets.map { case (name, fn) =>
-        scaleRow(spark, listener, name.take(3) + "_10x", name, fn, workDir)
+        scaleRow(spark, listener, name.take(3) + "_10x", name, fn, workDir,
+          extraFields = s07CandMassExtra(name, spark, workDir))
       }
       (out.map(_._1).mkString("{", ",", "}"), out.flatMap(_._2))
     } catch { case e: Throwable => (scaleErr(e), Seq.empty) }
@@ -1588,7 +1819,8 @@ object Bench {
         rowConfs.getOrElse(key, Nil).foreach { case (k, v) =>
           spark.conf.set(k, v) }
         val row = scaleRow(spark, listener, key, name, fn, workDir,
-          measuredRuns = 2, gateEveryRun = true)
+          measuredRuns = 2, gateEveryRun = true,
+          extraFields = s07CandMassExtra(key, spark, workDir))
         // Per-row persistence hook (ADVICE r11): Scale100x merges each row
         // into the artifact as it completes, so a parent timeout or a later
         // row's crash keeps every row already measured.

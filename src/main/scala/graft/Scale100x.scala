@@ -58,7 +58,11 @@ object Scale100x {
         case JInt(ms) => ms < MaxTaskMs
         case JLong(ms) => ms < MaxTaskMs
         case JDouble(ms) => ms < MaxTaskMs
-        case _ => false
+        // a COMMITTED row that predates the field keeps its seat, same
+        // rationale as the load leniency below (ADVICE r15: the old
+        // `case _ => false` here let a bar-failing fresh row evict a
+        // committed row that merely lacked max_task_ms)
+        case _ => committedRow
       }
       val loadOk = (v \ "load") match {
         case JString(l) => scala.util.Try(l.toDouble).toOption.exists(_ < MaxLoad)

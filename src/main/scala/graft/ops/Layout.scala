@@ -268,10 +268,17 @@ object Layout {
     * grows with the box's SURFACE AREA (O((side/s)^2) straddling cells per
     * level), not its perimeter, so an unbudgeted recursion over a large box
     * could emit millions of driver-side intervals. A split budget
-    * (64·maxRanges splits, min 4096) caps that: once spent, a straddling
-    * cube is emitted WHOLE — pure over-cover, so soundness is unconditional
-    * and tightness degrades gracefully toward the coarse envelope.
-    * maxRanges = 1 still degenerates exactly to
+    * (64·maxRanges splits, min 4096) caps that — and it is spent
+    * BREADTH-FIRST, one octree level at a time (ADVICE r15: the old
+    * depth-first recursion concentrated refinement on the lowest-z octants,
+    * so once the budget ran out every remaining high-z straddling cube was
+    * emitted whole and residual over-cover piled onto one side of the box).
+    * A level either splits every straddler it holds or none: once the
+    * remaining budget can't split the whole level, ALL its straddlers are
+    * emitted whole — residual over-cover is spread evenly across the box at
+    * a uniform refinement depth. Whole-cube emissions are pure over-cover,
+    * so soundness is unconditional and tightness degrades gracefully toward
+    * the coarse envelope. maxRanges = 1 still degenerates exactly to
     * [z(aLo,bLo,cLo), z(aHi,bHi,cHi)] (LayoutSpec pins it).
     */
   def zorderRanges3(aLo: Long, aHi: Long, bLo: Long, bHi: Long,
@@ -286,40 +293,63 @@ object Layout {
     // escapes the envelope and maxRanges=1 degenerates exactly to it
     val envLo = mortonOf3(aLo, bLo, cLo)
     val envHi = mortonOf3(aHi, bHi, cHi)
-    def emit(z0: Long, z1: Long): Unit =
-      if (exact.nonEmpty && exact.last._2 + 1 == z0)
-        exact(exact.length - 1) = (exact.last._1, z1)
-      else exact += ((z0, z1))
-    def rec(ca: Long, cb: Long, cc: Long, size: Long): Unit = {
-      val caHi = ca + size - 1
-      val cbHi = cb + size - 1
-      val ccHi = cc + size - 1
-      if (caHi < aLo || ca > aHi || cbHi < bLo || cb > bHi ||
-          ccHi < cLo || cc > cHi) ()
-      else if (ca >= aLo && caHi <= aHi && cb >= bLo && cbHi <= bHi &&
-          cc >= cLo && ccHi <= cHi) {
-        val z0 = mortonOf3(ca, cb, cc) // aligned cube ⇒ contiguous z-interval
-        emit(z0, z0 + size * size * size - 1)
-      } else if (budget <= 0) {
-        // budget spent: over-cover the straddling cube whole, clamped to
-        // the envelope (sound — its box rows' keys lie in the cube's
-        // interval AND in the envelope; a straddling cube holds at least
-        // one box key, so the clamp never empties the interval)
-        val z0 = mortonOf3(ca, cb, cc)
-        emit(math.max(z0, envLo),
-          math.min(z0 + size * size * size - 1, envHi))
+    // BFS emits levels interleaved in z, so intervals collect unsorted and
+    // sort+merge once at the end (bounded: exact and level sizes are both
+    // O(budget), ≤ ~32k intervals at the default budget)
+    def emitWhole(ca: Long, cb: Long, cc: Long, size: Long): Unit = {
+      // over-cover the straddling cube whole, clamped to the envelope
+      // (sound — its box rows' keys lie in the cube's interval AND in the
+      // envelope; a straddling cube holds at least one box key, so the
+      // clamp never empties the interval)
+      val z0 = mortonOf3(ca, cb, cc)
+      exact += ((math.max(z0, envLo),
+        math.min(z0 + size * size * size - 1, envHi)))
+    }
+    var level =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)](
+        (0L, 0L, 0L, CoordMax + 1))
+    while (level.nonEmpty) {
+      if (budget < level.length) {
+        // can't split this whole level: emit EVERY remaining straddler
+        // whole — uniform refinement depth, evenly-spread residual cover
+        level.foreach { case (ca, cb, cc, size) => emitWhole(ca, cb, cc, size) }
+        level.clear()
       } else {
-        budget -= 1
-        val h = size / 2
-        // octant order (c-half, then b-half, then a-half) IS increasing z
-        rec(ca, cb, cc, h); rec(ca + h, cb, cc, h)
-        rec(ca, cb + h, cc, h); rec(ca + h, cb + h, cc, h)
-        rec(ca, cb, cc + h, h); rec(ca + h, cb, cc + h, h)
-        rec(ca, cb + h, cc + h, h); rec(ca + h, cb + h, cc + h, h)
+        budget -= level.length
+        val next = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        level.foreach { case (ca, cb, cc, size) =>
+          val h = size / 2
+          // octant order (c-half, then b-half, then a-half) IS increasing z
+          Seq((ca, cb, cc), (ca + h, cb, cc), (ca, cb + h, cc),
+            (ca + h, cb + h, cc), (ca, cb, cc + h), (ca + h, cb, cc + h),
+            (ca, cb + h, cc + h), (ca + h, cb + h, cc + h))
+            .foreach { case (oa, ob, oc) =>
+              val oaHi = oa + h - 1
+              val obHi = ob + h - 1
+              val ocHi = oc + h - 1
+              if (oaHi < aLo || oa > aHi || obHi < bLo || ob > bHi ||
+                  ocHi < cLo || oc > cHi) ()
+              else if (oa >= aLo && oaHi <= aHi && ob >= bLo && obHi <= bHi &&
+                  oc >= cLo && ocHi <= cHi) {
+                val z0 = mortonOf3(oa, ob, oc) // aligned ⇒ contiguous z
+                exact += ((z0, z0 + h * h * h - 1))
+              } else next += ((oa, ob, oc, h))
+            }
+        }
+        level = next
       }
     }
-    rec(0L, 0L, 0L, CoordMax + 1)
-    mergeToBudget(exact, maxRanges)
+    // cube intervals are pairwise disjoint (distinct octree cells; clamps
+    // only shrink) — sort by lo, then one-pass adjacent merge
+    val sorted = exact.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { case (lo, hi) =>
+      if (merged.nonEmpty && merged.last._2 + 1 == lo)
+        merged(merged.length - 1) = (merged.last._1, hi)
+      else merged += ((lo, hi))
+    }
+    mergeToBudget(merged, maxRanges)
   }
 
   /** Coarse one-range file skip set for a 3-D box over a [[zorderWrite3]]

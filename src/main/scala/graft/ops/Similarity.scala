@@ -592,6 +592,34 @@ object Similarity {
       scope = scope)
   }
 
+  /** Candidate-pair mass of the [[cosineNearDupAuto]] bucketing at the
+    * corpus's own operating point: Σ over (table, bucket) cells of
+    * m·(m−1)/2 — the number of same-cell unordered pairs the candidate
+    * self-join emits BEFORE the cross-table distinct, plus the max bucket
+    * size. This is the quantity whose growth decides whether the LSH stays
+    * sub-quadratic as n scales (VERDICT r15 #5: s07_100x's 15.3× decade
+    * factor needed candidate-pair attribution — the op point alone can't
+    * show it, because tables ∝ n^0.22 at threshold 0.9 makes the EXPECTED
+    * mass ∝ n^1.22, ~16.6× per decade, well below quadratic's 100×). The
+    * scale rows stamp it untimed next to the wall. One groupBy over the
+    * (table, bucket) projection — n·tables rows, never pair-sized.
+    *
+    * @return (pairMass, maxBucket, corpusN)
+    */
+  def lshCandidateMass(emb: DataFrame, idCol: String, embCol: String,
+      threshold: Double, missTarget: Double = 1e-3,
+      maxTables: Int = 256): (Long, Long, Long) = {
+    val n = emb.count()
+    val (planes, tables) = lshOperatingPoint(n, threshold, missTarget, maxTables)
+    val cells = lshBucketTable(emb, idCol, embCol, tables, planes)
+      .groupBy("t", "b").agg(count(lit(1)).as("m"))
+    val r = cells.agg(
+      sum(expr("m * (m - 1) DIV 2")).as("mass"),
+      max(col("m")).as("max_bucket")).head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1), n)
+  }
+
   /** Threshold-aware auto-planes (ADVICE r7): the size-driven choice
     * (max(4, ⌈log₂(n/256)⌉), cap 16) capped at the largest plane count
     * whose all-tables miss probability for a pair at exactly `threshold`

@@ -2382,13 +2382,13 @@ $prRounds
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType), StructField("ts", TimestampType))))
         .parquet(s"$tmp/src")
-      graft.streaming.StreamOps.dedupDocumentStream(stream, "text", "ts", "24 hours")
+      graft.streaming.StreamOps.runToCompletion(
+        graft.streaming.StreamOps.dedupDocumentStream(stream, "text", "ts", "24 hours")
         .writeStream.format("parquet")
         .option("path", s"$tmp/sink")
         .option("checkpointLocation", s"$tmp/chk")
         .trigger(Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
+        .start())
       s.read.parquet(s"$tmp/sink")
         .groupBy("fp").agg(count(lit(1)).as("n_out"))
         .orderBy("fp")
@@ -2413,13 +2413,13 @@ $prRounds
       rd(s, dir, "events").coalesce(1).write.parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(graft.streaming.StreamOps.rawEventSchema).parquet(s"$tmp/src")
-      graft.streaming.StreamOps.hourlyProtectedAgg(stream)
+      graft.streaming.StreamOps.runToCompletion(
+        graft.streaming.StreamOps.hourlyProtectedAgg(stream)
         .writeStream.format("parquet")
         .option("path", s"$tmp/sink")
         .option("checkpointLocation", s"$tmp/chk")
         .trigger(Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
+        .start())
       s.read.parquet(s"$tmp/sink").orderBy("hour", "event_type")
     }, Some(s"""
       WITH agg AS (
@@ -2455,13 +2455,13 @@ $prRounds
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType))))
         .parquet(s"$tmp/src")
-      graft.streaming.StreamOps.decontaminateStream(stream, gramSet, "text", n = 8)
+      graft.streaming.StreamOps.runToCompletion(
+        graft.streaming.StreamOps.decontaminateStream(stream, gramSet, "text", n = 8)
         .writeStream.format("parquet")
         .option("path", s"$tmp/sink")
         .option("checkpointLocation", s"$tmp/chk")
         .trigger(Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
+        .start())
       s.read.parquet(s"$tmp/sink")
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
@@ -2543,7 +2543,7 @@ $prRounds
         .format("memory").queryName("st05_sketch_out")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      graft.streaming.StreamOps.runToCompletion(q)
       s.table("st05_sketch_out")
         .select(col("seed").cast("long").as("seed"), col("bucket"), col("cnt"))
         .orderBy("seed", "bucket")
@@ -2659,7 +2659,7 @@ $prRounds
         .format("memory").queryName("st08_hll_out")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      graft.streaming.StreamOps.runToCompletion(q)
       s.table("st08_hll_out")
         .select(col("register"), col("rank"))
         .orderBy("register")
@@ -2705,7 +2705,7 @@ $prRounds
         .format("memory").queryName("st09_hist_out")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      graft.streaming.StreamOps.runToCompletion(q)
       s.table("st09_hist_out")
         .select(col("l_returnflag"), col("bin"), col("cnt"))
         .orderBy("l_returnflag", "bin")

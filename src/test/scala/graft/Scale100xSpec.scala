@@ -77,6 +77,24 @@ class Scale100xSpec extends AnyFunSuite {
     assert(merged2.contains("\"sec\":45.2"))
   }
 
+  test("a committed row with no max_task_ms keeps its seat against a bar-failing fresh row") {
+    // same rationale as the missing-load leniency: never evict an older
+    // measurement on a missing field (ADVICE r15 — the old default case
+    // treated a committed row that predates max_task_ms as bar-failing,
+    // so a bar-failing fresh row could still evict it)
+    val committedNoTask =
+      """"s07_100x":{"sec":45.2,"load":"2.1","runs_s":[45.2,46.0],"unix":1}"""
+    val (merged, n) = Scale100x.mergeRows(art(committedNoTask), s"{$failingFresh}", 99)
+    assert(n == 0)
+    assert(merged.contains("\"sec\":45.2"))
+    // a FRESH row without max_task_ms is still held to the bar
+    val freshNoTask =
+      """"s07_100x":{"sec":37.6,"load":"2.2","runs_s":[56.5,37.6]}"""
+    val (merged2, n2) = Scale100x.mergeRows(art(passing), s"{$freshNoTask}", 99)
+    assert(n2 == 0)
+    assert(merged2.contains("\"sec\":45.2"))
+  }
+
   test("a fresh row for a new key lands regardless of bars") {
     // first measurement of a row: even bar-failing, it is the only
     // evidence there is — the checker will flag it, not the merge

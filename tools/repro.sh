@@ -31,6 +31,11 @@ echo "== 2.6/4 SCALING.md prose vs scale artifact (r15) =="
 # committed artifact — the drift class that hit the r14 st04 bullet
 python3 tools/check_scaling_prose.py
 
+echo "== 2.7/4 round-over-round baseline discipline (r16) =="
+# fails when the published delta table compares against a baseline from
+# THIS round (the r15 self-reference) or a mis-stamped baseline file
+python3 tools/check_baseline_round.py
+
 echo "== 3/4 leak scan (rewrites LEAKCHECK.json) =="
 # keep the committed round number unless the caller overrides it — a
 # hardcoded default would silently rewrite the artifact's round field

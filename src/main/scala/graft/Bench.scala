@@ -1259,10 +1259,7 @@ object Bench {
       // "pub":"warm_median" so tools/check_scale.py can recompute the same
       // rule from runs_s and fail on drift.
       val warm = (if (runs.length >= 2) runs.drop(1) else runs).toSeq
-      val sortedW = warm.map(_.sec).sorted
-      val pubSec =
-        if (sortedW.length % 2 == 1) sortedW(sortedW.length / 2)
-        else (sortedW(sortedW.length / 2 - 1) + sortedW(sortedW.length / 2)) / 2
+      val pubSec = warmMedian(runs.map(_.sec).toSeq)
       val r = warm.minBy(x => (math.abs(x.sec - pubSec), -x.sec))
       val allRuns = runs.map(x => f"${x.sec}%.3f").mkString("[", ",", "]")
       val err = if (errorRuns > 0) s""","error_runs":$errorRuns""" else ""
@@ -1329,6 +1326,20 @@ object Bench {
         f""""$key":{"sec":$pubSec%.3f,"pub":"warm_median","form":"$name","runs_s":$allRuns,"retries":$extra$err$ccRounds$calRuns$taskRuns$maxTaskRuns$stRuns$opPoint$extraJson,"rows":${r.n},"max_task_ms":$maxTaskMin,"max_task_input_mb":${r.maxIn / 1048576.0}%.1f,"max_task_shuffle_mb":${r.maxShuf / 1048576.0}%.1f,"load":"${r.load}","steal_pct":"${r.stealPct}","gc_s":${r.gcS}%.2f,"task_s":${r.taskS}%.1f,"task_gc_s":${r.taskGcS}%.1f,"cores":$cores,"core_floor_s":$floorS%.1f,"wall_over_core":$wallOverCore%.2f,"disk_avail_gb":${diskAvailGb(dir)}%.1f}"""
       (json, Some(key -> pubSec))
     }
+  }
+
+  /** The published wall of a scale row from its CHRONOLOGICAL run walls:
+    * the arithmetic median of runs 2..N (run #1 may pay cold corpus
+    * IO + JIT; all runs when only one exists; even counts average the two
+    * middles). MUST stay expression-identical to tools/check_scale.py's
+    * recompute — the checker fails any published row that drifts from it,
+    * and Scale100xSpec pins this side of the agreement.
+    */
+  private[graft] def warmMedian(runsChrono: Seq[Double]): Double = {
+    val warm = if (runsChrono.length >= 2) runsChrono.drop(1) else runsChrono
+    val s = warm.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
   }
 
   private def scaleErr(e: Throwable): String =

@@ -95,6 +95,19 @@ class Scale100xSpec extends AnyFunSuite {
     assert(merged2.contains("\"sec\":45.2"))
   }
 
+  test("warmMedian matches check_scale.py's recompute rule") {
+    // the publishing rule lives in two languages (Bench.warmMedian writes
+    // the row, check_scale.py recomputes from runs_s and fails on drift) —
+    // this pins the Scala side on the cases that differ between rules:
+    // run-1 exclusion, even-count averaging, single-run fallback
+    assert(Bench.warmMedian(Seq(82.5, 22.7, 46.5, 27.6)) === 27.6)
+    assert(Bench.warmMedian(Seq(12.7, 31.8, 17.2)) === (31.8 + 17.2) / 2)
+    assert(Bench.warmMedian(Seq(62.476, 54.035, 47.956)) ===
+      (54.035 + 47.956) / 2) // the s07_100x migration value
+    assert(Bench.warmMedian(Seq(10.0, 7.0)) === 7.0)
+    assert(Bench.warmMedian(Seq(9.9)) === 9.9)
+  }
+
   test("a fresh row for a new key lands regardless of bars") {
     // first measurement of a row: even bar-failing, it is the only
     // evidence there is — the checker will flag it, not the merge

@@ -13,6 +13,39 @@ import graft.streaming.StreamOps
   */
 class StreamingSpec extends SparkSpec {
 
+  test("runAtStateWidth binds the state width to the query and restores the session width") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-width").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$root/src")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    var widthDuring = -1
+    StreamOps.runAtStateWidth(spark, 4) {
+      val stream = spark.readStream.schema(schema).parquet(s"$root/src")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      val q = StreamOps.dedupDocumentStream(stream, "text", "ts", "1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      widthDuring = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      q
+    }
+    assert(widthDuring === 4, "state width must be bound while the query starts")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === prev,
+      "session width must be restored after termination")
+    // the checkpoint's state dirs ARE the bound width: one NUMBERED dir
+    // per store (the state root also holds metadata entries)
+    val stateDirs = new java.io.File(s"$root/chk/state/0").listFiles()
+      .count(f => f.isDirectory && f.getName.forall(_.isDigit))
+    assert(stateDirs === 4, s"expected 4 state-store dirs, got $stateDirs")
+    assert(spark.read.parquet(s"$root/out").count() === 2)
+  }
+
   test("stateful dedup survives a checkpoint restart: no dropped, no duplicated survivors") {
     import org.apache.spark.sql.types._
     import spark.implicits._

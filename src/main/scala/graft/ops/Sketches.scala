@@ -153,6 +153,56 @@ object Sketches {
       .drop("hsum", "filled", "zeros", "raw")
   }
 
+  // ------------------------------------------------------------ KMV (theta)
+  // The set-operation gap in the sketch family: HLL registers fold to
+  // |A ∪ B| (cell-wise MAX) but cannot answer |A ∩ B|; the KMV / theta
+  // sketch — the k smallest distinct hash values of the key set — is the
+  // mergeable structure that does (the DataSketches theta design). Merge =
+  // k smallest distinct of the concatenated sketches, EXACTLY the
+  // whole-corpus sketch under any sharding; distinct estimate =
+  // (k−1)/θ with θ = h_(k)/2^60; intersections estimate from the common
+  // retained values below min(θ_A, θ_B). The sketch itself is built by
+  // [[graft.functions.KmvAgg]] (bounded k-long partial buffers — nothing
+  // vocabulary-sized ever shuffles); everything below is plain column
+  // arithmetic over the emitted k-array. Hashes are the first 15 md5
+  // nibbles (60 bits, non-negative in a LongType), so DuckDB replays every
+  // retained value exactly — the t24/st08 discipline.
+
+  /** Hash domain: values are uniform on [0, 2^60). */
+  val KmvDomain: Double = 1.152921504606846976e18 // 2^60
+
+  /** 60-bit md5-derived hash of a key — 15 hex nibbles, non-negative. */
+  def kmvHash(key: Column): Column =
+    conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+
+  /** Merge two KMV k-arrays: k smallest distinct of the union — exactly
+    * the sketch of the concatenated corpora (KmvSpec pins the equality).
+    */
+  def kmvMergeArr(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Distinct-count estimate from a KMV k-array: exact when the sketch
+    * holds the whole key set (|sketch| < k), else the classic unbiased
+    * (k−1)/θ with θ = h_(k)/2^60. Standard error ≈ 1/√(k−2).
+    */
+  def kmvEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(KmvDomain) /
+        element_at(sk, k).cast("double"))
+
+  /** |A ∩ B| estimate from two KMV k-arrays (theta-sketch intersection):
+    * θ∩ = min(θ_A, θ_B); the common retained values strictly below θ∩ are
+    * a uniform θ∩-rate sample of the true intersection, so the estimate is
+    * their count scaled by 1/θ∩. Exact when both sketches are un-full.
+    */
+  def thetaIntersection(a: Column, b: Column, k: Int): Column = {
+    def thetaOf(s: Column): Column =
+      when(size(s) < k, lit(KmvDomain)).otherwise(element_at(s, k).cast("double"))
+    val theta = least(thetaOf(a), thetaOf(b))
+    val sample = size(filter(array_intersect(a, b), h => h.cast("double") < theta))
+    sample.cast("double") * lit(KmvDomain) / theta
+  }
+
   // ------------------------------------------------ histogram (quantiles)
   // The CMS treatment for QUANTILES (VERDICT r13 #7): t14's
   // percentile_approx sketch is equally unmergeable at the DataFrame

@@ -341,6 +341,18 @@ object StreamOps {
       binWidth: Long, groupCols: Seq[String] = Nil): DataFrame =
     graft.ops.Sketches.histogram(rows, valueCol, binWidth, groupCols)
 
+  /** Streaming KMV (bottom-k distinct, theta) sketch — the set-operation
+    * sketch's stream mode: state is the single ≤ k-long
+    * [[graft.functions.KmvAgg]] buffer however long the stream runs, and
+    * because the sketch is order-free (k smallest distinct of a union),
+    * the streamed array is identical to the batch one under any
+    * micro-batching — DuckDB recomputes every retained hash (st10).
+    * Shard/stream sketches fold via [[graft.ops.Sketches.kmvMergeArr]];
+    * estimators read off the live array via kmvEstimate/thetaIntersection.
+    */
+  def kmvSketchStream(rows: DataFrame, hashCol: String, k: Int): DataFrame =
+    rows.agg(graft.functions.KmvAgg.kmv_agg(col(hashCol), k).as("sketch"))
+
   /** Batch reference computation for the streaming agg (same expressions,
     * same results — used by the equivalence spec).
     */

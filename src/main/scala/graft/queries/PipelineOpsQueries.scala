@@ -2798,7 +2798,14 @@ $prRounds
     ("st10_stream_kmv", (s: SparkSession, dir: String) => {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = QueryUtil.scratchDir("graft_st10_")
-      rd(s, dir, "documents").write.mode("overwrite").parquet(s"$tmp/src")
+      // the fixture write is multi-file ON PURPOSE: a file-stream scan
+      // parallelizes by file/split, and this stream's per-row work
+      // (shingle explode + md5 per shingle) is the heavy stage — a
+      // single-file fixture measured a 10.3 s straggler task that WAS the
+      // wall at sf0.1. A real ingest is many files; the partial KMV
+      // buffers keep the post-scan exchange at ≤ 16·k longs regardless.
+      rd(s, dir, "documents").repartition(16)
+        .write.mode("overwrite").parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(s.read.parquet(s"$tmp/src").schema).parquet(s"$tmp/src")
       val hashed = stream

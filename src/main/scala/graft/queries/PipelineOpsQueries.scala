@@ -2269,6 +2269,57 @@ $prRounds
         CAST(1 AS BIGINT) AS inter_ok"""
     }),
 
+    // The GROUPED form of the KMV sketch (t26 proves the global sketch;
+    // this row proves the aggregate's partial/merge path under
+    // hash-partitioned groups — the shape a per-domain curation signal
+    // takes at 100 TB: vocabulary richness per source at k longs per
+    // group, never the vocabulary itself). theta_k pins each group's
+    // retained k-min cut against DuckDB's window replay; est_ok gates the
+    // (k−1)/θ estimate per group at 25% (~4σ for k = 256 — measured max
+    // across 20 sources × 3 SFs is 12.5%). The exact pass exists for the
+    // gate; production reads only the 20 × k-long sketches.
+    ("t27_kmv_grouped", (s: SparkSession, dir: String) => {
+      import graft.functions.KmvAgg.kmv_agg
+      import graft.ops.Sketches
+      val k = 256
+      val sh = rd(s, dir, "documents").select(col("source"),
+        explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col("text")), 3))).as("shingle"))
+      val hashed = sh.select(col("source"),
+        Sketches.kmvHash(col("shingle")).as("h"))
+      val skt = hashed.groupBy("source").agg(kmv_agg(col("h"), k).as("sk"))
+      val exact = sh.groupBy("source")
+        .agg(countDistinct("shingle").as("n_exact"))
+      skt.join(exact, "source")
+        .select(col("source"), col("n_exact"),
+          element_at(col("sk"), size(col("sk"))).as("theta_k"),
+          (abs(Sketches.kmvEstimate(col("sk"), k) - col("n_exact"))
+            <= lit(0.25) * col("n_exact")).cast("long").as("est_ok"))
+        .orderBy("source")
+    }, Some {
+      def nib(i: Int) =
+        s"CAST(strpos('0123456789abcdef', substr(d, $i, 1)) - 1 AS BIGINT)"
+      val h60 = (1 to 15)
+        .map(i => s"${nib(i)} * ${1L << (4 * (15 - i))}")
+        .mkString("(", " + ", ")")
+      s"""
+      WITH toks AS (SELECT source, string_split_regex(text, '\\s+') AS t
+                    FROM documents),
+      sh AS (SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+      hv AS (SELECT source, $h60 AS h
+             FROM (SELECT source, md5(s) AS d FROM sh)),
+      rk AS (SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM hv),
+      sk AS (SELECT source, max(h) AS theta_k FROM rk WHERE rn <= 256
+             GROUP BY source),
+      ex AS (SELECT source, count(*) AS n_exact FROM hv GROUP BY source)
+      SELECT ex.source AS source, n_exact, theta_k,
+        CAST(1 AS BIGINT) AS est_ok
+      FROM ex JOIN sk USING (source) ORDER BY source"""
+    }),
+
     // -------------------------------------------------------- multimodal
     ("m01_media_features", (s: SparkSession, dir: String) => {
       // REAL container decode (r5 verdict gap #1): every doc becomes a

@@ -2282,9 +2282,13 @@ $prRounds
       import graft.functions.KmvAgg.kmv_agg
       import graft.ops.Sketches
       val k = 256
-      val sh = rd(s, dir, "documents").select(col("source"),
-        explode(array_distinct(
-          TextOps.shingles(TextOps.tokens(col("text")), 3))).as("shingle"))
+      // tokens materialized BEFORE the higher-order shingle transform
+      // (capture discipline — an inlined tokens() re-splits per element;
+      // measured 7× on this exact shape, see README/SCALING)
+      val sh = rd(s, dir, "documents")
+        .select(col("source"), TextOps.tokens(col("text")).as("_toks"))
+        .select(col("source"),
+          explode(array_distinct(TextOps.shingles(col("_toks"), 3))).as("shingle"))
       val hashed = sh.select(col("source"),
         Sketches.kmvHash(col("shingle")).as("h"))
       val skt = hashed.groupBy("source").agg(kmv_agg(col("h"), k).as("sk"))
@@ -2860,8 +2864,9 @@ $prRounds
       val stream = s.readStream
         .schema(s.read.parquet(s"$tmp/src").schema).parquet(s"$tmp/src")
       val hashed = stream
+        .select(TextOps.tokens(col("text")).as("_toks"))
         .select(explode(array_distinct(
-          TextOps.shingles(TextOps.tokens(col("text")), 3))).as("shingle"))
+          TextOps.shingles(col("_toks"), 3))).as("shingle"))
         .select(graft.ops.Sketches.kmvHash(col("shingle")).as("h"))
       graft.streaming.StreamOps.runAtStateWidth(s)(
         graft.streaming.StreamOps.kmvSketchStream(hashed, "h", 256)

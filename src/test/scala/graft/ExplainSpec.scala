@@ -310,4 +310,42 @@ class ExplainSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: []"),
       s"q53 has no residual row-group predicate to push:\n$plan")
   }
+
+  test("t26 KMV: bounded-buffer aggregation, one sketch exchange, 1x1 cross only") {
+    val plan = executedPlan("t26_kmv_theta")
+    // the three sketches (whole + both shards) ride ONE ObjectHashAggregate
+    // pair — partial map-side, a single exchange whose payload is <= 3*k
+    // longs per task, final merge; a SortAggregate here would mean the
+    // imperative buffer fell off the object-hash path (sorting
+    // corpus-sized rows for a k-bounded sketch)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"t26's sketch agg must be the partial+final ObjectHashAggregate pair:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"t26 must not fall back to sort-based aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"t26 must not plan a cartesian product:\n$plan")
+    // the only nested-loop join is the documented cross of two LITERALLY
+    // one-row aggregates (sketches x exact refs) — more than one means a
+    // data-sized frame leaked into the cross (count the AQE FINAL plan
+    // only: the adaptive toString appends an "== Initial Plan ==" section
+    // that would double every operator)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size == 1,
+      s"t26 expects exactly the one 1x1 bounded cross:\n$plan")
+  }
+
+  test("t27 grouped KMV: object-hash partials per source, broadcast exact join") {
+    val plan = executedPlan("t27_kmv_grouped")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"t27's grouped sketch must be the partial+final ObjectHashAggregate pair:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"t27 must not fall back to sort-based aggregation:\n$plan")
+    // 20 sketch rows join 20 exact rows — broadcast hash, never a
+    // shuffled merge join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"t27's sketch-exact join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"t27 must not merge-join two 20-row frames:\n$plan")
+    assertNoQuadraticJoins("t27", plan)
+  }
 }

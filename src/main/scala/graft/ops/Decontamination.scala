@@ -113,7 +113,11 @@ object Decontamination {
   def decontaminateBySet(df: DataFrame, gramSet: Array[Byte], textCol: String,
       benchmarkPred: Column, n: Int = 8): DataFrame = {
     import graft.functions.MembershipFunctions
-    df.filter(!coalesce(benchmarkPred, lit(false)))
+    // the probe is per-row heavy (re-shingle + binary search per gram) and
+    // fuses into the scan stage — spread a near-singleton split count first
+    // (no-op on streams and many-file tables; see TextOps.spreadCompute)
+    TextOps.spreadCompute(df)
+      .filter(!coalesce(benchmarkPred, lit(false)))
       .filter(!MembershipFunctions.any_gram_in_set(
         gramSet, TextOps.tokens(col(textCol)), n))
   }
@@ -153,7 +157,9 @@ object Decontamination {
       n: Int = 8): DataFrame = {
     import graft.functions.MembershipFunctions
     val pred = coalesce(benchmarkPred, lit(false))
-    val corpus = df.filter(!pred)
+    // spread the per-row bloom probe off a near-singleton split count
+    // (see decontaminateBySet)
+    val corpus = TextOps.spreadCompute(df).filter(!pred)
     val suspicious = corpus.filter(MembershipFunctions.any_gram_in_bloom(
       bloom, TextOps.tokens(col(textCol)), n))
     val benchGrams = grams(df.filter(pred), idCol, textCol, n)

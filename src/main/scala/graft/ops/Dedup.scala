@@ -113,7 +113,8 @@ object Dedup {
       scope: CacheScope): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"window must span >= 2 tokens: $k")
-    val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+    val toks = TextOps.spreadCompute(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
       .withColumn("n_tokens", size(col("_toks")).cast("long"))
     val wins0 = toks
       .select(col(idCol), posexplode(TextOps.shingles(col("_toks"), k))
@@ -214,9 +215,13 @@ object Dedup {
       hashed.join(broadcast(hot), Seq("sh"), "left_anti")
     }
 
-  /** Exact dedup: survivor = min id per identical key column. */
+  /** Exact dedup: survivor = min id per identical key column. The key is
+    * typically a fingerprint (regex-normalize + md5) computed map-side —
+    * scan-fused per-row-heavy work, so near-singleton split counts are
+    * spread first (TextOps.spreadCompute; no-op at scale and on streams).
+    */
   def exactSurvivors(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
-    df.groupBy(keyCol.as("dedup_key"))
+    TextOps.spreadCompute(df).groupBy(keyCol.as("dedup_key"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
   /** Incremental exact dedup — the daily-ingest form every growing corpus
@@ -231,8 +236,11 @@ object Dedup {
     */
   def incrementalExactSurvivors(history: DataFrame, incoming: DataFrame,
       idCol: String, keyCol: Column): DataFrame = {
-    val histKeys = history.select(keyCol.as("dedup_key")).distinct()
-    incoming.groupBy(keyCol.as("dedup_key"))
+    // both sides' fingerprint keys are scan-fused per-row work — spread
+    // near-singleton split counts (no-op at scale; see exactSurvivors)
+    val histKeys = TextOps.spreadCompute(history)
+      .select(keyCol.as("dedup_key")).distinct()
+    TextOps.spreadCompute(incoming).groupBy(keyCol.as("dedup_key"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .join(histKeys, Seq("dedup_key"), "left_anti")
   }
@@ -252,7 +260,10 @@ object Dedup {
     * in the Jaccard/decontamination plans.
     */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+    // spread before tokenizing: the shingle chain fuses into the scan stage,
+    // so a near-singleton split count serializes it (TextOps.spreadCompute)
+    TextOps.spreadCompute(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
       .select(col(idCol),
         explode(array_distinct(TextOps.shingles(col("_toks"), n))).as("shingle"))
 
@@ -270,6 +281,12 @@ object Dedup {
     */
   private def overlapPairs(shingles: DataFrame, idCol: String, maxDf: Long,
       scope: CacheScope): DataFrame = {
+    // NOTE (r16): caching BEFORE the df cap was tried and reverted — it
+    // moves the hot-set build onto the cache, but the anti-join + hot
+    // aggregate then replicate into EVERY consumer subtree (d03 measured
+    // 3× slower, 32 InMemoryTableScans). The post-cap cache pays the hot
+    // build one extra pass of the shingle chain, which spreadCompute has
+    // made parallel — the cheaper trade.
     val hashed = scope.cached(capDocFreq(
       shingles.select(col(idCol), xxhash64(col("shingle")).as("sh")),
       maxDf))
@@ -323,7 +340,7 @@ object Dedup {
     */
   def prioritySurvivors(df: DataFrame, idCol: String, keyCol: Column,
       priority: Column): DataFrame =
-    df.groupBy(keyCol.as("dedup_key"))
+    TextOps.spreadCompute(df).groupBy(keyCol.as("dedup_key"))
       .agg(min(struct(priority.as("priority"), col(idCol).as(idCol))).as("m"),
         count(lit(1)).as("n_dups"))
       .select(col("m." + idCol).as(idCol), col("m.priority").as("priority"),
@@ -506,6 +523,9 @@ object Dedup {
       shingleSet(df, idCol, textCol)
         .select(col(idCol), xxhash64(col("shingle")).as("sh")),
       maxDocFreq), col(idCol), force = pinLayout))
+    // NOTE (r16): an eager hashed.count() to pre-build the cache before its
+    // four concurrent consumer stages was measured a wash (the extra job
+    // costs what the block-lock contention saves) — left lazy.
     val cands = lshCandidates(minhashSignaturesHashed(hashed, idCol, k), idCol, k, bands,
       maxBucket = maxDocFreq)
     val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
@@ -703,7 +723,8 @@ object Dedup {
     * `graft.functions.simhash_agg` (TypedImperativeAggregate).
     */
   def simhashViaBits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+    val tok = TextOps.spreadCompute(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val masks = typedlit((0 until 64).map(b => 1L << b))
     val bitVotes = tok.select(col(idCol),
@@ -723,7 +744,8 @@ object Dedup {
     * shuffle with a 256-byte buffer instead of 64 bit-vote rows per token.
     */
   def simhashAggregate(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+    TextOps.spreadCompute(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
       .groupBy(col(idCol))
       .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
@@ -738,7 +760,8 @@ object Dedup {
     * pair-equivalent on the fixture corpus in OpsSpec).
     */
   def simhashAggregateFmix(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+    TextOps.spreadCompute(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", graft.functions.FmixTokenHash63.fmix_token_hash63(col("tok")))
       .groupBy(col(idCol))
       .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))

@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Inclusive upper bound of each Morton coordinate: the key interleaves
     * 16 bits per dimension, so every caller must deliver coordinates in
     * [0, 65535] (pmod / bucketize first). Out-of-domain values would WRAP
@@ -141,6 +144,25 @@ object Layout {
     val ranges = zorderRanges(aLo, aHi, bLo, bHi, maxRanges)
     val stats = fileStats(spark, dir)
     (filesOverlapping(stats, ranges), stats.length.toLong)
+  }
+
+  /** Coarse envelope AND split cover from ONE stats pass — for callers that
+    * want both (e.g. to assert the split cover is no worse): the two
+    * single-cover entry points each read the directory's footers, so asking
+    * them separately doubles the metadata pass. Returns
+    * (coarseFiles, splitFiles, totalFiles).
+    */
+  def zorderFilesForBoth(spark: org.apache.spark.sql.SparkSession,
+      dir: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      maxRanges: Int = 64): (Seq[String], Seq[String], Long) = {
+    requireBox(aLo, aHi, bLo, bHi)
+    val zLo = mortonOf(aLo, bLo)
+    val zHi = mortonOf(aHi, bHi)
+    val ranges = zorderRanges(aLo, aHi, bLo, bHi, maxRanges)
+    val stats = fileStats(spark, dir)
+    val coarse = stats.filter { case (_, zmin, zmax) =>
+      zmax >= zLo && zmin <= zHi }.map(_._1).toSeq
+    (coarse, filesOverlapping(stats, ranges), stats.length.toLong)
   }
 
   /** Files whose [zmin, zmax] overlaps some cover range (ranges disjoint
@@ -382,6 +404,21 @@ object Layout {
     (filesOverlapping(stats, ranges), stats.length.toLong)
   }
 
+  /** 3-D twin of [[zorderFilesForBoth]] — one stats pass for both covers. */
+  def zorderFilesForBoth3(spark: org.apache.spark.sql.SparkSession,
+      dir: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      cLo: Long, cHi: Long, maxRanges: Int = 64)
+      : (Seq[String], Seq[String], Long) = {
+    requireBox3(aLo, aHi, bLo, bHi, cLo, cHi)
+    val zLo = mortonOf3(aLo, bLo, cLo)
+    val zHi = mortonOf3(aHi, bHi, cHi)
+    val ranges = zorderRanges3(aLo, aHi, bLo, bHi, cLo, cHi, maxRanges)
+    val stats = fileStats3(spark, dir)
+    val coarse = stats.filter { case (_, zmin, zmax) =>
+      zmax >= zLo && zmin <= zHi }.map(_._1).toSeq
+    (coarse, filesOverlapping(stats, ranges), stats.length.toLong)
+  }
+
   /** What [[compactSmallFiles]] did, for callers/specs: counts are file
     * counts, bytes are input data-file bytes (small = below the threshold).
     */
@@ -475,15 +512,76 @@ object Layout {
         s"got a=[$aLo,$aHi] b=[$bLo,$bHi] c=[$cLo,$cHi]")
   }
 
-  /** Per-file zkey min/max from the persisted key — the same numbers a
-    * parquet footer carries. O(numFiles) rows to the driver, never
-    * data-sized.
+  /** Per-file zkey min/max FROM THE PARQUET FOOTERS — O(numFiles) metadata
+    * reads, zero data decoded (optimization guide §6: skip-set planning must
+    * ride file statistics, not a table scan; the previous form computed the
+    * "same numbers a parquet footer carries" by aggregating the persisted
+    * key over EVERY ROW, i.e. a full-table read per skip-set request —
+    * data-sized at 100 TB). The zkey column is a non-null INT64 written by
+    * the Spark parquet writer, so exact row-group min/max statistics are
+    * always present; should a footer ever lack them (foreign writer,
+    * suppressed stats), the data-scan twin below answers for the whole
+    * directory so the skip set is NEVER built from partial knowledge.
+    *
+    * Files with zero rows are excluded, matching the scan form (a row-less
+    * file has no `input_file_name()` group — and no key range to overlap).
     */
   private def fileStats(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Array[(String, Long, Long)] =
+      dir: String, key: String = "zkey"): Array[(String, Long, Long)] =
+    try fileStatsFromFooters(spark, dir, key)
+    catch {
+      case e: Exception =>
+        log.warn(s"footer stats unavailable for $dir ($key): ${e.getMessage}" +
+          " — falling back to the data-scan form")
+        fileStatsFromScan(spark, dir, key)
+    }
+
+  private def fileStatsFromFooters(spark: org.apache.spark.sql.SparkSession,
+      dir: String, key: String): Array[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    val files = fs.listStatus(path).filter(st => st.isFile && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
+    files.flatMap { st =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        if (blocks.map(_.getRowCount).sum == 0L) None
+        else {
+          var zmin = Long.MaxValue
+          var zmax = Long.MinValue
+          blocks.foreach { b =>
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == key)
+              .getOrElse(throw new IllegalStateException(
+                s"${st.getPath}: no column chunk for $key"))
+            val stats = cc.getStatistics
+            require(stats != null && !stats.isEmpty && stats.hasNonNullValue,
+              s"${st.getPath}: footer carries no $key min/max")
+            zmin = math.min(zmin,
+              stats.genericGetMin.asInstanceOf[java.lang.Long].longValue)
+            zmax = math.max(zmax,
+              stats.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+          }
+          Some((st.getPath.toString, zmin, zmax))
+        }
+      } finally reader.close()
+    }
+  }
+
+  /** Data-scan twin of [[fileStatsFromFooters]] — the pre-r16 form, kept
+    * only as the fallback for footers without statistics.
+    */
+  private def fileStatsFromScan(spark: org.apache.spark.sql.SparkSession,
+      dir: String, key: String): Array[(String, Long, Long)] =
     spark.read.parquet(dir)
       .groupBy(input_file_name().as("file"))
-      .agg(min("zkey").as("zmin"), max("zkey").as("zmax"))
+      .agg(min(key).as("zmin"), max(key).as("zmax"))
       .collect()
       .map(r => (r.getAs[String]("file"), r.getAs[Long]("zmin"),
         r.getAs[Long]("zmax")))
@@ -491,12 +589,7 @@ object Layout {
   /** [[fileStats]] for a [[zorderWrite3]] layout (persisted key `zkey3`). */
   private def fileStats3(spark: org.apache.spark.sql.SparkSession,
       dir: String): Array[(String, Long, Long)] =
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("file"))
-      .agg(min("zkey3").as("zmin"), max("zkey3").as("zmax"))
-      .collect()
-      .map(r => (r.getAs[String]("file"), r.getAs[Long]("zmin"),
-        r.getAs[Long]("zmax")))
+    fileStats(spark, dir, "zkey3")
 
   /** Driver-side Morton key (same bit layout as [[zorderKey2]]). */
   def mortonOf(a: Long, b: Long): Long = {

@@ -26,6 +26,33 @@ object Similarity {
   def quantize(emb: Column, scale: Int = 10000): Column =
     graft.functions.VectorFunctions.quantize_vec(emb, scale)
 
+  /** Run `n` INDEPENDENT per-subspace training loops as overlapping Spark
+    * jobs (optimization guide §2.6: actions are only sequential because the
+    * driver calls them sequentially). The PQ codebooks per subvector slice
+    * share no state — each loop's jobs are tiny (collect of ≤nlist centroid
+    * rows over the cached base), so run serially their wall is dominated by
+    * per-job scheduling latency, not compute: s10 measured 8 sequential
+    * pqLoops = 16 driver-barrier jobs. Results are deterministic and
+    * identical to the sequential form: each subspace's trajectory depends
+    * only on its own slice, and the returned Seq keeps subspace order.
+    * Callers MUST materialize any shared cached input first (one cheap
+    * count()) so concurrent first-touch jobs don't recompute the cache
+    * source once per thread — at corpus scale the duplicate scan, not the
+    * thread count, is the hazard.
+    */
+  private def inParallel[T](n: Int)(f: Int => T): Seq[T] =
+    if (n <= 1) Seq.tabulate(n)(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(n, 8))
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val futs = Vector.tabulate(n)(i => scala.concurrent.Future(f(i)))
+        futs.map(scala.concurrent.Await.result(_,
+          scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
+    }
+
   /** Exact integer dot product — native codegen'd kernel (tight long loop,
     * no per-element lambda frames; see [[graft.functions.DotProductQ]]).
     */
@@ -69,7 +96,10 @@ object Similarity {
   def knnExactQuantized(emb: DataFrame, idCol: String, embCol: String,
       queryPred: Column, k: Int = 10, maxQueryRows: Long = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = emb.select(col(idCol), quantize(col(embCol)).as("qv"))
+    // n×queries dot products fuse into the corpus scan stage — spread a
+    // near-singleton split count first (TextOps.spreadCompute)
+    val q = TextOps.spreadCompute(emb.select(col(idCol), col(embCol)))
+      .select(col(idCol), quantize(col(embCol)).as("qv"))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
     val queries = q.filter(queryPred)
       .select(col(idCol).as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
@@ -362,7 +392,10 @@ object Similarity {
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
-    val base = emb.select(col(idCol), quantize(col(embCol)).as("qv"))
+    // the n·(n−1)/2 dot products fuse into the probe-side scan stage —
+    // spread a near-singleton split count first (TextOps.spreadCompute)
+    val base = TextOps.spreadCompute(emb.select(col(idCol), col(embCol)))
+      .select(col(idCol), quantize(col(embCol)).as("qv"))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
     val x = base.select(col(idCol).as("d1"), col("qv").as("v1"), col("nrm").as("n1"))
     val y = base.select(col(idCol).as("d2"), col("qv").as("v2"), col("nrm").as("n2"))
@@ -425,7 +458,10 @@ object Similarity {
     // n·tables·planes; 0 keeps the input partitioning (the oracle-gated
     // registry form, whose plan is pinned in ExplainSpec).
     val spread =
-      if (parallelism > 0) emb.repartition(parallelism) else emb
+      if (parallelism > 0) emb.repartition(parallelism)
+      // registry/auto-sized-elsewhere form: still unserialize a
+      // near-singleton split count (the signature compute is scan-fused)
+      else TextOps.spreadCompute(emb)
     val vecs = scope.cached(
       spread.select(col(idCol), col(embCol).as("e"))
         .withColumn("qv", quantize(col("e")))
@@ -496,7 +532,10 @@ object Similarity {
       maxCentroids: Int = 20000,
       maxCentroidBytes: Long = 32L << 20): DataFrame = {
     requireIntegralId(emb, idCol, "semDedup")
-    val base = emb.select(col(idCol), quantize(col(embCol)).as("qv"))
+    // the argmax-centroid kernel projection fuses into the scan stage —
+    // spread a near-singleton split count first (TextOps.spreadCompute)
+    val base = TextOps.spreadCompute(emb.select(col(idCol), col(embCol)))
+      .select(col(idCol), quantize(col(embCol)).as("qv"))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
     // centroids to the driver, sorted ascending by cid so the kernel's
     // tie-toward-higher-index matches max(struct(ccos, cid))'s higher-cid
@@ -866,7 +905,8 @@ object Similarity {
     val base = scope.cached(
       emb.select(col(idCol).cast("long").as(idCol),
         quantize(col(embCol)).as("qv")))
-    val books: Seq[Seq[(Long, Seq[Long])]] = (0 until subspaces).map { ms =>
+    base.count() // materialize once; the concurrent loops below share it
+    val books: Seq[Seq[(Long, Seq[Long])]] = inParallel(subspaces) { ms =>
       pqLoop(base.select(col(idCol),
         slice(col("qv"), ms * sub + 1, sub).as("sv")), idCol, initPred, iters)
     }
@@ -940,8 +980,10 @@ object Similarity {
       .withColumn("cv", element_at(typedlit(coarseCvs), col("ci") + 1))
       .withColumn("rv", zip_with(col("qv"), col("cv"), (a, b) => a - b))
       .select(col(idCol), col("cid"), col("cv"), col("rv")))
-    // per-subspace residual codebooks, then encode + reconstruct
-    val books: Seq[Seq[(Long, Seq[Long])]] = (0 until subspaces).map { ms =>
+    resid.count() // materialize once; the concurrent loops below share it
+    // per-subspace residual codebooks (independent — overlapped, see
+    // [[inParallel]]), then encode + reconstruct
+    val books: Seq[Seq[(Long, Seq[Long])]] = inParallel(subspaces) { ms =>
       pqLoop(resid.select(col(idCol),
         slice(col("rv"), ms * sub + 1, sub).as("sv")), idCol, initPred, iters)
     }

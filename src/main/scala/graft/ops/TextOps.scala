@@ -13,6 +13,30 @@ object TextOps {
   /** Whitespace tokenizer (documents corpus is pre-normalized lowercase). */
   def tokens(text: Column): Column = split(text, "\\s+")
 
+  /** Spread a COMPUTE-HEAVY projection's input across cores when the scan
+    * collapses to fewer splits than `width` (optimization guide §2.5 "input
+    * skew: one huge unsplittable file … repartition immediately after the
+    * read"). The tokenize/shingle/probe chains below are fused into the
+    * scan stage, so their cost rides the SPLIT count, not the shuffle
+    * width — one small parquet file (or one unsplittable gzip at scale)
+    * serializes the whole corpus's token work onto one core (d02 measured a
+    * 1.25 s single task at sf0.1 while 31 cores idled). The round-robin
+    * repartition is an explicit numPartitions form, so AQE never coalesces
+    * it away; `width` is capped at 8 — enough to unserialize the scan
+    * stage while keeping per-task fixed costs amortized (r12 measured
+    * width-32 kilobyte partitions as +40-50 % wall on this corpus via pure
+    * scheduling overhead). On a many-file table (every real corpus) the
+    * split count already exceeds `width` and this is a no-op — the shuffle
+    * only ever moves data that fit in ≤ width-1 splits.
+    */
+  def spreadCompute(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val width = math.min(8,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    if (width <= 1 || df.rdd.getNumPartitions >= width) df
+    else df.repartition(width)
+  }
+
   /** Word n-gram shingles. Guarded for short docs (sequence would descend). */
   def shingles(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
@@ -93,7 +117,7 @@ object TextOps {
   def distinctiveTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = df
+    val tf = spreadCompute(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -149,7 +173,7 @@ object TextOps {
     */
   def rareNgramNovelty(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, maxDf: Long = 1): DataFrame = {
-    val grams = df
+    val grams = spreadCompute(df.select(col(idCol), col(textCol)))
       .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol), explode(array_distinct(shingles(col("_toks"), n))).as("g"))
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
@@ -190,7 +214,8 @@ object TextOps {
     */
   def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    spreadCompute(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol), explode(shingles(col("_toks"), n)).as("g"))
       .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
       .groupBy(idCol)
@@ -224,7 +249,8 @@ object TextOps {
     // bigram stream — uncached, the corpus tokenize+explode runs twice
     // (r6 ADVICE; same discipline as the shingle streams in Dedup)
     val bg = scope.cached(
-      df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      spreadCompute(df.select(col(idCol), col(textCol)))
+        .select(col(idCol), tokens(col(textCol)).as("_toks"))
         .select(col(idCol), explode(shingles(col("_toks"), 2)).as("bg")))
     val lm = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))

@@ -950,7 +950,9 @@ $prRounds
     // plan, and the oracle recomputes the entire chain in SQL.
     ("d07_curation_pipeline", (s: SparkSession, dir: String) => {
       import org.apache.spark.sql.expressions.Window
-      val scored = rd(s, dir, "documents")
+      // tokenize+score is scan-fused per-row-heavy work — spread a
+      // near-singleton split count first (TextOps.spreadCompute)
+      val scored = TextOps.spreadCompute(rd(s, dir, "documents"))
         .withColumn("toks", TextOps.tokens(col("text")))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))

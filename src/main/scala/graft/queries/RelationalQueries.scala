@@ -511,8 +511,11 @@ object RelationalQueries {
         pmod(col("l_partkey"), lit(65536)), pmod(col("l_suppkey"), lit(65536)),
         tmp, numFiles = 16)
       val (aLo, aHi, bLo, bHi) = (64L, 1600L, 16L, 72L)
-      val (coarse, _) = Layout.zorderFilesFor(s, tmp, aLo, aHi, bLo, bHi)
-      val (split, _) = Layout.zorderFilesForSplit(s, tmp, aLo, aHi, bLo, bHi)
+      // both covers from ONE footer-stats pass (guide §6 — planning reads
+      // metadata, not the table; asking the two entry points separately
+      // would read every footer twice)
+      val (coarse, split, _) =
+        Layout.zorderFilesForBoth(s, tmp, aLo, aHi, bLo, bHi)
       s.read.parquet(split: _*)
         .filter(pmod(col("l_partkey"), lit(65536)).between(aLo, aHi) &&
           pmod(col("l_suppkey"), lit(65536)).between(bLo, bHi))
@@ -639,9 +642,8 @@ object RelationalQueries {
         pmod(col("l_orderkey"), lit(65536)), tmp, numFiles = 16)
       val (aLo, aHi, bLo, bHi, cLo, cHi) =
         (64L, 1600L, 16L, 72L, 256L, 16384L)
-      val (coarse, _) = Layout.zorderFilesFor3(s, tmp,
-        aLo, aHi, bLo, bHi, cLo, cHi)
-      val (split, _) = Layout.zorderFilesForSplit3(s, tmp,
+      // both covers from ONE footer-stats pass (see q52)
+      val (coarse, split, _) = Layout.zorderFilesForBoth3(s, tmp,
         aLo, aHi, bLo, bHi, cLo, cHi)
       // an empty keep-set means the box misses every file's key range; a
       // varargs-empty parquet read would throw an opaque error instead

@@ -226,6 +226,55 @@ class LayoutSpec extends SparkSpec {
     assert(got === expected, "split file pruning must not drop box rows")
   }
 
+  test("zorderFilesForBoth: one stats pass reproduces both covers exactly") {
+    val tmpZ = java.nio.file.Files.createTempDirectory("graft_zboth_").toString
+    val grid = spark.range(65536L)
+      .select(col("id"),
+        shiftleft(col("id").bitwiseAND(lit(255L)), 8).as("ca"),
+        shiftleft(shiftright(col("id"), 8).bitwiseAND(lit(255L)), 8).as("cb"))
+    Layout.zorderWrite(grid, col("ca"), col("cb"), tmpZ, 16)
+    val (aLo, aHi, bLo, bHi) = (0L, 2047L, 32512L, 33535L)
+    val (coarse1, total1) = Layout.zorderFilesFor(spark, tmpZ, aLo, aHi, bLo, bHi)
+    val (split1, _) = Layout.zorderFilesForSplit(spark, tmpZ, aLo, aHi, bLo, bHi)
+    val (coarse2, split2, total2) =
+      Layout.zorderFilesForBoth(spark, tmpZ, aLo, aHi, bLo, bHi)
+    assert(coarse2.sorted === coarse1.sorted)
+    assert(split2.sorted === split1.sorted)
+    assert(total2 === total1)
+    intercept[IllegalArgumentException] {
+      Layout.zorderFilesForBoth(spark, "/nonexistent", -1L, 10L, 0L, 10L)
+    }
+  }
+
+  test("footer-based file stats agree with a data scan of the persisted key") {
+    // the skip set must be buildable from footer metadata alone; this pins
+    // that the footer min/max equal the scanned min/max per file (the
+    // pre-r16 scan form survives only as the no-stats fallback)
+    val tmpZ = java.nio.file.Files.createTempDirectory("graft_zfoot_").toString
+    val grid = spark.range(4096L)
+      .select(col("id"),
+        shiftleft(col("id").bitwiseAND(lit(63L)), 10).as("ca"),
+        shiftleft(shiftright(col("id"), 6).bitwiseAND(lit(63L)), 10).as("cb"))
+    Layout.zorderWrite(grid, col("ca"), col("cb"), tmpZ, 8)
+    val scanned = spark.read.parquet(tmpZ)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("zkey").as("zmin"), max("zkey").as("zmax"))
+      .collect()
+      .map(r => (r.getAs[Long]("zmin"), r.getAs[Long]("zmax"))).sorted
+    // the full-domain box keeps every file; its stats pass is footer-based
+    val (all, total) = Layout.zorderFilesFor(spark, tmpZ,
+      0L, Layout.CoordMax, 0L, Layout.CoordMax)
+    assert(all.size.toLong === total)
+    // per-file ranges from the footers must tile exactly like the scan's:
+    // re-derive them by scanning the kept files one at a time
+    val byFooter = all.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("zkey").as("zmin"), max("zkey").as("zmax")).head
+      (r.getAs[Long]("zmin"), r.getAs[Long]("zmax"))
+    }.sorted
+    assert(byFooter === scanned.toSeq)
+  }
+
   test("zorderRanges3: exact cover is disjoint, increasing, and exactly the box") {
     val (aLo, aHi, bLo, bHi, cLo, cHi) = (3L, 60L, 9L, 200L, 7L, 50L)
     val rs = Layout.zorderRanges3(aLo, aHi, bLo, bHi, cLo, cHi,

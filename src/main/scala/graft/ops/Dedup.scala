@@ -215,13 +215,13 @@ object Dedup {
       hashed.join(broadcast(hot), Seq("sh"), "left_anti")
     }
 
-  /** Exact dedup: survivor = min id per identical key column. The key is
-    * typically a fingerprint (regex-normalize + md5) computed map-side —
-    * scan-fused per-row-heavy work, so near-singleton split counts are
-    * spread first (TextOps.spreadCompute; no-op at scale and on streams).
+  /** Exact dedup: survivor = min id per identical key column.
+    * NOTE (r16): spreading the scan (TextOps.spreadCompute) was measured
+    * slightly WORSE here — the fingerprint projection is too light for the
+    * extra exchange at the gated scale, and a real corpus has many splits.
     */
   def exactSurvivors(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
-    TextOps.spreadCompute(df).groupBy(keyCol.as("dedup_key"))
+    df.groupBy(keyCol.as("dedup_key"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
   /** Incremental exact dedup — the daily-ingest form every growing corpus
@@ -236,11 +236,8 @@ object Dedup {
     */
   def incrementalExactSurvivors(history: DataFrame, incoming: DataFrame,
       idCol: String, keyCol: Column): DataFrame = {
-    // both sides' fingerprint keys are scan-fused per-row work — spread
-    // near-singleton split counts (no-op at scale; see exactSurvivors)
-    val histKeys = TextOps.spreadCompute(history)
-      .select(keyCol.as("dedup_key")).distinct()
-    TextOps.spreadCompute(incoming).groupBy(keyCol.as("dedup_key"))
+    val histKeys = history.select(keyCol.as("dedup_key")).distinct()
+    incoming.groupBy(keyCol.as("dedup_key"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .join(histKeys, Seq("dedup_key"), "left_anti")
   }
@@ -340,7 +337,7 @@ object Dedup {
     */
   def prioritySurvivors(df: DataFrame, idCol: String, keyCol: Column,
       priority: Column): DataFrame =
-    TextOps.spreadCompute(df).groupBy(keyCol.as("dedup_key"))
+    df.groupBy(keyCol.as("dedup_key"))
       .agg(min(struct(priority.as("priority"), col(idCol).as(idCol))).as("m"),
         count(lit(1)).as("n_dups"))
       .select(col("m." + idCol).as(idCol), col("m.priority").as("priority"),

@@ -96,10 +96,11 @@ object Similarity {
   def knnExactQuantized(emb: DataFrame, idCol: String, embCol: String,
       queryPred: Column, k: Int = 10, maxQueryRows: Long = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // n×queries dot products fuse into the corpus scan stage — spread a
-    // near-singleton split count first (TextOps.spreadCompute)
-    val q = TextOps.spreadCompute(emb.select(col(idCol), col(embCol)))
-      .select(col(idCol), quantize(col(embCol)).as("qv"))
+    // NOTE (r16): spreading the scan (TextOps.spreadCompute) was measured
+    // WORSE here (+50 % isolated wall) — the n×queries verify is too light
+    // at the gated scale to pay for the exchange, and at corpus scale the
+    // input has many splits anyway.
+    val q = emb.select(col(idCol), quantize(col(embCol)).as("qv"))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
     val queries = q.filter(queryPred)
       .select(col(idCol).as("qid"), col("qv").as("qq"), col("nrm").as("qn"))

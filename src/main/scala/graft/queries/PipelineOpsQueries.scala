@@ -2513,7 +2513,15 @@ $prRounds
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType), StructField("ts", TimestampType))))
         .parquet(s"$tmp/src")
-      graft.streaming.StreamOps.runAtStateWidth(s)(
+      // state width from state volume (fp rows ≤ input rows — footer count,
+      // no Spark job); the trailing no-data micro-batch is skipped:
+      // dropDuplicatesWithinWatermark emits survivors IN the data batch, so
+      // that batch exists only to evict state the AvailableNow run is about
+      // to discard (see runAtStateWidth's doc for when this is legal)
+      graft.streaming.StreamOps.runAtStateWidth(s,
+        expectedStateRows =
+          graft.streaming.StreamOps.parquetRowCount(s, s"$tmp/src"),
+        skipTrailingNoDataBatch = true)(
         graft.streaming.StreamOps.dedupDocumentStream(stream, "text", "ts", "24 hours")
         .writeStream.format("parquet")
         .option("path", s"$tmp/sink")
@@ -2544,7 +2552,12 @@ $prRounds
       rd(s, dir, "events").coalesce(1).write.parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(graft.streaming.StreamOps.rawEventSchema).parquet(s"$tmp/src")
-      graft.streaming.StreamOps.runAtStateWidth(s)(
+      // window-agg state rows ≤ input rows (loose; the true bound is
+      // windows×types, unknowable pre-scan). The trailing no-data batch is
+      // KEPT: append-mode windowed agg emits finalized windows in it.
+      graft.streaming.StreamOps.runAtStateWidth(s,
+        expectedStateRows =
+          graft.streaming.StreamOps.parquetRowCount(s, s"$tmp/src"))(
         graft.streaming.StreamOps.hourlyProtectedAgg(stream)
         .writeStream.format("parquet")
         .option("path", s"$tmp/sink")
@@ -2586,6 +2599,7 @@ $prRounds
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType))))
         .parquet(s"$tmp/src")
+      // stateless projection: no state, no watermark — width floor suffices
       graft.streaming.StreamOps.runAtStateWidth(s)(
         graft.streaming.StreamOps.decontaminateStream(stream, gramSet, "text", n = 8)
         .writeStream.format("parquet")
@@ -2635,7 +2649,12 @@ $prRounds
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType), StructField("ts", TimestampType))))
         .parquet(s"$tmp/src")
-      graft.streaming.StreamOps.runAtStateWidth(s)(
+      // same width/no-data-batch discipline as st01 (signature dedup emits
+      // survivors in the data batch; the trailing batch is pure eviction)
+      graft.streaming.StreamOps.runAtStateWidth(s,
+        expectedStateRows =
+          graft.streaming.StreamOps.parquetRowCount(s, s"$tmp/src"),
+        skipTrailingNoDataBatch = true)(
         graft.streaming.StreamOps.nearDupDedupDocumentStream(stream, "text",
             "ts", "24 hours", graft.streaming.StreamOps.md5TokenHash)
           .writeStream.format("parquet")
@@ -2668,7 +2687,11 @@ $prRounds
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType))))
         .parquet(s"$tmp/src")
-      graft.streaming.StreamOps.runAtStateWidth(s)(graft.streaming.StreamOps.sketchDocumentStream(stream, "text",
+      // CMS state is bounded a priori at depth×width CELLS (the operator's
+      // whole point) — the width derivation gets the exact bound
+      graft.streaming.StreamOps.runAtStateWidth(s,
+        expectedStateRows = 3L * 1024)(
+        graft.streaming.StreamOps.sketchDocumentStream(stream, "text",
           depth = 3, width = 1024)
         .writeStream.outputMode("complete")
         .format("memory").queryName("st05_sketch_out")
@@ -2709,7 +2732,11 @@ $prRounds
       rd(s, dir, "events").coalesce(1).write.parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(graft.streaming.StreamOps.rawEventSchema).parquet(s"$tmp/src")
-      graft.streaming.StreamOps.runAtStateWidth(s)(
+      // session state is one row per user ≤ input rows (footer count); no
+      // watermark → no trailing no-data batch exists to skip
+      graft.streaming.StreamOps.runAtStateWidth(s,
+        expectedStateRows =
+          graft.streaming.StreamOps.parquetRowCount(s, s"$tmp/src"))(
         graft.streaming.StreamOps
           .sessionizeStream(stream, 30, OutputMode.Append())
           .writeStream.outputMode("append").format("parquet")
@@ -2748,7 +2775,13 @@ $prRounds
       rd(s, dir, "events").coalesce(1).write.parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(graft.streaming.StreamOps.rawEventSchema).parquet(s"$tmp/src")
-      graft.streaming.StreamOps.runAtStateWidth(s)(
+      // join state ≤ both sides' rows within the horizon ≤ input rows; the
+      // trailing no-data batch is skipped — INNER stream-stream matches
+      // emit in the data batch, the trailing batch only prunes state
+      graft.streaming.StreamOps.runAtStateWidth(s,
+        expectedStateRows =
+          graft.streaming.StreamOps.parquetRowCount(s, s"$tmp/src"),
+        skipTrailingNoDataBatch = true)(
         graft.streaming.StreamOps.clickToPurchaseJoin(stream)
           .writeStream.format("parquet")
           .option("path", s"$tmp/sink")
@@ -2783,7 +2816,10 @@ $prRounds
       rd(s, dir, "documents").write.mode("overwrite").parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(s.read.parquet(s"$tmp/src").schema).parquet(s"$tmp/src")
-      graft.streaming.StreamOps.runAtStateWidth(s)(graft.streaming.StreamOps.hllRegisterStream(
+      // HLL state is bounded a priori at m = 1024 register rows
+      graft.streaming.StreamOps.runAtStateWidth(s,
+        expectedStateRows = 1024L)(
+        graft.streaming.StreamOps.hllRegisterStream(
           stream.withColumn("fp", TextOps.fingerprint(col("text"))), "fp")
         .writeStream.outputMode("complete")
         .format("memory").queryName("st08_hll_out")
@@ -2828,7 +2864,12 @@ $prRounds
         .write.mode("overwrite").parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(s.read.parquet(s"$tmp/src").schema).parquet(s"$tmp/src")
-      graft.streaming.StreamOps.runAtStateWidth(s)(graft.streaming.StreamOps.histogramStream(
+      // histogram state rows ≤ input rows (true bound: bins×groups, data-
+      // dependent; the loose bound still clamps to the floor locally)
+      graft.streaming.StreamOps.runAtStateWidth(s,
+        expectedStateRows =
+          graft.streaming.StreamOps.parquetRowCount(s, s"$tmp/src"))(
+        graft.streaming.StreamOps.histogramStream(
           stream, col("pc"), 4096L, Seq("l_returnflag"))
         .writeStream.outputMode("complete")
         .format("memory").queryName("st09_hist_out")
@@ -2870,7 +2911,8 @@ $prRounds
         .select(explode(array_distinct(
           TextOps.shingles(col("_toks"), 3))).as("shingle"))
         .select(graft.ops.Sketches.kmvHash(col("shingle")).as("h"))
-      graft.streaming.StreamOps.runAtStateWidth(s)(
+      // KMV state is ONE ≤ k-long buffer row however long the stream runs
+      graft.streaming.StreamOps.runAtStateWidth(s, expectedStateRows = 256L)(
         graft.streaming.StreamOps.kmvSketchStream(hashed, "h", 256)
           .writeStream.outputMode("complete")
           .format("memory").queryName("st10_kmv_out")

@@ -34,30 +34,95 @@ object StreamOps {
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
   }
 
+  /** Exact row count of a parquet directory from file FOOTERS — O(numFiles)
+    * metadata I/O, zero rows decoded (the [[graft.ops.Layout]] footer-stats
+    * discipline, guide §6). Streaming query sites use it to size the state
+    * width from the fixture they just wrote without an extra Spark job.
+    */
+  def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    fs.listStatus(path).filter(st => st.isFile && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }).map { st =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally reader.close()
+    }.sum
+  }
+
+  /** State-store width sized from EXPECTED STATE VOLUME (VERDICT r16 #2 —
+    * the width was a hardcoded 8, honest only at this harness's state
+    * sizes): width = clamp(ceil(expectedStateRows / targetRowsPerStore),
+    * minStateWidth, cap). The floor is the r16-measured contention point
+    * (st07, quiet gate: 32 stores = 15.1 s wall / 353 task-seconds with a
+    * UNIFORM ~6 s per task, 8 stores = 4.0 s / 12 task-seconds for
+    * identical output — per-store commit/maintenance contends across
+    * concurrent stores on one executor, so fewer, fuller stores win until
+    * state volume forces more). The target-rows-per-store default bounds
+    * one store's heap footprint (~2 M rows × ~100 B ≈ 200 MB) and its
+    * per-batch commit time; a 100 TB ingest with 10¹⁰ live keys derives
+    * width ≈ 5000 from the same formula — the width grows with the STATE,
+    * never with the core count. Both knobs are session-conf-overridable
+    * for production tuning.
+    *
+    * @param expectedStateRows upper bound on live state rows (input row
+    *   count for per-key dedup/join state; the a-priori cell bound for
+    *   fixed-size sketch state). Non-positive = unknown, floor wins.
+    */
+  def derivedStateWidth(spark: SparkSession, expectedStateRows: Long): Int = {
+    def confLong(key: String, dflt: Long): Long =
+      spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    val target = math.max(1L, confLong("spark.graft.streaming.targetRowsPerStore", 2000000L))
+    val floor = confLong("spark.graft.streaming.minStateWidth", 8L)
+    val need =
+      if (expectedStateRows <= 0) floor
+      else (expectedStateRows + target - 1) / target
+    math.max(floor, math.min(need, 1 << 20)).toInt
+  }
+
   /** Start a streaming query at a RIGHT-SIZED state-store width and run it
     * to completion ([[runToCompletion]] telemetry included). Streaming
     * state width is a different knob from the session's batch shuffle
     * width: `spark.sql.shuffle.partitions` at query start fixes the
-    * state-store partition count for the checkpoint's lifetime, and every
-    * stateful task pays per-store commit/maintenance that CONTENDS across
-    * concurrent stores on one executor — measured on st07 (r16, quiet
-    * gate): 32 stores = 15.1 s wall / 353 task-seconds with a UNIFORM ~6 s
-    * per task, 8 stores = 4.0 s / 12 task-seconds for identical output; the
-    * per-task cost is concurrency contention, not data. Size the width to
-    * STATE VOLUME (rows per store bounded by executor memory and commit
-    * time), never to the CPU-oriented batch width — at this harness's
-    * state sizes (≤ ~0.5 M rows at 100×, ~60 k rows/store at width 8)
-    * 8 is right; a 100 TB ingest with billions of live keys raises it with
-    * the state, not with the core count. The session width is restored
-    * after termination (the width is bound to the query at start; the
-    * sink-side batch reads run under the session default + AQE).
+    * state-store partition count for the checkpoint's lifetime. The width
+    * is derived from state volume — see [[derivedStateWidth]] for the
+    * formula and the r16 st07 contention measurements behind its floor.
+    * The session width is restored after termination (the width is bound
+    * to the query at start; the sink-side batch reads run under the
+    * session default + AQE).
+    *
+    * @param expectedStateRows state-volume bound passed to
+    *   [[derivedStateWidth]]; ≤ 0 uses the configured floor.
+    * @param skipTrailingNoDataBatch disable `noDataMicroBatches` for this
+    *   query. ONLY legal when the operator emits its output IN the data
+    *   batch (the dropDuplicates family, inner stream-stream joins): the trailing
+    *   no-data micro-batch then exists solely to evict state that an
+    *   AvailableNow run is about to discard with the checkpoint — a full
+    *   batch cycle (plan + offset log + 8-store commit + commit log) spent
+    *   on work with no observable output. A long-running production stream
+    *   keeps the default (eviction is what bounds state); an
+    *   emit-on-watermark operator (append-mode windowed agg — st02) MUST
+    *   keep it (the no-data batch is where finalized windows emit).
     */
-  def runAtStateWidth(spark: SparkSession, stateWidth: Int = 8)(
+  def runAtStateWidth(spark: SparkSession, expectedStateRows: Long = -1L,
+      skipTrailingNoDataBatch: Boolean = false)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val key = "spark.sql.shuffle.partitions"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, stateWidth.toString)
-    try runToCompletion(start) finally spark.conf.set(key, prev)
+    val prevNoData = spark.conf.get(noDataKey)
+    spark.conf.set(key, derivedStateWidth(spark, expectedStateRows).toString)
+    if (skipTrailingNoDataBatch) spark.conf.set(noDataKey, "false")
+    try runToCompletion(start)
+    finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(noDataKey, prevNoData)
+    }
   }
 
   /** events table schema as stored (naive timestamp[us]; the session reads
@@ -213,9 +278,15 @@ object StreamOps {
     * spark.sql.streaming.stateStore.providerClass) measured 4.4 s / st01
     * 2.3 s at the same heap — 5–12 % SLOWER at this state size (~10⁴–10⁵
     * signature rows): JNI + disk overhead beats heap pressure that isn't
-    * there. Default stays HDFS-backed; flip the knob when horizon state
-    * genuinely exceeds executor heap (10⁸+ rows/executor), which is the
-    * regime RocksDB exists for.
+    * there. Re-measured r17 WITH changelog checkpointing enabled
+    * (`...rocksdb.changelogCheckpointing.enabled=true`, the lighter
+    * per-batch commit that uploads a changelog instead of snapshotting):
+    * st01 1.74/1.80 s vs 1.59/1.77 default, st04 2.86/2.79 vs 2.97/2.77,
+    * st07 2.96/2.81 vs 2.42/2.51 — a wash on dedup state, 15 % slower on
+    * join state (gated clean windows both sides). Default stays
+    * HDFS-backed; flip the knob when horizon state genuinely exceeds
+    * executor heap (10⁸+ rows/executor), which is the regime RocksDB
+    * exists for — and enable changelog checkpointing with it there.
     */
   def nearDupDedupDocumentStream(docs: DataFrame, textCol: String = "text",
       tsCol: String = "ts", withinWatermark: String = "1 hour",

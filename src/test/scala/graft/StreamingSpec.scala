@@ -13,6 +13,25 @@ import graft.streaming.StreamOps
   */
 class StreamingSpec extends SparkSpec {
 
+  test("derivedStateWidth sizes from state volume with the configured floor") {
+    // unknown / tiny state → the floor (8 by default)
+    assert(StreamOps.derivedStateWidth(spark, -1L) === 8)
+    assert(StreamOps.derivedStateWidth(spark, 1000L) === 8)
+    // state volume drives the width past the floor: ceil(rows / target)
+    assert(StreamOps.derivedStateWidth(spark, 2000000L * 12) === 12)
+    assert(StreamOps.derivedStateWidth(spark, 2000000L * 12 + 1) === 13)
+    // both knobs are conf-overridable (production tuning surface)
+    spark.conf.set("spark.graft.streaming.targetRowsPerStore", "1000")
+    spark.conf.set("spark.graft.streaming.minStateWidth", "4")
+    try {
+      assert(StreamOps.derivedStateWidth(spark, 10L) === 4)
+      assert(StreamOps.derivedStateWidth(spark, 9001L) === 10)
+    } finally {
+      spark.conf.unset("spark.graft.streaming.targetRowsPerStore")
+      spark.conf.unset("spark.graft.streaming.minStateWidth")
+    }
+  }
+
   test("runAtStateWidth binds the state width to the query and restores the session width") {
     import org.apache.spark.sql.types._
     import spark.implicits._
@@ -23,7 +42,10 @@ class StreamingSpec extends SparkSpec {
       StructField("doc_id", LongType), StructField("text", StringType)))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     var widthDuring = -1
-    StreamOps.runAtStateWidth(spark, 4) {
+    // footer-based row count is the width input the query sites use
+    assert(StreamOps.parquetRowCount(spark, s"$root/src") === 3L)
+    spark.conf.set("spark.graft.streaming.minStateWidth", "4")
+    try StreamOps.runAtStateWidth(spark, expectedStateRows = 3L) {
       val stream = spark.readStream.schema(schema).parquet(s"$root/src")
         .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
       val q = StreamOps.dedupDocumentStream(stream, "text", "ts", "1 hour")
@@ -34,7 +56,7 @@ class StreamingSpec extends SparkSpec {
         .start()
       widthDuring = spark.conf.get("spark.sql.shuffle.partitions").toInt
       q
-    }
+    } finally spark.conf.unset("spark.graft.streaming.minStateWidth")
     assert(widthDuring === 4, "state width must be bound while the query starts")
     assert(spark.conf.get("spark.sql.shuffle.partitions") === prev,
       "session width must be restored after termination")

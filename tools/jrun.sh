@@ -1,0 +1,12 @@
+#!/bin/bash
+# Run a graft main with the same JVM options sbt's fork uses.
+MEM="${SPARK_DRIVER_MEM:-8g}"
+exec java -Xmx$MEM -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  --add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
+  --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED \
+  --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED \
+  --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED \
+  --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+  --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED \
+  --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
+  -cp 'target/scala-2.13/classes:/opt/spark/jars/*' "$@"

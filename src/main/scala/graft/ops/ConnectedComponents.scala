@@ -30,10 +30,12 @@ import org.apache.spark.sql.functions._
   *    executors — one lost executor mid-round kills the job (lineage is
   *    truncated). For cluster deployments pass `checkpointDir` to use
   *    reliable `checkpoint()` into fault-tolerant storage instead;
-  *  - convergence is decided by two constant-size checks on the
-  *    (checkpointed, already-small) edge set — an aggregate for "every
-  *    child has exactly one root" and a semi-join for "no root is also a
-  *    child" — never a driver-side collect of the data.
+  *  - convergence ("every child has exactly one root, no root is also a
+  *    child") is decided INSIDE each round's materialization job: the
+  *    per-node predicate rides largeStar's own minimum aggregate and its
+  *    global count crosses to the driver as one observed metric — never a
+  *    separate check job, never a driver-side collect of the data (see
+  *    [[largeStarChecked]] and the loop in [[run]]).
   */
 object ConnectedComponents {
   @transient private lazy val log =
@@ -90,16 +92,36 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v"))
       .distinct())
 
-    var converged = isDisjointStars(e)
+    // FUSED convergence check (VERDICT r16 #4): the old loop paid TWO jobs
+    // per round — the checkpoint materialization plus a separate
+    // isDisjointStars aggregate. The disjoint-stars test of a round's INPUT
+    // is exactly a per-node predicate over largeStar's own per-node minimum
+    // aggregate, so each round's materialization now computes it for free
+    // via an `observe` on that aggregate ([[largeStarChecked]] — a global
+    // violation count, partial-agg-combined like the min itself, no extra
+    // grouping, no hot-key exposure). One job per round. The price is that
+    // e_i's verdict arrives with round i+1's output: the loop learns it
+    // converged one round late and runs one extra round on the FINAL star
+    // set — a no-op by the fixed-point property (largeStar and smallStar
+    // leave a disjoint union of stars exactly unchanged, so the discarded
+    // output EQUALS the input), and the final star set is the run's
+    // smallest edge set, so the extra round costs about what the (r+1)
+    // eliminated check jobs cost at scale and strictly less locally, where
+    // per-job latency dominates both.
     var round = 0
-    while (!converged && round < maxRounds) {
-      e = save(smallStar(largeStar(e)))
-      converged = isDisjointStars(e)
-      round += 1
+    var converged = false
+    while (!converged) {
+      val obs = org.apache.spark.sql.Observation()
+      val next = save(smallStar(largeStarChecked(e, Some(obs))))
+      // sum() over an empty mins table (empty edge set) observes null
+      val violations = obs.get.get("viol")
+        .collect { case n: Number => n.longValue }.getOrElse(0L)
+      if (violations == 0L) converged = true
+      else if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxRounds rounds")
+      else { e = next; round += 1 }
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxRounds rounds")
     // rounds × shuffles is the scale risk of any iterative op — record the
     // observed count so a scale run's telemetry records convergence cost
     // (the field, not the log line, is what the bench reads: bench sessions
@@ -122,9 +144,38 @@ object ConnectedComponents {
     * small-star's closing distinct absorbs them, so deduping here would be
     * a wasted shuffle.
     */
-  private[graft] def largeStar(e: DataFrame): DataFrame = {
-    val bi = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = bi.groupBy("u").agg(min(col("v")).as("mv"))
+  private[graft] def largeStar(e: DataFrame): DataFrame =
+    largeStarChecked(e, None)
+
+  /** [[largeStar]] with the disjoint-stars test of its INPUT fused into the
+    * per-node minimum aggregate (see the loop in [[run]]). The
+    * bi-orientation is a single-pass explode (two struct rows per edge) —
+    * the union-of-two-selects form scans the checkpointed input twice — and
+    * carries a child/root flag so `mins` can also aggregate, per node, the
+    * child-side edge count and a was-ever-a-root bit. Both are plain
+    * partial aggregates (map-side combined like the min itself — a giant
+    * star still costs one streaming pass, never one task's memory). The
+    * per-node violation predicate is [[isDisjointStars]]'s verbatim
+    * (`nc > 1` — a child with two roots — or child AND root), and its
+    * global sum rides the materialization as an observed metric: zero extra
+    * jobs, zero extra shuffles.
+    */
+  private[graft] def largeStarChecked(e: DataFrame,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val vType = e.schema("v").dataType
+    val bi = e.select(explode(array(
+        struct(col("u").as("n"), col("v").as("p"), lit(1).as("c")),
+        struct(col("v").as("n"), col("u").cast(vType).as("p"), lit(0).as("c"))))
+        .as("s"))
+      .select(col("s.n").as("u"), col("s.p").as("v"), col("s.c").as("c"))
+    val mins0 = bi.groupBy("u").agg(min(col("v")).as("mv"),
+      sum(col("c")).as("nc"), max(lit(1) - col("c")).as("isRoot"))
+    val mins = obs.fold(mins0) { o =>
+      mins0
+        .withColumn("_viol", (col("nc") > 1 ||
+          (col("nc") >= 1 && col("isRoot") === 1)).cast("long"))
+        .observe(o, sum(col("_viol")).as("viol"))
+    }
     bi.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), least(col("mv"), col("u")).as("v"))
@@ -149,7 +200,11 @@ object ConnectedComponents {
   /** True iff the canonical edge set is a DISJOINT union of stars — the
     * algorithm's true fixed point and a correct labeling (star operations
     * preserve connectivity, so each star is then exactly one component,
-    * rooted at its minimum). Two conditions, both required:
+    * rooted at its minimum). Since r17 the production loop computes this
+    * predicate fused into each round ([[largeStarChecked]]); this
+    * standalone form is kept as the spec's independent reference — the
+    * fused count must agree with it on every fixture. Two conditions, both
+    * required:
     *
     *  1. every child has exactly one root — child-side count == 1
     *     everywhere. Without this, a child bridging two roots (edges

@@ -125,6 +125,79 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("fused convergence count agrees with the standalone isDisjointStars") {
+    // canonical (u > v, distinct) fixtures spanning: converged single star,
+    // converged disjoint stars, the non-transitive shared-child triple
+    // (child with two roots — the case a side-disjointness test misses),
+    // a root that is also a child, and a long-path fragment
+    val fixtures: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((2L, 1L), (3L, 1L)),                       // one star: converged
+      Seq((2L, 1L), (3L, 1L), (11L, 10L)),           // disjoint stars
+      Seq((3L, 1L), (3L, 2L)),                       // child 3, roots 1 and 2
+      Seq((2L, 1L), (3L, 2L)),                       // 2 is child AND root
+      (1L until 6L).map(i => (i + 1, i)),            // path
+      Seq.empty[(Long, Long)])                       // empty set
+    fixtures.foreach { fx =>
+      val e = fx.toDF("u", "v")
+      val obs = org.apache.spark.sql.Observation()
+      // materialize the fused round the way run() does (localCheckpoint)
+      ConnectedComponents.largeStarChecked(e, Some(obs)).localCheckpoint(true)
+      val viol = obs.get.get("viol")
+        .collect { case n: Number => n.longValue }.getOrElse(0L)
+      val reference = ConnectedComponents.isDisjointStars(e)
+      assert((viol == 0L) === reference,
+        s"fused=$viol reference=$reference on $fx")
+      // and the fused form's EDGE OUTPUT is exactly largeStar's
+      val got = ConnectedComponents.largeStarChecked(e, None)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = e.union(e.select(col("v"), col("u")))
+        .groupBy(col("u")).agg(org.apache.spark.sql.functions.min("v").as("mv"))
+        .join(e.union(e.select(col("v").as("u"), col("u").as("v"))), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v"), least(col("mv"), col("u")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === want, s"largeStar output changed on $fx")
+    }
+  }
+
+  test("one action per round: the fused loop runs no separate check actions") {
+    // actions for an r-round graph: 1 initial save + (r+1) fused round
+    // materializations (the last proves the previous output converged) and
+    // NOTHING else — the OLD loop additionally ran an isDisjointStars
+    // isEmpty action per round. Count query executions by action name.
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val edges = (0L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+      val labeled = ConnectedComponents.run(edges, "a", "b")
+      // listener events post asynchronously — wait until the count settles
+      val deadline = System.currentTimeMillis() + 5000
+      var last = -1
+      while (last != actions.size() && System.currentTimeMillis() < deadline) {
+        last = actions.size(); Thread.sleep(200)
+      }
+      import scala.jdk.CollectionConverters._
+      val names = actions.asScala.toSeq
+      val rounds = ConnectedComponents.lastRunRounds
+      assert(rounds >= 1)
+      // every action is a checkpoint materialization; no isEmpty/count
+      // convergence actions remain
+      assert(names.forall(_.toLowerCase.contains("checkpoint")),
+        s"non-checkpoint actions ran: $names")
+      assert(names.size === 1 + rounds + 1,
+        s"expected 1 save + ${rounds + 1} fused round actions, got $names")
+      assert(labeled.collect().length === 9)
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("reliable checkpoint path labels identically") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-cc-ckpt").toString

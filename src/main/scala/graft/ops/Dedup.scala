@@ -363,16 +363,38 @@ object Dedup {
     * candidate set 267× (112k → 419 pairs), the difference between the
     * verify being free and being the slowest stage in the plan.
     */
+  /** Width for the Levenshtein verify exchange, sized from the CANDIDATE
+    * COUNT instead of the session shuffle width (VERDICT r16 #5 — the
+    * session width is a CPU-count constant: at 100 TB a multi-million-pair
+    * candidate stream on width 32 puts ~n/32 O(len·maxDist) verifies in
+    * one task, an unbounded straggler). ~candsPerTask banded-Levenshtein
+    * rows per task keeps tasks in the O(100 ms) range so no task runs
+    * >2× the median on candidate-count grounds; the cap (8× session width)
+    * bounds tiny-task scheduling overhead the other way. Both knobs
+    * conf-overridable (`spark.graft.dedup.verifyCandsPerTask`).
+    */
+  private[graft] def verifyWidth(ss: org.apache.spark.sql.SparkSession,
+      nCands: Long): Int = {
+    val perTask = ss.conf.getOption("spark.graft.dedup.verifyCandsPerTask")
+      .map(_.toLong).filter(_ > 0).getOrElse(64L)
+    val cap = 8L * ss.sessionState.conf.numShufflePartitions
+    math.max(1L, math.min((nCands + perTask - 1) / perTask, cap)).toInt
+  }
+
   def editNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int, minInter: Long = 2, minOverlapPct: Int = 25,
       maxDocFreq: Long = DefaultMaxDocFreq,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val cands = overlapPairs(shingleSet(docs, idCol, textCol), idCol,
-        maxDocFreq, scope)
+    // cached + counted: the count sizes the verify exchange from the real
+    // candidate volume (see verifyWidth) and materializes the cache the
+    // verify join then reads — the candidate pipeline still runs once.
+    val cands = scope.cached(overlapPairs(shingleSet(docs, idCol, textCol),
+        idCol, maxDocFreq, scope)
       .filter(col("inter") >= minInter &&
         col("inter") * 100 >= lit(minOverlapPct.toLong) *
           least(col("n1"), col("n2")))
-      .select("d1", "d2", "inter")
+      .select("d1", "d2", "inter"))
+    val nCands = cands.count()
     val t = docs.select(col(idCol), col(textCol))
     cands
       .join(t.select(col(idCol).as("d1"), col(textCol).as("_t1")), "d1")
@@ -387,8 +409,9 @@ object Dedup {
       // those keys by the candidate aggregate), which re-creates the
       // coalesced stage; RoundRobinPartitioning never satisfies an
       // existing distribution and a user REPARTITION_BY_NUM is exempt from
-      // AQE coalescing. The extra shuffle moves only the candidate texts.
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      // AQE coalescing. The extra shuffle moves only the candidate texts;
+      // its width rides the measured candidate count (verifyWidth).
+      .repartition(verifyWidth(docs.sparkSession, nCands))
       // banded Levenshtein: -1 when the distance exceeds maxDist
       .withColumn("edit_dist",
         levenshtein(col("_t1"), col("_t2"), maxDist).cast("long"))
@@ -418,15 +441,18 @@ object Dedup {
       maxDocFreq: Long = DefaultMaxDocFreq,
       scope: CacheScope = CacheScope.unmanaged,
       pinLayout: Boolean = false): DataFrame = {
-    val cands = minhashLshPairs(docs, idCol, textCol, threshold, k, bands,
+    val cands = scope.cached(
+      minhashLshPairs(docs, idCol, textCol, threshold, k, bands,
         maxDocFreq, scope, pinLayout)
-      .select("d1", "d2")
+      .select("d1", "d2"))
+    val nCands = cands.count()
     val t = docs.select(col(idCol), col(textCol))
     cands
       .join(t.select(col(idCol).as("d1"), col(textCol).as("_t1")), "d1")
       .join(t.select(col(idCol).as("d2"), col(textCol).as("_t2")), "d2")
-      // same round-robin discipline as editNearDupPairs (see there)
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      // same round-robin + candidate-count width discipline as
+      // editNearDupPairs (see there)
+      .repartition(verifyWidth(docs.sparkSession, nCands))
       .withColumn("edit_dist",
         levenshtein(col("_t1"), col("_t2"), maxDist).cast("long"))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)

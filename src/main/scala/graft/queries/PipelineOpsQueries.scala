@@ -2503,6 +2503,13 @@ $prRounds
       // horizon at ANY scale factor (the batch-equivalence condition;
       // production sets the horizon from its real ingest dedup window and
       // state stays bounded by it, not by stream length)
+      // fixture stays single-file (r17 A/B): st04/st05/st10 spread their
+      // fixtures because heavy per-row scan work serializes by file, but
+      // st01's scan work is one md5 fingerprint (~220 ms serial here) —
+      // the repartition(16) fixture measured WORSE (1.92/2.26 s vs
+      // 1.59/1.77 s warm runs): the fixture-write shuffle costs more than
+      // the spread saves. The multi-file move only pays when the fused
+      // per-row chain dominates (st04's md5-chain simhash: 1478 ms).
       rd(s, dir, "documents")
         .withColumn("ts",
           timestamp_seconds(lit(1700000000L) + col("doc_id") % 3600))
@@ -2639,9 +2646,16 @@ $prRounds
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
       val tmp = QueryUtil.scratchDir("graft_st04_")
+      // multi-file fixture ON PURPOSE (st10's discipline, r17): the
+      // per-row md5-chain SimHash fuses into the file-stream scan, which
+      // parallelizes by FILE — the single-file form measured a 1478 ms
+      // serial scan task, over half this query's wall. One AvailableNow
+      // batch either way; the checked projection (signature, n_out) is
+      // group-invariant, so arrival order across files cannot matter.
       rd(s, dir, "documents")
         .withColumn("ts",
           timestamp_seconds(lit(1700000000L) + col("doc_id") % 3600))
+        .repartition(16)
         .write.mode("overwrite").parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(StructType(Seq(
@@ -2680,7 +2694,14 @@ $prRounds
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val tmp = QueryUtil.scratchDir("graft_st05_")
-      rd(s, dir, "documents").write.mode("overwrite").parquet(s"$tmp/src")
+      // multi-file fixture ON PURPOSE (st10's discipline, r17): a file-
+      // stream scan parallelizes by file, and this stream's per-row work
+      // (tokenize + explode + partial CMS agg) fuses into it — the
+      // single-file form measured a 751 ms serial scan task that was the
+      // wall's biggest piece. A real ingest is many files; CMS cells are
+      // commutative sums, so the result is batching/order-free either way.
+      rd(s, dir, "documents").repartition(16)
+        .write.mode("overwrite").parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType),

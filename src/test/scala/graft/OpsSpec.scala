@@ -938,6 +938,33 @@ class OpsSpec extends SparkSpec {
     assert(maxDropped <= t && minKept > maxDropped)
   }
 
+  test("hashed-key LM scoring join equals the textual join verbatim") {
+    // r17: bigramLmScore's scoring join rides (xxhash64, murmur3) of the
+    // bigram instead of the string. The reference below is the pre-r17
+    // textual-join form inline; the two must agree row-for-row.
+    import graft.ops.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bg = docs.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("bg"))
+    val lm = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val prefix = lm.groupBy("w1").agg(sum(col("c_bg")).as("c_w1"))
+    val probs = lm.join(prefix, "w1")
+      .select(col("bg"), expr("(c_bg * 1000000L) div c_w1").as("p_ppm"))
+    val want = bg.join(probs, "bg").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("avg_p_ppm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got == want)
+    // and the fixture really exercises the no-collision regime the
+    // write-up's bound promises (96 independent bits over V bigrams)
+    val v = lm.select(countDistinct(col("bg")),
+      countDistinct(xxhash64(col("bg")), hash(col("bg")))).head
+    assert(v.getLong(0) === v.getLong(1), "hash-pair collision in fixture")
+  }
+
   test("ngram repetition counters match a hand computation") {
     import graft.ops.TextOps
     val df = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("id", "text")

@@ -384,17 +384,28 @@ object Dedup {
   def editNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int, minInter: Long = 2, minOverlapPct: Int = 25,
       maxDocFreq: Long = DefaultMaxDocFreq,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    // cached + counted: the count sizes the verify exchange from the real
-    // candidate volume (see verifyWidth) and materializes the cache the
-    // verify join then reads — the candidate pipeline still runs once.
-    val cands = scope.cached(overlapPairs(shingleSet(docs, idCol, textCol),
+      scope: CacheScope = CacheScope.unmanaged,
+      sizeVerifyFromCandidates: Boolean = false): DataFrame = {
+    // sizeVerifyFromCandidates trades one extra action (cache + count of
+    // the candidate set) for a verify width derived from the MEASURED
+    // candidate count — the auto/corpus-scale forms take it (the count is
+    // noise against a 100 TB candidate pipeline and the width then rides
+    // candidate volume); the fixed registry forms keep the fused
+    // single-action plan, which the r17 sweep measured distinctly faster
+    // at bench SFs (d17 cold in-sweep 3.35 s counted vs 2.55 s fused,
+    // normalized — the split action + cache materialization cost more
+    // than the width tuning saved).
+    val cands0 = overlapPairs(shingleSet(docs, idCol, textCol),
         idCol, maxDocFreq, scope)
       .filter(col("inter") >= minInter &&
         col("inter") * 100 >= lit(minOverlapPct.toLong) *
           least(col("n1"), col("n2")))
-      .select("d1", "d2", "inter"))
-    val nCands = cands.count()
+      .select("d1", "d2", "inter")
+    val cands =
+      if (sizeVerifyFromCandidates) scope.cached(cands0) else cands0
+    val width =
+      if (sizeVerifyFromCandidates) verifyWidth(docs.sparkSession, cands.count())
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
     val t = docs.select(col(idCol), col(textCol))
     cands
       .join(t.select(col(idCol).as("d1"), col(textCol).as("_t1")), "d1")
@@ -410,8 +421,8 @@ object Dedup {
       // coalesced stage; RoundRobinPartitioning never satisfies an
       // existing distribution and a user REPARTITION_BY_NUM is exempt from
       // AQE coalescing. The extra shuffle moves only the candidate texts;
-      // its width rides the measured candidate count (verifyWidth).
-      .repartition(verifyWidth(docs.sparkSession, nCands))
+      // round-robin keeps per-task candidate COUNTS uniform at any width.
+      .repartition(width)
       // banded Levenshtein: -1 when the distance exceeds maxDist
       .withColumn("edit_dist",
         levenshtein(col("_t1"), col("_t2"), maxDist).cast("long"))
